@@ -1,0 +1,139 @@
+"""Lloyd's k-means engine tests (reference: src/core/vector.rs:390-461 + its
+unit tests at src/core/vector.rs:463-592)."""
+
+import numpy as np
+import pytest
+
+from vq_tpu import EmptyInput, InvalidParameter, lloyd, lloyd_batched
+from vq_tpu.ops.kmeans import assign
+
+
+def make_blobs(rng, n_per=50, centers=((0, 0), (10, 10), (-10, 10)), scale=0.5):
+    pts = []
+    for cx, cy in centers:
+        pts.append(
+            rng.standard_normal((n_per, 2)).astype(np.float32) * scale
+            + np.array([cx, cy], dtype=np.float32)
+        )
+    return np.concatenate(pts)
+
+
+class TestLloyd:
+    def test_recovers_separated_clusters(self, rng):
+        data = make_blobs(rng)
+        res = lloyd(data, k=3, max_iters=50, seed=0)
+        assert res.centroids.shape == (3, 2)
+        # Each true center should have a centroid within 0.5
+        cents = np.asarray(res.centroids)
+        for c in [(0, 0), (10, 10), (-10, 10)]:
+            d = np.linalg.norm(cents - np.array(c), axis=1).min()
+            assert d < 0.5, f"no centroid near {c}"
+        assert bool(res.converged)
+
+    def test_determinism(self, rng):
+        # fixed seed => identical output (reference property test,
+        # tests/property_tests.rs:194-206)
+        data = rng.random((100, 8), dtype=np.float32)
+        a = lloyd(data, k=5, max_iters=10, seed=7)
+        b = lloyd(data, k=5, max_iters=10, seed=7)
+        np.testing.assert_array_equal(np.asarray(a.centroids), np.asarray(b.centroids))
+        np.testing.assert_array_equal(
+            np.asarray(a.assignments), np.asarray(b.assignments)
+        )
+
+    def test_zero_iters_returns_sampled_points(self, rng):
+        # max_iters=0 -> seeded sample of k data points, untouched
+        # (reference loop `for _ in 0..max_iters`, src/core/vector.rs:415)
+        data = rng.random((20, 4), dtype=np.float32)
+        res = lloyd(data, k=3, max_iters=0, seed=1)
+        cents = np.asarray(res.centroids)
+        rows = {tuple(np.round(r, 6)) for r in data}
+        for c in cents:
+            assert tuple(np.round(c, 6)) in rows
+
+    def test_k_equals_n(self, rng):
+        # every point its own cluster -> inertia ~ 0
+        data = rng.random((10, 3), dtype=np.float32)
+        res = lloyd(data, k=10, max_iters=20, seed=0)
+        assert float(res.inertia) == pytest.approx(0.0, abs=1e-6)
+
+    def test_identical_points(self):
+        # degenerate data: all clusters collapse to the single point
+        data = np.ones((50, 4), dtype=np.float32)
+        res = lloyd(data, k=3, max_iters=10, seed=0)
+        np.testing.assert_allclose(np.asarray(res.centroids), 1.0, atol=1e-6)
+
+    def test_inertia_decreases_with_more_clusters(self, rng):
+        data = rng.random((200, 6), dtype=np.float32)
+        i2 = float(lloyd(data, k=2, max_iters=20, seed=0).inertia)
+        i16 = float(lloyd(data, k=16, max_iters=20, seed=0).inertia)
+        assert i16 < i2
+
+    def test_blockwise_matches_singleshot(self, rng):
+        data = rng.random((100, 8), dtype=np.float32)
+        a = lloyd(data, k=4, max_iters=10, seed=3, block_rows=16)
+        b = lloyd(data, k=4, max_iters=10, seed=3, block_rows=100)
+        np.testing.assert_allclose(
+            np.asarray(a.centroids), np.asarray(b.centroids), rtol=1e-5, atol=1e-5
+        )
+
+    def test_assignments_are_nearest(self, rng):
+        data = rng.random((50, 4), dtype=np.float32)
+        res = lloyd(data, k=5, max_iters=10, seed=0)
+        codes, _ = assign(data, res.centroids)
+        np.testing.assert_array_equal(np.asarray(res.assignments), np.asarray(codes))
+
+
+class TestValidation:
+    def test_empty(self):
+        # reference: src/core/vector.rs:396-398
+        with pytest.raises(EmptyInput):
+            lloyd(np.zeros((0, 4), dtype=np.float32), k=2)
+
+    def test_k_zero(self):
+        # reference: src/core/vector.rs:399-404
+        with pytest.raises(InvalidParameter):
+            lloyd(np.ones((5, 2), dtype=np.float32), k=0)
+
+    def test_n_less_than_k(self):
+        # reference: src/core/vector.rs:405-410
+        with pytest.raises(InvalidParameter) as e:
+            lloyd(np.ones((3, 2), dtype=np.float32), k=5)
+        assert "not enough data points" in str(e.value)
+
+
+class TestBatched:
+    def test_matches_independent_runs_shapewise(self, rng):
+        data = rng.random((4, 60, 5), dtype=np.float32)
+        cents, iters, conv = lloyd_batched(data, k=4, max_iters=15, seed=0)
+        assert cents.shape == (4, 4, 5)
+        assert iters.shape == (4,) and conv.shape == (4,)
+
+    def test_batched_matches_single_runs(self, rng):
+        # Each batched lane must produce exactly what a standalone lloyd run
+        # with the same folded-in key produces — proves the vmap freezing
+        # logic doesn't perturb converged lanes.
+        import jax
+
+        data = rng.random((3, 80, 4), dtype=np.float32)
+        seed = 5
+        cents, iters, conv = lloyd_batched(data, k=4, max_iters=25, seed=seed)
+        base = jax.random.PRNGKey(seed)
+        for b in range(3):
+            single = lloyd(
+                data[b], k=4, max_iters=25, key=jax.random.fold_in(base, b)
+            )
+            np.testing.assert_allclose(
+                np.asarray(cents[b]),
+                np.asarray(single.centroids),
+                rtol=1e-6,
+                atol=1e-6,
+            )
+            assert int(iters[b]) == int(single.iterations)
+            assert bool(conv[b]) == bool(single.converged)
+
+    def test_batched_determinism(self, rng):
+        data = rng.random((3, 40, 4), dtype=np.float32)
+        a = lloyd_batched(data, k=4, max_iters=10, seed=9)[0]
+        b = lloyd_batched(data, k=4, max_iters=10, seed=9)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

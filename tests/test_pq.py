@@ -1,0 +1,176 @@
+"""ProductQuantizer tests (reference: src/pq.rs tests + pyvq/tests/test_pq.py)."""
+
+import numpy as np
+import pytest
+
+from vq_tpu import (
+    DimensionMismatch,
+    Distance,
+    EmptyInput,
+    InvalidParameter,
+    Metric,
+    ProductQuantizer,
+)
+
+
+@pytest.fixture(scope="module")
+def train_data():
+    rng = np.random.default_rng(42)
+    return rng.random((200, 16), dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def pq(train_data):
+    return ProductQuantizer(train_data, num_subspaces=4, num_centroids=8,
+                            max_iters=15, seed=42)
+
+
+class TestBasics:
+    def test_getters(self, pq):
+        # reference: src/pq.rs:143-162
+        assert pq.num_subspaces == 4
+        assert pq.sub_dim == 4
+        assert pq.dim == 16
+        assert pq.num_centroids == 8
+        assert pq.distance_metric == "euclidean"  # default (pyvq/src/pq.rs:73-75)
+        assert pq.codebooks.shape == (4, 8, 4)
+
+    def test_quantize_reference_shape_and_dtype(self, pq, train_data):
+        # quantize returns f16 centroid values, same length as input
+        # (reference: src/pq.rs:167-199)
+        q = np.asarray(pq.quantize(train_data[0]))
+        assert q.shape == (16,)
+        assert q.dtype == np.float16
+
+    def test_quantized_values_are_codebook_entries(self, pq, train_data):
+        q = np.asarray(pq.quantize(train_data[0])).astype(np.float32)
+        cb = np.asarray(pq.codebooks)
+        for i in range(pq.num_subspaces):
+            sub = q[i * 4 : (i + 1) * 4]
+            match = np.abs(cb[i].astype(np.float16).astype(np.float32) - sub).max(axis=1)
+            assert match.min() < 1e-6
+
+    def test_dequantize_roundtrip(self, pq, train_data):
+        q = pq.quantize(train_data[:5])
+        rec = np.asarray(pq.dequantize(q))
+        assert rec.shape == (5, 16)
+        assert rec.dtype == np.float32
+
+    def test_encode_decode_codes(self, pq, train_data):
+        codes = np.asarray(pq.encode(train_data[:10]))
+        assert codes.shape == (10, 4)
+        assert codes.dtype == np.uint8  # k=8 fits u8
+        rec = np.asarray(pq.decode(codes))
+        assert rec.shape == (10, 16)
+
+    def test_encode_is_nearest_per_subspace(self, pq, train_data):
+        x = train_data[:20]
+        codes = np.asarray(pq.encode(x))
+        cb = np.asarray(pq.codebooks)
+        for i in range(20):
+            for m in range(4):
+                sub = x[i, m * 4 : (m + 1) * 4]
+                d = np.linalg.norm(cb[m] - sub, axis=1)
+                assert codes[i, m] == int(np.argmin(d))
+
+    def test_reconstruction_reduces_error(self, pq, train_data):
+        rec = np.asarray(pq.decode(pq.encode(train_data)))
+        mse = float(((rec - train_data) ** 2).mean())
+        baseline = float(((train_data - train_data.mean(0)) ** 2).mean())
+        assert mse < baseline  # better than predicting the mean
+
+    def test_deterministic(self, train_data):
+        a = ProductQuantizer(train_data, 4, 8, seed=1)
+        b = ProductQuantizer(train_data, 4, 8, seed=1)
+        np.testing.assert_array_equal(
+            np.asarray(a.codebooks), np.asarray(b.codebooks)
+        )
+
+    def test_from_codebooks(self, pq, train_data):
+        clone = ProductQuantizer(codebooks=pq.codebooks, distance="euclidean")
+        np.testing.assert_array_equal(
+            np.asarray(clone.encode(train_data[:5])),
+            np.asarray(pq.encode(train_data[:5])),
+        )
+
+    @pytest.mark.parametrize("metric", list(Metric))
+    def test_all_metrics_encode(self, train_data, metric):
+        # reference: all 4 distances x PQ (tests/integration_tests.rs:246-264)
+        pq = ProductQuantizer(train_data, 4, 4, max_iters=5, distance=metric)
+        codes = np.asarray(pq.encode(train_data[:8]))
+        assert codes.shape == (8, 4)
+        assert (codes < 4).all()
+
+    def test_distance_object_accepted(self, train_data):
+        pq = ProductQuantizer(train_data, 2, 4, distance=Distance.cosine())
+        assert pq.distance_metric == "cosine"
+
+
+class TestValidation:
+    def test_empty_training(self):
+        # reference: src/pq.rs:91-93
+        with pytest.raises(EmptyInput):
+            ProductQuantizer(np.zeros((0, 8), dtype=np.float32), 2, 2)
+
+    def test_dim_not_divisible(self):
+        # reference: src/pq.rs:112-117
+        with pytest.raises(InvalidParameter):
+            ProductQuantizer(np.ones((10, 3), dtype=np.float32), 2, 2)
+
+    def test_m_greater_than_dim(self):
+        # reference: src/pq.rs:106-111
+        with pytest.raises(InvalidParameter):
+            ProductQuantizer(np.ones((10, 2), dtype=np.float32), 4, 2)
+
+    def test_quantize_wrong_dim(self, pq):
+        # reference: src/pq.rs:168-174
+        with pytest.raises(DimensionMismatch):
+            pq.quantize(np.ones(7, dtype=np.float32))
+
+    def test_dequantize_wrong_dim(self, pq):
+        with pytest.raises(DimensionMismatch):
+            pq.dequantize(np.ones(7, dtype=np.float16))
+
+    def test_ragged_training_rejected(self):
+        with pytest.raises(DimensionMismatch):
+            ProductQuantizer([[1.0, 2.0], [1.0, 2.0, 3.0]], 1, 1)
+
+
+class TestADC:
+    def test_adc_matches_decoded_distances(self, pq, train_data):
+        queries = train_data[:5]
+        codes = pq.encode(train_data[:50])
+        adc = np.asarray(pq.adc_distances(queries, codes))
+        rec = np.asarray(pq.decode(codes))
+        want = np.linalg.norm(
+            queries[:, None, :] - rec[None, :, :], axis=-1
+        )
+        np.testing.assert_allclose(adc, want, rtol=1e-3, atol=1e-3)
+
+    def test_adc_search_topk(self, pq, train_data):
+        codes = pq.encode(train_data)
+        idx, dist = pq.adc_search(train_data[:3], codes, k=5)
+        assert np.asarray(idx).shape == (3, 5)
+        d = np.asarray(dist)
+        assert (np.diff(d, axis=1) >= -1e-6).all()  # ascending
+
+    def test_adc_cosine(self, train_data):
+        pq = ProductQuantizer(train_data, 4, 8, distance="cosine", seed=0)
+        queries = train_data[:4]
+        codes = pq.encode(train_data[:30])
+        adc = np.asarray(pq.adc_distances(queries, codes))
+        rec = np.asarray(pq.decode(codes))
+        qn = np.linalg.norm(queries, axis=1, keepdims=True)
+        rn = np.linalg.norm(rec, axis=1, keepdims=True)
+        want = 1 - (queries @ rec.T) / (qn * rn.T)
+        want = np.clip(want, 0.0, 1.0)
+        np.testing.assert_allclose(adc, want, rtol=1e-3, atol=1e-3)
+
+    def test_adc_manhattan(self, train_data):
+        pq = ProductQuantizer(train_data, 4, 8, distance="manhattan", seed=0)
+        queries = train_data[:4]
+        codes = pq.encode(train_data[:30])
+        adc = np.asarray(pq.adc_distances(queries, codes))
+        rec = np.asarray(pq.decode(codes))
+        want = np.abs(queries[:, None, :] - rec[None, :, :]).sum(-1)
+        np.testing.assert_allclose(adc, want, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,124 @@
+"""TSVQ tests (reference: src/tsvq.rs tests + pyvq/tests/test_tsvq.py)."""
+
+import numpy as np
+import pytest
+
+from vq_tpu import TSVQ, DimensionMismatch, EmptyInput, Metric
+
+
+@pytest.fixture(scope="module")
+def train_data():
+    rng = np.random.default_rng(42)
+    return rng.random((200, 8), dtype=np.float32)
+
+
+class TestBasics:
+    def test_identical_vectors(self):
+        # reference: src/tsvq.rs:272-284
+        vec = np.array([1.0, 2.0, 3.0, 4.0, 5.0], dtype=np.float32)
+        data = np.tile(vec, (10, 1))
+        t = TSVQ(data, 3, "squared_euclidean")
+        q = np.asarray(t.quantize(vec)).astype(np.float32)
+        np.testing.assert_allclose(q, vec, atol=1e-2)
+
+    def test_quantize_shape_and_dtype(self, train_data):
+        t = TSVQ(train_data, 3)
+        q = np.asarray(t.quantize(train_data[0]))
+        assert q.shape == (8,)
+        assert q.dtype == np.float16
+
+    def test_batch_quantize(self, train_data):
+        t = TSVQ(train_data, 4)
+        q = np.asarray(t.quantize(train_data[:20]))
+        assert q.shape == (20, 8)
+
+    def test_leaf_centroids_are_tree_nodes(self, train_data):
+        t = TSVQ(train_data, 4)
+        nodes = np.asarray(t.encode(train_data[:50]))
+        cents = np.asarray(t.tree.centroids)
+        left = np.asarray(t.tree.left)
+        right = np.asarray(t.tree.right)
+        # encoded nodes must be leaves
+        for nd in nodes:
+            assert left[nd] == -1 and right[nd] == -1
+
+    def test_deeper_tree_lower_mse(self, train_data):
+        def mse(depth):
+            t = TSVQ(train_data, depth)
+            rec = np.asarray(t.quantize(train_data)).astype(np.float32)
+            return float(((rec - train_data) ** 2).mean())
+
+        assert mse(6) < mse(1)
+
+    def test_depth_zero_single_leaf(self, train_data):
+        t = TSVQ(train_data, 0)
+        assert t.num_nodes == 1
+        q = np.asarray(t.quantize(train_data[:5])).astype(np.float32)
+        mean = train_data.mean(0)
+        np.testing.assert_allclose(q, np.tile(mean, (5, 1)), atol=1e-2)
+
+    def test_dequantize_roundtrip(self, train_data):
+        t = TSVQ(train_data, 3)
+        q = t.quantize(train_data[:4])
+        rec = np.asarray(t.dequantize(q))
+        assert rec.dtype == np.float32
+        assert rec.shape == (4, 8)
+
+    @pytest.mark.parametrize("metric", list(Metric))
+    def test_all_metrics(self, train_data, metric):
+        t = TSVQ(train_data, 3, metric)
+        assert t.distance_metric == metric.value
+        q = np.asarray(t.quantize(train_data[:5]))
+        assert q.shape == (5, 8)
+
+    def test_getters_and_repr(self, train_data):
+        t = TSVQ(train_data, 5)
+        assert t.dim == 8
+        assert t.max_depth == 5
+        assert t.num_nodes >= t.num_leaves >= 1
+        assert "TSVQ" in repr(t)
+
+    def test_determinism(self, train_data):
+        a = np.asarray(TSVQ(train_data, 4).quantize(train_data[:10]))
+        b = np.asarray(TSVQ(train_data, 4).quantize(train_data[:10]))
+        np.testing.assert_array_equal(a, b)
+
+    def test_nan_rows_go_right(self):
+        # NaN comparisons are false -> NaN rows partition right
+        # (reference src/tsvq.rs:83-85); must not crash
+        data = np.ones((20, 4), dtype=np.float32)
+        data[:, 0] = np.arange(20)
+        data[3, 0] = np.nan
+        t = TSVQ(data, 3)
+        q = np.asarray(t.quantize(data[:2]))
+        assert q.shape == (2, 4)
+
+    def test_prebuilt_tree(self, train_data):
+        t1 = TSVQ(train_data, 4)
+        t2 = TSVQ(tree=t1.tree)
+        np.testing.assert_array_equal(
+            np.asarray(t1.encode(train_data[:10])),
+            np.asarray(t2.encode(train_data[:10])),
+        )
+
+
+class TestValidation:
+    def test_empty_training(self):
+        # reference: src/tsvq.rs:302-306
+        with pytest.raises(EmptyInput):
+            TSVQ(np.zeros((0, 4), dtype=np.float32), 3)
+
+    def test_quantize_wrong_dim(self, train_data):
+        # reference: src/tsvq.rs:240-245
+        t = TSVQ(train_data, 3)
+        with pytest.raises(DimensionMismatch):
+            t.quantize(np.ones(5, dtype=np.float32))
+
+    def test_dequantize_wrong_dim(self, train_data):
+        t = TSVQ(train_data, 3)
+        with pytest.raises(DimensionMismatch):
+            t.dequantize(np.ones(5, dtype=np.float16))
+
+    def test_ragged_rejected(self):
+        with pytest.raises(DimensionMismatch):
+            TSVQ([[1.0, 2.0], [1.0]], 2)

@@ -1,0 +1,93 @@
+"""vq_tpu — a TPU-native vector-quantization framework (JAX/XLA/Pallas).
+
+Covers the reference CogitatorTech/vq's full surface (reference crate root:
+src/lib.rs:32-49) with batch-first TPU-native APIs:
+
+* :class:`BinaryQuantizer` — threshold quantization + sign-bit packing
+* :class:`ScalarQuantizer` — uniform int8 affine quantization
+* :class:`ProductQuantizer` — k-means sub-codebooks, u8 codes, ADC search
+* :class:`TSVQ` — variance-split hierarchical tree quantization
+* :class:`Distance` / :class:`Metric` — 4 metrics, batched on the MXU
+* :func:`lloyd` — blockwise Lloyd's k-means (the LBG trainer)
+* ``vq_tpu.parallel`` — multi-host sharded training over a device mesh
+* :func:`get_backend` — active compute-backend introspection (the analog of
+  the reference's ``get_simd_backend``, src/core/hsdlib_ffi.rs:144-155)
+"""
+
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+    NativeLibraryError,
+    VqError,
+)
+from vq_tpu.models.base import Quantizer
+from vq_tpu.models.bq import (
+    BinaryQuantizer,
+    hamming_distance,
+    pack_bits,
+    packed_width,
+    unpack_bits,
+)
+from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode, pq_train
+from vq_tpu.models.sq import ScalarQuantizer
+from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
+from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
+from vq_tpu.ops.kmeans import KMeansResult, lloyd, lloyd_batched
+
+__version__ = "0.1.0"
+
+
+def get_backend() -> str:
+    """Name of the active compute backend (e.g. ``"tpu"``, ``"cpu"``).
+
+    The TPU-world analog of the reference's ``get_simd_backend()``
+    (src/core/hsdlib_ffi.rs:144-155): reports which hardware the distance
+    kernels will run on.
+    """
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "tpu":
+        kind = jax.devices()[0].device_kind
+        return f"TPU ({kind})"
+    return backend.upper()
+
+
+# pyvq exposes the same function under this name (pyvq/src/lib.rs:41-49).
+get_simd_backend = get_backend
+
+__all__ = [
+    "BinaryQuantizer",
+    "ScalarQuantizer",
+    "ProductQuantizer",
+    "TSVQ",
+    "TSVQTree",
+    "Quantizer",
+    "Distance",
+    "Metric",
+    "KMeansResult",
+    "VqError",
+    "DimensionMismatch",
+    "EmptyInput",
+    "InvalidParameter",
+    "InvalidData",
+    "NativeLibraryError",
+    "distance",
+    "pairwise",
+    "rowwise",
+    "nearest",
+    "lloyd",
+    "lloyd_batched",
+    "pq_train",
+    "pq_encode",
+    "pq_decode",
+    "tsvq_build",
+    "pack_bits",
+    "unpack_bits",
+    "packed_width",
+    "hamming_distance",
+    "get_backend",
+    "get_simd_backend",
+]

@@ -1,0 +1,413 @@
+"""Product quantization — m sub-codebooks trained with batched Lloyd's.
+
+Reference behavior preserved (src/pq.rs):
+
+* dim must be >= m and divisible by m (src/pq.rs:106-118).
+* m independent codebooks, trained per-subspace with k-means; subspace ``i``
+  gets an independent per-subspace seed (the reference uses ``seed + i``,
+  src/pq.rs:130; we fold ``i`` into the PRNG key).
+* **Training assignment is always squared-L2** regardless of the configured
+  ``distance``; the user's distance applies only at encode time
+  (src/core/vector.rs:352-363 vs src/pq.rs:184-187).
+* Encode argmin ties keep the lowest index (strict ``<`` scan,
+  src/pq.rs:183-191).
+* ``quantize`` returns the selected centroids' values rounded to f16
+  (src/pq.rs:193-195) and ``dequantize`` is the f16 -> f32 cast
+  (src/pq.rs:201-209), so reconstruction MSE is directly comparable.
+
+TPU-native extensions beyond the reference:
+
+* ``encode``/``decode`` with true u8 code indices (``[n, m]``), the byte
+  budget PQ is actually for — the reference stores f16 values and only
+  reaches 50% compression (reference README.md:41).
+* ADC (asymmetric distance computation): per-query ``[m, k]`` lookup tables
+  and a batched top-k search over encoded corpora, computed as one-hot
+  matmuls on the MXU. Supports all four metrics (cosine decomposes via
+  per-subspace dot + squared-norm tables).
+* All codebooks train at once: ``lloyd_batched`` vmaps the m sub-problems so
+  XLA fuses them into batched matmuls instead of the reference's sequential
+  per-subspace loop (src/pq.rs:121-132).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
+from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
+from vq_tpu.ops.distance import COSINE_NORM_EPS, Distance, Metric
+from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
+
+__all__ = ["ProductQuantizer", "pq_train", "pq_encode", "pq_decode"]
+
+
+# ---------------------------------------------------------------------------
+# Jitted cores (pure functions of arrays + static config).
+# ---------------------------------------------------------------------------
+
+
+def _subspace_scores(xs, cb, metric: Metric):
+    """Distances [n, m, k] between per-subspace slices and codebooks.
+
+    ``xs``: [n, m, s], ``cb``: [m, k, s]. For the L2 family the ``||x||^2``
+    term is omitted (argmin-invariant, monotone under sqrt).
+    """
+    if metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN):
+        xc = jnp.einsum(
+            "nms,mks->nmk", xs, cb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        cc = jnp.sum(cb * cb, axis=-1)  # [m, k]
+        return cc[None] - 2.0 * xc
+    if metric == Metric.COSINE:
+        xc = jnp.einsum(
+            "nms,mks->nmk", xs, cb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        nx = jnp.sqrt(jnp.sum(xs * xs, axis=-1))  # [n, m]
+        nc = jnp.sqrt(jnp.sum(cb * cb, axis=-1))  # [m, k]
+        denom = jnp.maximum(nx[:, :, None] * nc[None], COSINE_NORM_EPS)
+        dist = jnp.clip(1.0 - xc / denom, 0.0, 1.0)
+        degenerate = (nx[:, :, None] < COSINE_NORM_EPS) | (
+            nc[None] < COSINE_NORM_EPS
+        )
+        return jnp.where(degenerate, 1.0, dist)
+    if metric == Metric.MANHATTAN:
+        return jnp.sum(jnp.abs(xs[:, :, None, :] - cb[None]), axis=-1)
+    raise InvalidParameter("metric", f"unsupported metric {metric}")
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "block_rows"))
+def _pq_encode_jit(
+    x: jnp.ndarray, cb: jnp.ndarray, metric: Metric, block_rows: int
+) -> jnp.ndarray:
+    n, d = x.shape
+    m, k, s = cb.shape
+    pad = (-n) % block_rows
+    padded = jnp.pad(x, ((0, pad), (0, 0)))
+    tiles = padded.reshape(-1, block_rows, m, s)
+
+    def one(tile):
+        scores = _subspace_scores(tile, cb, metric)  # [B, m, k]
+        return jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+    codes = jax.lax.map(one, tiles).reshape(-1, m)[:n]
+    return codes
+
+
+@jax.jit
+def _pq_decode_jit(codes: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
+    # Gather each subspace's selected centroid: [n, m] x [m, k, s] -> [n, m*s].
+    n, m = codes.shape
+    picked = jax.vmap(
+        lambda cb_i, codes_i: jnp.take(cb_i, codes_i, axis=0),
+        in_axes=(0, 1),
+        out_axes=1,
+    )(cb, codes)  # [n, m, s]
+    return picked.reshape(n, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _adc_tables_jit(q: jnp.ndarray, cb: jnp.ndarray, metric: Metric):
+    qs = q.reshape(q.shape[0], cb.shape[0], cb.shape[2])  # [Q, m, s]
+    if metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN):
+        xc = jnp.einsum(
+            "qms,mks->qmk", qs, cb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        cc = jnp.sum(cb * cb, axis=-1)
+        qq = jnp.sum(qs * qs, axis=-1)
+        return jnp.maximum(qq[:, :, None] + cc[None] - 2.0 * xc, 0.0)
+    if metric == Metric.MANHATTAN:
+        return jnp.sum(jnp.abs(qs[:, :, None, :] - cb[None]), axis=-1)
+    if metric == Metric.COSINE:
+        # Cosine doesn't decompose per subspace directly; return the dot
+        # tables — the caller combines them with per-code squared norms.
+        return jnp.einsum(
+            "qms,mks->qmk", qs, cb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+    raise InvalidParameter("metric", f"unsupported metric {metric}")
+
+
+@jax.jit
+def _adc_lookup_jit(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Sum per-subspace table entries for each code word.
+
+    ``tables``: [Q, m, k], ``codes``: [n, m] -> [Q, n]. Done as m one-hot
+    matmuls on the MXU (scan over subspaces) so no [Q, n, m] gather
+    materializes.
+    """
+    q, m, k = tables.shape
+
+    def body(acc, inp):
+        table_m, codes_m = inp  # [Q, k], [n]
+        onehot = jax.nn.one_hot(codes_m, k, dtype=jnp.float32)  # [n, k]
+        acc = acc + jax.lax.dot_general(
+            table_m, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, None
+
+    init = jnp.zeros((q, codes.shape[0]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        init=init,
+        f=body,
+        xs=(jnp.moveaxis(tables, 1, 0), codes.T),
+    )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Functional API.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    training_data,
+    num_subspaces: int,
+    num_centroids: int,
+    max_iters: int = 10,
+    seed: int = 42,
+    *,
+    block_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """Train PQ codebooks; returns ``[m, k, sub_dim]`` f32.
+
+    Validation matches the reference ctor (src/pq.rs:91-118).
+    """
+    data = check_training_matrix(training_data)
+    n, dim = data.shape
+    m = int(num_subspaces)
+    k = int(num_centroids)
+    if m <= 0:
+        raise InvalidParameter("num_subspaces", "must be greater than 0")
+    if dim < m:
+        raise InvalidParameter(
+            "num_subspaces", f"must be at most the data dimension ({dim})"
+        )
+    if dim % m != 0:
+        raise InvalidParameter(
+            "num_subspaces", f"dimension ({dim}) must be divisible by m"
+        )
+    sub = dim // m
+    # [n, d] -> [m, n, sub]: each subspace trains on its column block
+    # (reference slices per-vector copies, src/pq.rs:121-129; here it's a
+    # reshape+transpose XLA handles as a layout change).
+    per_subspace = jnp.moveaxis(data.reshape(n, m, sub), 1, 0)
+    codebooks, _iters, _conv = lloyd_batched(
+        per_subspace, k, max_iters=max_iters, seed=seed, block_rows=block_rows
+    )
+    return codebooks
+
+
+def pq_encode(
+    x, codebooks, metric: Metric | str = Metric.EUCLIDEAN,
+    block_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """Encode ``[n, d]`` vectors to ``[n, m]`` int32 code indices."""
+    metric = Metric.parse(metric)
+    cb = jnp.asarray(codebooks, jnp.float32)
+    x2d, _ = as_batch_f32(x)
+    m, k, s = cb.shape
+    if x2d.shape[1] != m * s:
+        raise DimensionMismatch(expected=m * s, found=x2d.shape[1])
+    if block_rows is None:
+        block_rows = default_block_rows(x2d.shape[0], k * m, s)
+    return _pq_encode_jit(x2d, cb, metric, int(block_rows))
+
+
+def pq_decode(codes, codebooks) -> jnp.ndarray:
+    """Decode ``[n, m]`` code indices back to ``[n, d]`` f32 centroid values."""
+    cb = jnp.asarray(codebooks, jnp.float32)
+    codes = jnp.asarray(codes)
+    if codes.ndim == 1:
+        codes = codes[None, :]
+    if codes.shape[1] != cb.shape[0]:
+        raise DimensionMismatch(expected=cb.shape[0], found=codes.shape[1])
+    return _pq_decode_jit(codes.astype(jnp.int32), cb)
+
+
+class ProductQuantizer(Quantizer):
+    """Product quantizer with m sub-codebooks (reference: src/pq.rs).
+
+    Constructor signature follows pyvq (pyvq/src/pq.rs:48-57):
+    ``ProductQuantizer(training_data, num_subspaces, num_centroids,
+    max_iters=10, distance=None, seed=42)`` with ``distance`` defaulting to
+    Euclidean. ``codebooks`` may be passed directly (e.g. from a checkpoint)
+    to skip training.
+    """
+
+    def __init__(
+        self,
+        training_data=None,
+        num_subspaces: int = None,
+        num_centroids: int = None,
+        max_iters: int = 10,
+        distance=None,
+        seed: int = 42,
+        *,
+        codebooks=None,
+        block_rows: Optional[int] = None,
+    ):
+        if isinstance(distance, Distance):
+            self._metric = distance.metric
+        else:
+            self._metric = Metric.parse(distance)
+        if codebooks is not None:
+            cb = jnp.asarray(codebooks, jnp.float32)
+            if cb.ndim != 3:
+                raise InvalidParameter(
+                    "codebooks", f"must be [m, k, sub_dim], got {cb.ndim}-D"
+                )
+            self._codebooks = cb
+        else:
+            if training_data is None:
+                raise InvalidParameter(
+                    "training_data", "required when codebooks are not given"
+                )
+            if num_subspaces is None or num_centroids is None:
+                raise InvalidParameter(
+                    "num_subspaces/num_centroids",
+                    "required when training from data",
+                )
+            self._codebooks = pq_train(
+                training_data,
+                num_subspaces,
+                num_centroids,
+                max_iters=max_iters,
+                seed=seed,
+                block_rows=block_rows,
+            )
+        self._block_rows = block_rows
+
+    # -- introspection (reference getters, src/pq.rs:143-162) ---------------
+
+    @property
+    def codebooks(self) -> jnp.ndarray:
+        """Trained codebooks, ``[m, k, sub_dim]`` f32."""
+        return self._codebooks
+
+    @property
+    def num_subspaces(self) -> int:
+        return self._codebooks.shape[0]
+
+    @property
+    def num_centroids(self) -> int:
+        return self._codebooks.shape[1]
+
+    @property
+    def sub_dim(self) -> int:
+        return self._codebooks.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.num_subspaces * self.sub_dim
+
+    @property
+    def distance_metric(self) -> str:
+        return self._metric.value
+
+    @property
+    def distance(self) -> Distance:
+        return Distance(self._metric)
+
+    # -- code-index API (TPU-native; true u8 storage) -----------------------
+
+    def encode(self, x) -> jnp.ndarray:
+        """``[n, d]`` (or ``[d]``) -> ``[n, m]`` (or ``[m]``) code indices.
+
+        Returned as uint8 when ``k <= 256`` — the actual PQ byte budget.
+        """
+        x2d, was_1d = as_batch_f32(x)
+        codes = pq_encode(x2d, self._codebooks, self._metric, self._block_rows)
+        if self.num_centroids <= 256:
+            codes = codes.astype(jnp.uint8)
+        if was_1d:
+            codes = codes[0]
+        return codes
+
+    def decode(self, codes) -> jnp.ndarray:
+        """Inverse of :meth:`encode` -> f32 reconstruction ``[n, d]``."""
+        codes = jnp.asarray(codes)
+        was_1d = codes.ndim == 1
+        out = pq_decode(codes, self._codebooks)
+        return out[0] if was_1d else out
+
+    # -- reference-compatible API (f16 centroid values) ---------------------
+
+    def quantize(self, x) -> jnp.ndarray:
+        """Reference-parity quantize: emit selected centroids as f16
+        (src/pq.rs:167-199). Accepts ``[d]`` or ``[n, d]``."""
+        x2d, was_1d = as_batch_f32(x)
+        if x2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
+        recon = self.decode(self.encode(x2d)).astype(jnp.float16)
+        return recon[0] if was_1d else recon
+
+    def dequantize(self, quantized) -> jnp.ndarray:
+        """f16 -> f32 cast with a dim check (src/pq.rs:201-209)."""
+        q = jnp.asarray(quantized)
+        d = q.shape[-1] if q.ndim else 0
+        if d != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=d)
+        return q.astype(jnp.float32)
+
+    # -- ADC search ---------------------------------------------------------
+
+    def adc_tables(self, queries) -> jnp.ndarray:
+        """Per-query lookup tables ``[Q, m, k]`` under this PQ's metric.
+
+        For the L2 family entries are per-subspace squared distances (their
+        sum over m is the full squared distance); for Manhattan, per-subspace
+        L1 distances; for cosine, per-subspace dots (combined with code norms
+        in :meth:`adc_search`).
+        """
+        q2d, _ = as_batch_f32(queries)
+        if q2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q2d.shape[1])
+        return _adc_tables_jit(q2d, self._codebooks, self._metric)
+
+    def adc_distances(self, queries, codes) -> jnp.ndarray:
+        """Asymmetric distances ``[Q, n]`` between raw queries and encoded
+        corpus ``codes [n, m]``, without decoding the corpus."""
+        q2d, _ = as_batch_f32(queries)
+        codes = jnp.asarray(codes).astype(jnp.int32)
+        if codes.ndim == 1:
+            codes = codes[None, :]
+        tables = self.adc_tables(q2d)
+        acc = _adc_lookup_jit(tables, codes)
+        if self._metric == Metric.EUCLIDEAN:
+            return jnp.sqrt(jnp.maximum(acc, 0.0))
+        if self._metric == Metric.COSINE:
+            # 1 - dot / (|q| * |recon|); |recon|^2 decomposes over subspaces.
+            sqn_tables = jnp.sum(
+                self._codebooks * self._codebooks, axis=-1
+            )  # [m, k]
+            recon_sqn = _adc_lookup_jit(
+                sqn_tables[None], codes
+            )[0]  # [n]
+            qn = jnp.sqrt(jnp.sum(q2d * q2d, axis=-1))  # [Q]
+            rn = jnp.sqrt(jnp.maximum(recon_sqn, 0.0))  # [n]
+            denom = jnp.maximum(qn[:, None] * rn[None, :], COSINE_NORM_EPS)
+            dist = jnp.clip(1.0 - acc / denom, 0.0, 1.0)
+            degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                rn[None, :] < COSINE_NORM_EPS
+            )
+            return jnp.where(degenerate, 1.0, dist)
+        return acc
+
+    def adc_search(self, queries, codes, k: int = 10):
+        """Top-k nearest codes for each query by asymmetric distance.
+
+        Returns ``(indices [Q, k], distances [Q, k])`` sorted ascending.
+        """
+        d = self.adc_distances(queries, codes)
+        neg_top, idx = jax.lax.top_k(-d, k)
+        return idx, -neg_top
+
+    def __repr__(self) -> str:
+        return (
+            f"ProductQuantizer(m={self.num_subspaces}, k={self.num_centroids}, "
+            f"sub_dim={self.sub_dim}, distance={self._metric.value!r})"
+        )

@@ -1,0 +1,270 @@
+"""Tree-structured vector quantization (TSVQ).
+
+The reference (src/tsvq.rs) builds a binary tree of centroids recursively —
+inherently data-dependent control flow — and encodes by greedy root-to-leaf
+traversal. The TPU-native split of responsibilities (SURVEY.md §7.2 L4):
+
+* **Build** runs host-orchestrated: per-node statistics (mean, per-dim
+  variance, median, partition) are numpy batch reductions; the recursion and
+  tree topology live in Python. The result is flattened into three arrays —
+  ``centroids [nodes, d]``, ``left [nodes]``, ``right [nodes]`` (−1 = none) —
+  a structure-of-arrays layout XLA can gather from.
+* **Encode** compiles to a fixed-depth vectorized traversal: ``depth`` rounds
+  of (gather children centroids, row-wise distance, select), fully batched —
+  no per-vector recursion.
+
+Reference semantics preserved (src/tsvq.rs:31-132):
+
+* Node centroid = mean of its subset (src/tsvq.rs:36).
+* Split dimension = argmax of per-dim *summed* squared deviation, NaN
+  variances excluded (src/tsvq.rs:47-66; all-NaN falls back to dim 0).
+* Threshold = median of that dimension's non-NaN values; even count averages
+  the two middle values (src/tsvq.rs:68-81).
+* Partition: ``value <= median`` goes left; NaN comparisons are false so NaN
+  rows go right (src/tsvq.rs:83-85).
+* A child is built only when its partition is non-empty AND smaller than the
+  parent (progress check, src/tsvq.rs:88-108).
+* Traversal: at a 2-child node compare child-centroid distances under the
+  user's metric; ``dist_left <= dist_right`` descends left (ties left,
+  src/tsvq.rs:117-132). Single-child nodes descend into that child.
+* ``quantize`` emits the leaf centroid as f16 (src/tsvq.rs:247-254);
+  ``dequantize`` is the f16 -> f32 cast with a dim check (src/tsvq.rs:257-265).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
+from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
+from vq_tpu.ops.distance import Distance, Metric, _rowwise_jit
+
+__all__ = ["TSVQ", "TSVQTree", "tsvq_build"]
+
+
+class TSVQTree:
+    """Flattened TSVQ tree: structure-of-arrays, ready for jitted traversal."""
+
+    def __init__(self, centroids, left, right, depth: int):
+        self.centroids = jnp.asarray(centroids, jnp.float32)  # [nodes, d]
+        self.left = jnp.asarray(left, jnp.int32)  # [nodes], -1 = none
+        self.right = jnp.asarray(right, jnp.int32)
+        self.depth = int(depth)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def num_leaves(self) -> int:
+        both_none = (np.asarray(self.left) < 0) & (np.asarray(self.right) < 0)
+        return int(both_none.sum())
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
+
+
+def _build_node(
+    data: np.ndarray,
+    idx: np.ndarray,
+    max_depth: int,
+    centroids: list,
+    lefts: list,
+    rights: list,
+) -> int:
+    """Recursively build the subtree over ``data[idx]``; returns node id."""
+    subset = data[idx]
+    centroid = subset.mean(axis=0, dtype=np.float32)
+    node = len(centroids)
+    centroids.append(centroid)
+    lefts.append(-1)
+    rights.append(-1)
+
+    n = idx.shape[0]
+    if max_depth == 0 or n <= 1:
+        return node
+
+    # Summed squared deviation per dim (the reference's "variance",
+    # src/tsvq.rs:47-57 — a sum, not a mean; argmax is the same either way).
+    dev = subset - centroid[None, :]
+    variances = np.sum(dev * dev, axis=0, dtype=np.float32)
+    finite = ~np.isnan(variances)
+    if finite.any():
+        masked = np.where(finite, variances, -np.inf)
+        split_dim = int(np.argmax(masked))  # first max wins, like max_by
+    else:
+        split_dim = 0  # reference's unwrap_or(0), src/tsvq.rs:66
+
+    values = subset[:, split_dim]
+    values = np.sort(values[~np.isnan(values)])
+    if values.size == 0:
+        return node  # all-NaN split column: nothing to split on
+    half = values.size // 2
+    if values.size % 2 == 0:
+        median = float((values[half - 1] + values[half]) / 2.0)
+    else:
+        median = float(values[half])
+
+    go_left = subset[:, split_dim] <= median  # NaN -> False -> right
+    left_idx = idx[go_left]
+    right_idx = idx[~go_left]
+
+    if 0 < left_idx.shape[0] < n:
+        lefts[node] = _build_node(
+            data, left_idx, max_depth - 1, centroids, lefts, rights
+        )
+    if 0 < right_idx.shape[0] < n:
+        rights[node] = _build_node(
+            data, right_idx, max_depth - 1, centroids, lefts, rights
+        )
+    return node
+
+
+def tsvq_build(training_data, max_depth: int) -> TSVQTree:
+    """Build a TSVQ tree (reference ``TSVQNode::build``, src/tsvq.rs:31-115)."""
+    data = check_training_matrix(training_data)
+    max_depth = int(max_depth)
+    if max_depth < 0:
+        raise InvalidParameter("max_depth", "must be non-negative")
+    host = np.asarray(data, dtype=np.float32)
+    centroids: list = []
+    lefts: list = []
+    rights: list = []
+    _build_node(
+        host, np.arange(host.shape[0]), max_depth, centroids, lefts, rights
+    )
+    return TSVQTree(np.stack(centroids), lefts, rights, depth=max_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "depth"))
+def _tsvq_find_leaf(
+    x: jnp.ndarray,
+    centroids: jnp.ndarray,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    metric: Metric,
+    depth: int,
+) -> jnp.ndarray:
+    """Vectorized greedy traversal -> leaf node id per row of ``x``."""
+    n = x.shape[0]
+    nodes = jnp.zeros((n,), jnp.int32)
+    for _ in range(depth):
+        l = jnp.take(left, nodes)
+        r = jnp.take(right, nodes)
+        cl = jnp.take(centroids, jnp.maximum(l, 0), axis=0)
+        cr = jnp.take(centroids, jnp.maximum(r, 0), axis=0)
+        dl = _rowwise_jit(x, cl, metric)
+        dr = _rowwise_jit(x, cr, metric)
+        both = (l >= 0) & (r >= 0)
+        # Two children: ties go left (src/tsvq.rs:122-126). One child:
+        # descend into it (src/tsvq.rs:128-129). Leaf: stay.
+        pick_two = jnp.where(dl <= dr, l, r)
+        pick_one = jnp.where(l >= 0, l, jnp.where(r >= 0, r, nodes))
+        nodes = jnp.where(both, pick_two, pick_one)
+    return nodes
+
+
+class TSVQ(Quantizer):
+    """Tree-structured vector quantizer (reference: src/tsvq.rs:158-266).
+
+    pyvq-compatible constructor: ``TSVQ(training_data, max_depth,
+    distance=None)`` with ``distance`` defaulting to Euclidean
+    (pyvq/src/tsvq.rs:42-70). A prebuilt :class:`TSVQTree` may be supplied
+    via ``tree=`` (e.g. from a checkpoint).
+    """
+
+    def __init__(
+        self,
+        training_data=None,
+        max_depth: int = None,
+        distance=None,
+        *,
+        tree: Optional[TSVQTree] = None,
+    ):
+        if isinstance(distance, Distance):
+            self._metric = distance.metric
+        else:
+            self._metric = Metric.parse(distance)
+        if tree is not None:
+            self._tree = tree
+        else:
+            if training_data is None or max_depth is None:
+                raise InvalidParameter(
+                    "training_data/max_depth",
+                    "required when a prebuilt tree is not given",
+                )
+            self._tree = tsvq_build(training_data, max_depth)
+
+    @property
+    def tree(self) -> TSVQTree:
+        return self._tree
+
+    @property
+    def dim(self) -> int:
+        return self._tree.dim
+
+    @property
+    def max_depth(self) -> int:
+        return self._tree.depth
+
+    @property
+    def num_nodes(self) -> int:
+        return self._tree.num_nodes
+
+    @property
+    def num_leaves(self) -> int:
+        return self._tree.num_leaves
+
+    @property
+    def distance_metric(self) -> str:
+        return self._metric.value
+
+    @property
+    def distance(self) -> Distance:
+        return Distance(self._metric)
+
+    def encode(self, x) -> jnp.ndarray:
+        """Leaf node ids ``[n]`` int32 for each input row — the compact code
+        (log2(leaves) bits/vector, vs the reference's f16-per-element)."""
+        x2d, was_1d = as_batch_f32(x)
+        if x2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
+        t = self._tree
+        nodes = _tsvq_find_leaf(
+            x2d, t.centroids, t.left, t.right, self._metric, t.depth
+        )
+        return nodes[0] if was_1d else nodes
+
+    def decode(self, nodes) -> jnp.ndarray:
+        """Leaf node ids -> f32 centroid vectors."""
+        nodes = jnp.asarray(nodes, jnp.int32)
+        return jnp.take(self._tree.centroids, nodes, axis=0)
+
+    def quantize(self, x) -> jnp.ndarray:
+        """Reference-parity quantize: leaf centroid as f16
+        (src/tsvq.rs:239-255)."""
+        x2d, was_1d = as_batch_f32(x)
+        if x2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
+        recon = self.decode(self.encode(x2d)).astype(jnp.float16)
+        return recon[0] if was_1d else recon
+
+    def dequantize(self, quantized) -> jnp.ndarray:
+        """f16 -> f32 cast with dim check (src/tsvq.rs:257-265)."""
+        q = jnp.asarray(quantized)
+        d = q.shape[-1] if q.ndim else 0
+        if d != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=d)
+        return q.astype(jnp.float32)
+
+    def __repr__(self) -> str:
+        return (
+            f"TSVQ(dim={self.dim}, max_depth={self.max_depth}, "
+            f"nodes={self.num_nodes}, distance={self._metric.value!r})"
+        )

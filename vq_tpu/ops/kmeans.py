@@ -1,0 +1,332 @@
+"""LBG / Lloyd's k-means, TPU-native.
+
+The reference's ``lbg_quantize`` (src/core/vector.rs:390-461) is a scalar
+Rust loop whose assignment step is Rayon-parallel. Here each Lloyd iteration
+is a fixed dataflow XLA compiles onto the MXU:
+
+* **Assign**: squared-L2 distances as one ``[block, k]`` matmul per data tile
+  (f32, so assignments don't flip near ties), ``argmin`` with lowest-index
+  tie-breaking like the reference's strict ``<`` scan
+  (src/core/vector.rs:352-363).
+* **Accumulate**: per-cluster ``(sum, count)`` via one-hot matmuls inside a
+  ``lax.scan`` over data tiles, so the full ``[n, k]`` distance matrix never
+  materializes in HBM. The same (sum, count) accumulators are what the
+  multi-host path merges with ``psum`` (see vq_tpu.parallel.kmeans).
+* **Update**: ``mean = sum / count``; empty clusters are reseeded from random
+  data points (src/core/vector.rs:449-452) using pre-split PRNG keys — a
+  jit-pure reformulation of the reference's data-dependent ``rng.choose``.
+* **Converge**: stop when every non-empty centroid moved < ``eps = 1e-6``
+  elementwise (the reference's ``approx_eq`` check,
+  src/core/vector.rs:437-453). Deliberate deviation (documented): a reseed
+  counts as "changed" so a reseeded centroid always gets at least one
+  refinement iteration; the reference can exit immediately after a reseed.
+
+Semantics preserved from the reference's validation (src/core/vector.rs:396-410):
+empty data, ``k == 0``, and ``n < k`` raise the matching errors. ``max_iters``
+of 0 returns the seeded random-sample initialization untouched, like the
+reference's ``for _ in 0..max_iters`` loop.
+
+Determinism: fixed ``seed`` => fixed result (property-tested, matching
+reference tests/property_tests.rs:194-206). Bitwise parity with the Rust RNG
+is impossible; parity is defined at the metric level (inertia / MSE / recall),
+per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vq_tpu.errors import EmptyInput, InvalidParameter
+from vq_tpu.models.base import check_training_matrix
+
+__all__ = ["KMeansResult", "lloyd", "lloyd_batched", "assign", "CONVERGENCE_EPS"]
+
+CONVERGENCE_EPS = 1e-6  # reference: src/core/vector.rs:439
+
+
+class KMeansResult(NamedTuple):
+    """Outcome of a Lloyd's run (all fields are device arrays)."""
+
+    centroids: jnp.ndarray  # [k, d] f32
+    assignments: jnp.ndarray  # [n] int32 — final nearest-centroid per point
+    inertia: jnp.ndarray  # [] f32 — sum of squared distances to assigned centroid
+    iterations: jnp.ndarray  # [] int32 — Lloyd iterations actually executed
+    converged: jnp.ndarray  # [] bool — stopped before max_iters
+
+
+def default_block_rows(n: int, k: int, d: int) -> int:
+    """Pick a data-tile height so the [block, k] score matrix stays ~8 MiB."""
+    target_elems = 2 * 1024 * 1024
+    block = max(256, target_elems // max(k, 1))
+    block = min(block, n)
+    # Round to a multiple of 8 (f32 sublane) without dropping below 8.
+    return max(8, (block // 8) * 8)
+
+
+def _block_scores(x: jnp.ndarray, centroids: jnp.ndarray, cc: jnp.ndarray):
+    """[block, k] squared-L2 scores sans the ||x||^2 term (argmin-invariant)."""
+    xc = jax.lax.dot_general(
+        x, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return cc[None, :] - 2.0 * xc
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _assign_accumulate(
+    data: jnp.ndarray, centroids: jnp.ndarray, block_rows: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One pass over data -> (sums [k, d], counts [k], inertia [])."""
+    n, d = data.shape
+    k = centroids.shape[0]
+    cc = jnp.sum(centroids * centroids, axis=-1)  # [k]
+
+    pad = (-n) % block_rows
+    padded = jnp.pad(data, ((0, pad), (0, 0)))
+    nblocks = padded.shape[0] // block_rows
+    tiles = padded.reshape(nblocks, block_rows, d)
+    base_valid = jnp.arange(block_rows, dtype=jnp.int32)
+
+    def body(carry, inp):
+        sums, counts, inertia = carry
+        tile, bidx = inp
+        valid = (base_valid + bidx * block_rows) < n  # [block]
+        scores = _block_scores(tile, centroids, cc)  # [block, k]
+        codes = jnp.argmin(scores, axis=-1)  # lowest index wins on ties
+        xx = jnp.sum(tile * tile, axis=-1)
+        mind = jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
+        w = valid.astype(jnp.float32)
+        onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32) * w[:, None]
+        sums = sums + jax.lax.dot_general(
+            onehot, tile, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        inertia = inertia + jnp.sum(mind * w)
+        return (sums, counts, inertia), None
+
+    init = (
+        jnp.zeros((k, d), jnp.float32),
+        jnp.zeros((k,), jnp.float32),
+        jnp.float32(0.0),
+    )
+    (sums, counts, inertia), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(nblocks, dtype=jnp.int32))
+    )
+    return sums, counts, inertia
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _assign_codes(
+    data: jnp.ndarray, centroids: jnp.ndarray, block_rows: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blockwise nearest-centroid codes + squared distances for all rows."""
+    n, d = data.shape
+    cc = jnp.sum(centroids * centroids, axis=-1)
+    pad = (-n) % block_rows
+    padded = jnp.pad(data, ((0, pad), (0, 0)))
+    tiles = padded.reshape(-1, block_rows, d)
+
+    def one(tile):
+        scores = _block_scores(tile, centroids, cc)
+        codes = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        xx = jnp.sum(tile * tile, axis=-1)
+        return codes, jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
+
+    codes, dists = jax.lax.map(one, tiles)
+    return codes.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+
+def assign(data, centroids, block_rows: Optional[int] = None):
+    """Nearest-centroid assignment under squared-L2 (the k-means metric).
+
+    Reference always assigns with squared Euclidean regardless of the user's
+    encode-time Distance (src/core/vector.rs:352-363 via Vector::distance2).
+    Returns ``(codes [n] int32, sq_dists [n] f32)``.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    if block_rows is None:
+        block_rows = default_block_rows(
+            data.shape[0], centroids.shape[0], data.shape[1]
+        )
+    return _assign_codes(data, centroids, block_rows)
+
+
+def _lloyd_body_factory(data, k, eps, block_rows):
+    n = data.shape[0]
+
+    def body(state):
+        centroids, key, it, _changed = state
+        key, reseed_key = jax.random.split(key)
+        sums, counts, _ = _assign_accumulate(data, centroids, block_rows)
+        nonempty = counts > 0
+        means = sums / jnp.maximum(counts, 1.0)[:, None]
+        reseed_idx = jax.random.randint(reseed_key, (k,), 0, n)
+        reseeded = jnp.take(data, reseed_idx, axis=0)
+        new_c = jnp.where(nonempty[:, None], means, reseeded)
+        moved = jnp.any(jnp.abs(new_c - centroids) >= eps, axis=-1)
+        changed = jnp.any(jnp.where(nonempty, moved, True))
+        return new_c, key, it + 1, changed
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "block_rows"))
+def _lloyd_jit(
+    data: jnp.ndarray,
+    key: jnp.ndarray,
+    k: int,
+    max_iters: int,
+    eps: float,
+    block_rows: int,
+):
+    n = data.shape[0]
+    init_idx = jax.random.choice(key, n, (k,), replace=False)
+    centroids0 = jnp.take(data, init_idx, axis=0)
+    key, loop_key = jax.random.split(key)
+
+    body = _lloyd_body_factory(data, k, eps, block_rows)
+
+    def cond(state):
+        _, _, it, changed = state
+        return jnp.logical_and(it < max_iters, changed)
+
+    centroids, _, iterations, changed = jax.lax.while_loop(
+        cond, body, (centroids0, loop_key, jnp.int32(0), jnp.bool_(True))
+    )
+    assignments, sq_dists = _assign_codes(data, centroids, block_rows)
+    inertia = jnp.sum(sq_dists)
+    converged = jnp.logical_not(changed)
+    return centroids, assignments, inertia, iterations, converged
+
+
+def _validate_kmeans_args(n: int, k: int, max_iters: int) -> None:
+    # reference: src/core/vector.rs:396-410
+    if k <= 0:
+        raise InvalidParameter("k", "must be greater than 0")
+    if n < k:
+        raise InvalidParameter(
+            "k", f"not enough data points ({n}) for {k} clusters"
+        )
+    if max_iters < 0:
+        raise InvalidParameter("max_iters", "must be non-negative")
+
+
+def lloyd(
+    data,
+    k: int,
+    max_iters: int = 10,
+    seed: int = 0,
+    *,
+    key: Optional[jnp.ndarray] = None,
+    eps: float = CONVERGENCE_EPS,
+    block_rows: Optional[int] = None,
+) -> KMeansResult:
+    """Train ``k`` centroids with Lloyd's algorithm (reference
+    ``lbg_quantize``, src/core/vector.rs:390-461).
+
+    ``data`` is ``[n, d]`` f32; returns a :class:`KMeansResult`. Pass either
+    an integer ``seed`` (reference-style) or an explicit JAX PRNG ``key``.
+    ``block_rows`` tiles the data axis so the per-tile score matrix stays in
+    VMEM-sized chunks; ``None`` picks a size automatically.
+    """
+    data = check_training_matrix(data)
+    n, d = data.shape
+    k = int(k)
+    max_iters = int(max_iters)
+    _validate_kmeans_args(n, k, max_iters)
+    if key is None:
+        key = jax.random.PRNGKey(int(seed))
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, d)
+    centroids, assignments, inertia, iterations, converged = _lloyd_jit(
+        data, key, k, max_iters, float(eps), int(block_rows)
+    )
+    return KMeansResult(centroids, assignments, inertia, iterations, converged)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "block_rows")
+)
+def _lloyd_batched_jit(
+    data: jnp.ndarray,  # [m, n, d]
+    keys: jnp.ndarray,  # [m, 2] PRNG keys
+    k: int,
+    max_iters: int,
+    eps: float,
+    block_rows: int,
+):
+    """vmapped Lloyd over independent sub-problems (PQ's m subspaces).
+
+    Under ``vmap`` the ``while_loop`` keeps iterating every lane until *all*
+    lanes' conditions are false, so the body freezes lanes whose own
+    ``changed`` flag has dropped — otherwise converged subspaces would keep
+    reseeding/drifting while slower subspaces finish.
+    """
+    n = data.shape[1]
+
+    def one(sub_data, sub_key):
+        init_idx = jax.random.choice(sub_key, n, (k,), replace=False)
+        centroids0 = jnp.take(sub_data, init_idx, axis=0)
+        _, loop_key = jax.random.split(sub_key)
+        raw_body = _lloyd_body_factory(sub_data, k, eps, block_rows)
+
+        def body(state):
+            centroids, key, it, changed = state
+            new_c, new_key, new_it, new_changed = raw_body(state)
+            # Freeze this lane once it has converged (vmap keeps running it).
+            return (
+                jnp.where(changed, new_c, centroids),
+                jnp.where(changed, new_key, key),
+                jnp.where(changed, new_it, it),
+                jnp.logical_and(changed, new_changed),
+            )
+
+        def cond(state):
+            _, _, it, changed = state
+            return jnp.logical_and(it < max_iters, changed)
+
+        centroids, _, iterations, changed = jax.lax.while_loop(
+            cond, body, (centroids0, loop_key, jnp.int32(0), jnp.bool_(True))
+        )
+        return centroids, iterations, jnp.logical_not(changed)
+
+    return jax.vmap(one)(data, keys)
+
+
+def lloyd_batched(
+    data,
+    k: int,
+    max_iters: int = 10,
+    seed: int = 0,
+    *,
+    eps: float = CONVERGENCE_EPS,
+    block_rows: Optional[int] = None,
+):
+    """Train independent codebooks for a batch of sub-problems at once.
+
+    ``data`` is ``[m, n, d]``; returns ``(centroids [m, k, d],
+    iterations [m], converged [m])``. Sub-problem ``i`` uses PRNG
+    ``fold_in(seed, i)`` — the analog of the reference PQ's per-subspace
+    ``seed + i`` (src/pq.rs:130).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim != 3:
+        raise InvalidParameter("data", f"expected [m, n, d], got {data.ndim}-D")
+    m, n, d = data.shape
+    if n == 0 or d == 0 or m == 0:
+        raise EmptyInput("training data must not be empty")
+    k = int(k)
+    _validate_kmeans_args(n, k, int(max_iters))
+    base = jax.random.PRNGKey(int(seed))
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(m))
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, d)
+    return _lloyd_batched_jit(
+        data, keys, k, int(max_iters), float(eps), int(block_rows)
+    )
