@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU-tunnel site hook (axon) force-selects its platform
+# through jax.config, which overrides JAX_PLATFORMS from the env — override
+# it back so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)  # NaN inputs are part of the contract
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,25 @@
+"""Multi-device / multi-host parallel training and encoding."""
+
+from vq_tpu.parallel.kmeans import (
+    ShardedKMeansResult,
+    sharded_lloyd,
+    sharded_pq_train,
+)
+from vq_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SUBSPACE_AXIS,
+    make_mesh,
+    replicate,
+    shard_rows,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "SUBSPACE_AXIS",
+    "make_mesh",
+    "replicate",
+    "shard_rows",
+    "ShardedKMeansResult",
+    "sharded_lloyd",
+    "sharded_pq_train",
+]

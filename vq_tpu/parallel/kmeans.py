@@ -1,0 +1,287 @@
+"""Multi-device sharded k-means / PQ training.
+
+This is the capability BASELINE.json's north star mandates and the reference
+lacks entirely (SURVEY.md §2.3): Lloyd's k-means over a corpus sharded along
+the vector axis N across a device mesh, with codebooks replicated and the
+per-iteration per-cluster ``(sum, count)`` accumulators merged with
+``jax.lax.psum``. The communication per iteration is O(m·k·d) — codebook
+sized — never the raw vectors, so scaling efficiency is bounded by
+``psum([m,k,d]) / compute(n_local · k · d)``, which stays tiny for any
+realistic shard size.
+
+Structure:
+
+* ``shard_map`` runs the blockwise assign+accumulate from
+  ``vq_tpu.ops.kmeans`` on each device's local rows; ``psum`` over the
+  ``"data"`` axis produces the global accumulators on every device.
+* The centroid update (mean, empty-cluster reseed, eps-convergence test,
+  reference semantics per src/core/vector.rs:437-453) runs replicated —
+  identical on every device, so codebooks never need broadcasting.
+* PQ's m subspaces are carried as a leading batch axis, optionally sharded
+  over the mesh's ``"sub"`` axis (subspaces are independent — zero
+  collectives between them). Plain k-means is the ``m == 1`` case.
+
+The inner while_loop masks converged subspace lanes exactly like
+``lloyd_batched`` (vq_tpu/ops/kmeans.py) so single-device and sharded paths
+produce the same trajectory given the same keys.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vq_tpu.errors import InvalidParameter
+from vq_tpu.models.base import check_training_matrix
+from vq_tpu.ops.kmeans import CONVERGENCE_EPS, default_block_rows, _validate_kmeans_args
+from vq_tpu.parallel.mesh import DATA_AXIS, SUBSPACE_AXIS, make_mesh, shard_rows
+
+__all__ = ["ShardedKMeansResult", "sharded_lloyd", "sharded_pq_train"]
+
+
+class ShardedKMeansResult(NamedTuple):
+    centroids: jnp.ndarray  # [k, d] (sharded_lloyd) or [m, k, d] (pq)
+    iterations: jnp.ndarray  # [] or [m] int32
+    converged: jnp.ndarray  # [] or [m] bool
+    inertia: jnp.ndarray  # [] f32 — global sum of squared assignment dists
+
+
+def _local_accumulate(xs, cb, block_rows):
+    """Per-device blockwise assign+accumulate over subspace-batched data.
+
+    xs: [n_local, m_l, s]; cb: [m_l, k, s]
+    -> sums [m_l, k, s], counts [m_l, k], inertia [].
+    """
+    n, m, s = xs.shape
+    k = cb.shape[1]
+    cc = jnp.sum(cb * cb, axis=-1)  # [m_l, k]
+    pad = (-n) % block_rows
+    padded = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
+    tiles = padded.reshape(-1, block_rows, m, s)
+    base = jnp.arange(block_rows, dtype=jnp.int32)
+
+    def body(carry, inp):
+        sums, counts, inertia = carry
+        tile, bidx = inp  # [B, m_l, s]
+        valid = (base + bidx * block_rows) < n
+        xc = jnp.einsum(
+            "bms,mks->bmk", tile, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        scores = cc[None] - 2.0 * xc  # [B, m_l, k]
+        codes = jnp.argmin(scores, axis=-1)  # [B, m_l]
+        xx = jnp.sum(tile * tile, axis=-1)  # [B, m_l]
+        mind = jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
+        w = valid.astype(jnp.float32)
+        onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32) * w[:, None, None]
+        sums = sums + jnp.einsum(
+            "bmk,bms->mks", onehot, tile,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        inertia = inertia + jnp.sum(mind * w[:, None])
+        return (sums, counts, inertia), None
+
+    # Inits derived from the (device-varying) inputs so the scan carry has
+    # matching varying-axis types under shard_map.
+    init = (
+        jnp.zeros_like(cb),
+        jnp.zeros_like(cc),
+        jnp.sum(xs[0, 0, :1]) * 0.0,
+    )
+    (sums, counts, inertia), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
+    )
+    return sums, counts, inertia
+
+
+def _make_sharded_step(mesh: Mesh, block_rows: int):
+    """shard_map'd global accumulate: data-sharded in, psum-merged out."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, SUBSPACE_AXIS, None), P(SUBSPACE_AXIS, None, None)),
+        out_specs=(
+            P(SUBSPACE_AXIS, None, None),
+            P(SUBSPACE_AXIS, None),
+            P(),
+        ),
+    )
+    def step(xs_local, cb_local):
+        # cb is only sub-sharded; mark it varying over the data axis too so
+        # every intermediate (and the scan carry) has one consistent
+        # varying-axis type.
+        cb_local = jax.lax.pcast(cb_local, (DATA_AXIS,), to="varying")
+        sums, counts, inertia = _local_accumulate(xs_local, cb_local, block_rows)
+        # Merge corpus-shard partials; subspace axis needs no collective.
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        inertia = jax.lax.psum(inertia, DATA_AXIS)
+        return sums, counts, jax.lax.psum(inertia, SUBSPACE_AXIS)
+
+    return step
+
+
+def _init_codebooks(xs: jnp.ndarray, k: int, base_key) -> jnp.ndarray:
+    """Sample k distinct global rows per subspace (reference seeded init,
+    src/core/vector.rs:412-413, per-subspace key like src/pq.rs:130)."""
+    n, m, s = xs.shape
+
+    def one(i):
+        key = jax.random.fold_in(base_key, i)
+        idx = jax.random.choice(key, n, (k,), replace=False)
+        return jnp.take(xs[:, i, :], idx, axis=0)  # global gather
+
+    return jax.lax.map(one, jnp.arange(m))  # [m, k, s]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "block_rows", "mesh")
+)
+def _sharded_train_jit(
+    xs: jnp.ndarray,  # [n, m, s] global, sharded P(data, sub, None)
+    base_key,
+    k: int,
+    max_iters: int,
+    eps: float,
+    block_rows: int,
+    mesh: Mesh,
+):
+    n, m, s = xs.shape
+    step = _make_sharded_step(mesh, block_rows)
+    cb0 = _init_codebooks(xs, k, base_key)
+    cb0 = jax.lax.with_sharding_constraint(
+        cb0, NamedSharding(mesh, P(SUBSPACE_AXIS, None, None))
+    )
+    _, loop_key = jax.random.split(base_key)
+
+    def body(state):
+        cb, key, it, changed = state  # changed: [m] bool
+        key, reseed_key = jax.random.split(key)
+        sums, counts, _inertia = step(xs, cb)
+        nonempty = counts > 0  # [m, k]
+        means = sums / jnp.maximum(counts, 1.0)[..., None]
+        # Reseed empty clusters from random global rows (per subspace).
+        ridx = jax.random.randint(reseed_key, (m, k), 0, n)
+
+        def reseed_one(idx_row, i):
+            return jnp.take(xs, idx_row, axis=0)[:, i, :]  # [k, s]
+
+        reseeded = jax.vmap(reseed_one, in_axes=(0, 0))(
+            ridx, jnp.arange(m)
+        )  # [m, k, s]
+        new_cb = jnp.where(nonempty[..., None], means, reseeded)
+        moved = jnp.any(jnp.abs(new_cb - cb) >= eps, axis=-1)  # [m, k]
+        lane_changed = jnp.any(jnp.where(nonempty, moved, True), axis=-1)  # [m]
+        # Freeze lanes that already converged.
+        new_cb = jnp.where(changed[:, None, None], new_cb, cb)
+        new_it = jnp.where(changed, it + 1, it)
+        return (
+            new_cb,
+            key,
+            new_it,
+            jnp.logical_and(changed, lane_changed),
+        )
+
+    def cond(state):
+        _, _, it, changed = state
+        return jnp.any(jnp.logical_and(it < max_iters, changed))
+
+    cb, _, iterations, changed = jax.lax.while_loop(
+        cond,
+        body,
+        (cb0, loop_key, jnp.zeros((m,), jnp.int32), jnp.ones((m,), jnp.bool_)),
+    )
+    _, _, inertia = step(xs, cb)
+    return cb, iterations, jnp.logical_not(changed), inertia
+
+
+def _prepare(data, mesh: Optional[Mesh]):
+    data = check_training_matrix(data)
+    if mesh is None:
+        mesh = make_mesh()
+    return data, mesh
+
+
+def sharded_pq_train(
+    data,
+    num_subspaces: int,
+    num_centroids: int,
+    max_iters: int = 10,
+    seed: int = 42,
+    *,
+    mesh: Optional[Mesh] = None,
+    eps: float = CONVERGENCE_EPS,
+    block_rows: Optional[int] = None,
+) -> ShardedKMeansResult:
+    """Train PQ codebooks over a corpus sharded across the mesh.
+
+    ``data`` is ``[n, d]`` (host array or already-sharded global array);
+    returns codebooks ``[m, k, sub]`` replicated along data, sharded along
+    the mesh's subspace axis. Validation matches ``pq_train``.
+    """
+    data, mesh = _prepare(data, mesh)
+    n, dim = data.shape
+    m, k = int(num_subspaces), int(num_centroids)
+    if m <= 0:
+        raise InvalidParameter("num_subspaces", "must be greater than 0")
+    if dim % m != 0:
+        raise InvalidParameter(
+            "num_subspaces", f"dimension ({dim}) must be divisible by m"
+        )
+    _validate_kmeans_args(n, k, int(max_iters))
+    data_shards = mesh.shape[DATA_AXIS]
+    sub_shards = mesh.shape[SUBSPACE_AXIS]
+    if n % data_shards != 0:
+        raise InvalidParameter(
+            "data",
+            f"corpus rows ({n}) must divide evenly over {data_shards} "
+            "data shards (pad the corpus)",
+        )
+    if m % sub_shards != 0:
+        raise InvalidParameter(
+            "num_subspaces",
+            f"({m}) must divide evenly over {sub_shards} subspace shards",
+        )
+    sub = dim // m
+    xs = jnp.asarray(data, jnp.float32).reshape(n, m, sub)
+    xs = jax.device_put(
+        xs, NamedSharding(mesh, P(DATA_AXIS, SUBSPACE_AXIS, None))
+    )
+    if block_rows is None:
+        block_rows = default_block_rows(max(1, n // data_shards), k, sub)
+    key = jax.random.PRNGKey(int(seed))
+    cb, iterations, converged, inertia = _sharded_train_jit(
+        xs, key, k, int(max_iters), float(eps), int(block_rows), mesh
+    )
+    return ShardedKMeansResult(cb, iterations, converged, inertia)
+
+
+def sharded_lloyd(
+    data,
+    k: int,
+    max_iters: int = 10,
+    seed: int = 0,
+    *,
+    mesh: Optional[Mesh] = None,
+    eps: float = CONVERGENCE_EPS,
+    block_rows: Optional[int] = None,
+) -> ShardedKMeansResult:
+    """Plain sharded k-means: the ``m == 1`` case of :func:`sharded_pq_train`.
+
+    Returns centroids ``[k, d]``.
+    """
+    res = sharded_pq_train(
+        data, 1, k, max_iters=max_iters, seed=seed, mesh=mesh, eps=eps,
+        block_rows=block_rows,
+    )
+    return ShardedKMeansResult(
+        res.centroids[0], res.iterations[0], res.converged[0], res.inertia
+    )

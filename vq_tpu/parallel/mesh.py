@@ -1,0 +1,73 @@
+"""Device-mesh helpers for multi-chip / multi-host sharding.
+
+The reference has no distributed layer at all (SURVEY.md §2.3 — its only
+parallelism is a Rayon thread pool over the k-means assignment step,
+reference src/core/vector.rs:417-424). vq_tpu scales the same computation the
+TPU way: a `jax.sharding.Mesh` over all devices, the corpus sharded along the
+vector axis (``DATA_AXIS``), codebooks replicated, and per-iteration
+accumulators merged with ``psum`` over ICI/DCN.
+
+Two mesh axes are used framework-wide:
+
+* ``"data"`` — the corpus axis N (data parallelism; every collective in the
+  k-means reduction rides this axis).
+* ``"sub"``  — PQ's subspace axis m (model parallelism: each device group
+  owns a slice of the m codebooks; no collectives needed between subspaces
+  because PQ subspaces are independent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SUBSPACE_AXIS = "sub"
+
+__all__ = [
+    "DATA_AXIS",
+    "SUBSPACE_AXIS",
+    "make_mesh",
+    "shard_rows",
+    "replicate",
+    "P",
+    "Mesh",
+    "NamedSharding",
+]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    subspace_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ``(data, sub)`` mesh over the available devices.
+
+    ``subspace_parallel`` devices are dedicated to the PQ subspace axis; the
+    rest shard the corpus. Defaults to pure data parallelism.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if subspace_parallel < 1 or n % subspace_parallel != 0:
+        raise ValueError(
+            f"subspace_parallel={subspace_parallel} must divide device count {n}"
+        )
+    grid = np.asarray(devices).reshape(n // subspace_parallel, subspace_parallel)
+    return Mesh(grid, (DATA_AXIS, SUBSPACE_AXIS))
+
+
+def shard_rows(x, mesh: Mesh):
+    """Place ``x`` with its leading (vector) axis sharded over the data axis."""
+    spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    """Place ``x`` fully replicated across the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
