@@ -1,0 +1,86 @@
+"""Pallas fused-kernel parity vs the XLA reference path.
+
+The TPU analog of the reference's SIMD-vs-scalar consistency tests
+(reference src/core/distance.rs:176-223): the fused Pallas kernels must
+produce the same codes (exact) and accumulators (within f32 tolerance) as
+the pure-XLA implementations. Runs in Pallas interpreter mode on CPU; on
+real TPU hardware the same comparisons run compiled (see bench harness).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_tpu.models.pq import _pq_encode_jit
+from vq_tpu.ops.distance import Metric
+from vq_tpu.ops.kmeans import _assign_accumulate, assign
+from vq_tpu.ops.pallas_kernels import (
+    assign_fused,
+    lloyd_accumulate_fused,
+    pq_encode_fused,
+)
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    return rng.random((777, 64), dtype=np.float32)  # deliberately unaligned n
+
+
+@pytest.fixture(scope="module")
+def centroids(rng):
+    return rng.random((200, 64), dtype=np.float32)  # k not a multiple of 128
+
+
+def test_assign_fused_matches_xla(data, centroids):
+    codes_p, dist_p = assign_fused(data, centroids, block_rows=256, interpret=True)
+    codes_r, dist_r = assign(data, centroids)
+    np.testing.assert_array_equal(np.asarray(codes_p), np.asarray(codes_r))
+    np.testing.assert_allclose(
+        np.asarray(dist_p), np.asarray(dist_r), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_assign_fused_lowest_index_ties(rng):
+    # Duplicate centroids: ties must resolve to the lowest index, matching
+    # the reference's strict < scan (src/core/vector.rs:352-363).
+    c0 = rng.random((4, 16), dtype=np.float32)
+    centroids = np.concatenate([c0, c0], axis=0)  # rows i and i+4 identical
+    x = c0 + rng.normal(0, 1e-3, c0.shape).astype(np.float32)
+    codes, _ = assign_fused(x, centroids, block_rows=8, interpret=True)
+    assert np.asarray(codes).max() < 4
+
+
+def test_pq_encode_fused_matches_xla(data, rng):
+    cb = rng.random((8, 200, 8), dtype=np.float32)  # k=200: exercises padding
+    got = pq_encode_fused(data, cb, block_rows=256, interpret=True)
+    want = _pq_encode_jit(
+        jnp.asarray(data), jnp.asarray(cb), Metric.SQUARED_EUCLIDEAN, 256
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lloyd_accumulate_fused_matches_xla(data, centroids):
+    sums_p, counts_p, inertia_p = lloyd_accumulate_fused(
+        data, centroids, block_rows=256, interpret=True
+    )
+    sums_r, counts_r, inertia_r = _assign_accumulate(
+        jnp.asarray(data), jnp.asarray(centroids), 256
+    )
+    np.testing.assert_array_equal(np.asarray(counts_p), np.asarray(counts_r))
+    np.testing.assert_allclose(
+        np.asarray(sums_p), np.asarray(sums_r), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(inertia_p), float(inertia_r), rtol=1e-5
+    )
+    # Every point counted exactly once.
+    assert float(np.asarray(counts_p).sum()) == data.shape[0]
+
+
+def test_assign_fused_small_input(rng):
+    # n smaller than one block: padding rows must not contribute.
+    x = rng.random((3, 32), dtype=np.float32)
+    c = rng.random((5, 32), dtype=np.float32)
+    codes_p, _ = assign_fused(x, c, block_rows=512, interpret=True)
+    codes_r, _ = assign(x, c)
+    np.testing.assert_array_equal(np.asarray(codes_p), np.asarray(codes_r))

@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) — the invariants tier.
+
+Mirrors the reference's proptest suite (reference tests/property_tests.rs)
+and pyvq's hypothesis suite (pyvq/tests/test_properties.py): shape/length
+preservation, binariness, determinism, bounded roundtrip error, distance
+axioms. Case counts are tuned down for trained quantizers like the
+reference's ``cases = 20`` (property_tests.rs:179,245).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+import vq_tpu
+from vq_tpu import (
+    BinaryQuantizer,
+    Metric,
+    ScalarQuantizer,
+    distance,
+    lloyd,
+    pairwise,
+)
+
+finite_f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+)
+
+
+def float32_arrays(min_len=1, max_len=64):
+    return st.integers(min_len, max_len).flatmap(
+        lambda n: arrays(np.float32, (n,), elements=finite_f32)
+    )
+
+
+def matched_float32_arrays(min_len=1, max_len=64):
+    return st.integers(min_len, max_len).flatmap(
+        lambda n: st.tuples(
+            arrays(np.float32, (n,), elements=finite_f32),
+            arrays(np.float32, (n,), elements=finite_f32),
+        )
+    )
+
+
+common = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# --- BQ --------------------------------------------------------------------
+
+
+@common
+@given(x=float32_arrays(), threshold=finite_f32)
+def test_bq_binariness_and_length(x, threshold):
+    q = BinaryQuantizer(threshold, low=0, high=1)
+    codes = np.asarray(q.quantize(x))
+    assert codes.shape == x.shape
+    assert set(np.unique(codes)).issubset({0, 1})
+
+
+@common
+@given(x=float32_arrays())
+def test_bq_determinism(x):
+    q = BinaryQuantizer(0.0)
+    a = np.asarray(q.quantize(x))
+    b = np.asarray(q.quantize(x))
+    np.testing.assert_array_equal(a, b)
+
+
+@common
+@given(x=float32_arrays())
+def test_bq_dequantize_values(x):
+    q = BinaryQuantizer(0.5, low=10, high=200)
+    recon = np.asarray(q.dequantize(q.quantize(x)))
+    assert set(np.unique(recon)).issubset({10.0, 200.0})
+
+
+# --- SQ --------------------------------------------------------------------
+
+
+@common
+@given(
+    x=float32_arrays(),
+    levels=st.integers(2, 256),
+)
+def test_sq_roundtrip_bounded(x, levels):
+    lo, hi = -1e6, 1e6
+    q = ScalarQuantizer(lo, hi, levels)
+    recon = np.asarray(q.dequantize(q.quantize(x)))
+    assert recon.shape == x.shape
+    # In-range values reconstruct within step/2 (reference
+    # property_tests.rs "quantization error bounded"), plus f32 rounding
+    # slack proportional to the range magnitude.
+    bound = q.step / 2 + (hi - lo) * 1e-6
+    assert np.all(np.abs(recon - np.clip(x, lo, hi)) <= bound)
+
+
+@common
+@given(x=float32_arrays())
+def test_sq_codes_in_range(x):
+    q = ScalarQuantizer(-10.0, 10.0, levels=17)
+    codes = np.asarray(q.quantize(x))
+    assert codes.max(initial=0) <= 16
+
+
+# --- Distances -------------------------------------------------------------
+
+
+@common
+@given(ab=matched_float32_arrays())
+def test_distance_symmetry_nonneg(ab):
+    a, b = ab
+    for metric in ("squared_euclidean", "euclidean", "manhattan"):
+        dab = distance(a, b, metric)
+        dba = distance(b, a, metric)
+        assert dab >= 0
+        assert dab == pytest.approx(dba, rel=1e-4, abs=1e-4)
+
+
+@common
+@given(a=float32_arrays())
+def test_distance_self_zero(a):
+    for metric in ("squared_euclidean", "euclidean", "manhattan"):
+        scale = max(1.0, float(np.abs(a).max(initial=0.0)) ** 2 * a.size)
+        assert distance(a, a, metric) / scale == pytest.approx(0.0, abs=1e-4)
+
+
+@common
+@given(ab=matched_float32_arrays())
+def test_cosine_range(ab):
+    a, b = ab
+    d = distance(a, b, "cosine")
+    assert 0.0 <= d <= 1.0  # clamped like the reference (distance.rs:112-119)
+
+
+@common
+@given(ab=matched_float32_arrays(min_len=2))
+def test_pairwise_matches_scalar(ab):
+    a, b = ab
+    D = np.asarray(pairwise(a[None, :], b[None, :], Metric.EUCLIDEAN))
+    assert D[0, 0] == pytest.approx(distance(a, b, "euclidean"), rel=1e-4, abs=1e-4)
+
+
+# --- k-means / PQ ----------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(16, 64),
+    d=st.sampled_from([4, 8]),
+    k=st.integers(2, 8),
+)
+def test_lloyd_deterministic_and_shaped(seed, n, d, k):
+    rng = np.random.default_rng(seed)
+    data = rng.random((n, d), dtype=np.float32)
+    r1 = lloyd(data, k, max_iters=3, seed=seed)
+    r2 = lloyd(data, k, max_iters=3, seed=seed)
+    np.testing.assert_array_equal(np.asarray(r1.centroids), np.asarray(r2.centroids))
+    assert r1.centroids.shape == (k, d)
+    assert int(np.asarray(r1.assignments).max()) < k
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_pq_codes_in_range_and_deterministic(seed):
+    rng = np.random.default_rng(seed)
+    data = rng.random((64, 16), dtype=np.float32)
+    q1 = vq_tpu.ProductQuantizer(data, 4, 8, max_iters=3, seed=seed)
+    q2 = vq_tpu.ProductQuantizer(data, 4, 8, max_iters=3, seed=seed)
+    c1, c2 = np.asarray(q1.encode(data)), np.asarray(q2.encode(data))
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.max() < 8
+    assert c1.shape == (64, 4)

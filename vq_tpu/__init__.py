@@ -35,6 +35,8 @@ from vq_tpu.models.sq import ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
 from vq_tpu.ops.kmeans import KMeansResult, lloyd, lloyd_batched
+from vq_tpu.ops.kmeans_stepped import lloyd_stepped
+from vq_tpu.ops.kmeans_stream import lloyd_minibatch
 
 __version__ = "0.1.0"
 
@@ -80,6 +82,8 @@ __all__ = [
     "nearest",
     "lloyd",
     "lloyd_batched",
+    "lloyd_stepped",
+    "lloyd_minibatch",
     "pq_train",
     "pq_encode",
     "pq_decode",

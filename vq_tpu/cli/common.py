@@ -1,0 +1,146 @@
+"""Shared eval-harness pieces (reference: src/bin/common.rs).
+
+Same benchmark parameters as the reference harness so numbers are directly
+comparable (src/bin/common.rs:9-15): SEED=66, sizes {1k, 5k, 10k, 50k, 100k,
+1M}, dim=384, PQ m=16 k=256 max_iters=10; uniform[0,1) synthetic data;
+reconstruction MSE; windowed recall@k (<=1000 sampled queries searched
+against a 5000-wide window, src/bin/common.rs:89-130).
+
+Results are emitted as structured JSONL (one object per (size, phase)) —
+the observability the reference's unused ``BenchmarkResult`` serde struct
+never delivered (SURVEY.md §5 Metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+SEED = 66  # src/bin/common.rs:9
+NUM_SAMPLES = (1_000, 5_000, 10_000, 50_000, 100_000, 1_000_000)  # :10
+DIM = 384  # :11
+PQ_M = 16  # :12
+PQ_K = 256  # :13
+MAX_ITERS = 10  # :14
+SQ_LEVELS = 256
+TSVQ_DEPTH = 5  # reference Makefile eval defaults
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    """One row of eval output (reference: src/bin/common.rs:18-34)."""
+
+    algorithm: str
+    num_samples: int
+    dim: int
+    train_ms: float
+    encode_ms: float
+    mse: Optional[float] = None
+    recall_at_k: Optional[float] = None
+    extra: Optional[dict] = None
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        extra = d.pop("extra") or {}
+        d.update(extra)
+        return json.dumps({k: v for k, v in d.items() if v is not None})
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--dim", type=int, default=DIM)
+    p.add_argument(
+        "--sizes",
+        type=int,
+        nargs="+",
+        default=list(NUM_SAMPLES),
+        help="corpus sizes to sweep",
+    )
+    p.add_argument(
+        "--output",
+        type=str,
+        default="-",
+        help="JSONL output path ('-' = stdout)",
+    )
+    return p
+
+
+def generate_synthetic_data(n: int, dim: int, seed: int) -> np.ndarray:
+    """Uniform[0,1) synthetic corpus (reference: src/bin/common.rs:43-53)."""
+    rng = np.random.default_rng(seed)
+    return rng.random((n, dim), dtype=np.float32)
+
+
+def reconstruction_mse(original: np.ndarray, reconstructed: np.ndarray) -> float:
+    """Mean squared error over all elements (src/bin/common.rs:61-78)."""
+    diff = original.astype(np.float64) - reconstructed.astype(np.float64)
+    return float(np.mean(diff * diff))
+
+
+def windowed_recall_at_k(
+    data: np.ndarray,
+    reconstructed: np.ndarray,
+    k: int = 10,
+    max_queries: int = 1000,
+    window: int = 5000,
+    seed: int = SEED,
+) -> float:
+    """Recall@k estimator (reference: src/bin/common.rs:89-130).
+
+    Samples <=``max_queries`` query rows; ground truth = k-NN of the query
+    among a ``window``-wide slice of the original data; retrieved = k-NN of
+    the query among the same slice of the *reconstructions*. Recall is the
+    mean overlap fraction.
+    """
+    n = data.shape[0]
+    rng = np.random.default_rng(seed)
+    q_idx = rng.choice(n, size=min(max_queries, n), replace=False)
+    w = min(window, n)
+    recalls = []
+    for qi in q_idx:
+        lo = min(max(0, qi - w // 2), n - w)
+        orig_win = data[lo : lo + w]
+        recon_win = reconstructed[lo : lo + w]
+        q = data[qi]
+        d_true = np.sum((orig_win - q) ** 2, axis=1)
+        d_retr = np.sum((recon_win - q) ** 2, axis=1)
+        true_k = set(np.argpartition(d_true, k)[:k].tolist())
+        retr_k = set(np.argpartition(d_retr, k)[:k].tolist())
+        recalls.append(len(true_k & retr_k) / k)
+    return float(np.mean(recalls))
+
+
+class Timer:
+    """Wall-clock timer that forces JAX completion on exit."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.ms = (time.perf_counter() - self.t0) * 1e3
+
+
+def block(x):
+    """Force device completion of a JAX array (no-op for numpy)."""
+    if hasattr(x, "block_until_ready"):
+        x.block_until_ready()
+    return x
+
+
+def emit(results: Iterable[BenchmarkResult], output: str) -> None:
+    lines = [r.to_json() for r in results]
+    if output == "-":
+        for line in lines:
+            print(line)
+    else:
+        with open(output, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {len(lines)} results to {output}", file=sys.stderr)

@@ -1,0 +1,62 @@
+"""BQ eval harness (reference: src/bin/eval_bq.rs).
+
+Sweeps corpus sizes, timing train (O(1)) and batch quantize, reporting MSE.
+Also reports packed (32x) storage stats — the TPU-native extension.
+
+Run: ``python -m vq_tpu.cli.eval_bq [--threshold 0.5] [--sizes ...]``
+"""
+
+from __future__ import annotations
+
+from vq_tpu.cli.common import (
+    BenchmarkResult,
+    Timer,
+    base_parser,
+    block,
+    emit,
+    generate_synthetic_data,
+    reconstruction_mse,
+)
+
+
+def main(argv=None) -> None:
+    p = base_parser("Benchmark binary quantization")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--low", type=int, default=0)
+    p.add_argument("--high", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from vq_tpu import BinaryQuantizer
+
+    results = []
+    for n in args.sizes:
+        data = generate_synthetic_data(n, args.dim, args.seed)
+        with Timer() as t_train:
+            q = BinaryQuantizer(args.threshold, args.low, args.high)
+        with Timer() as t_enc:
+            codes = block(q.quantize(data))
+        recon = np.asarray(q.dequantize(codes))
+        with Timer() as t_pack:
+            packed = block(q.quantize_packed(data))
+        results.append(
+            BenchmarkResult(
+                algorithm="bq",
+                num_samples=n,
+                dim=args.dim,
+                train_ms=t_train.ms,
+                encode_ms=t_enc.ms,
+                mse=reconstruction_mse(data, recon),
+                extra={
+                    "pack_ms": t_pack.ms,
+                    "packed_bytes_per_vector": int(packed.shape[1]) * 4,
+                    "raw_bytes_per_vector": args.dim * 4,
+                },
+            )
+        )
+    emit(results, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""PQ eval harness (reference: src/bin/eval_pq.rs).
+
+Sweeps corpus sizes; times codebook training (batched Lloyd's) and encode;
+reports reconstruction MSE and windowed recall@10 like the reference
+(src/bin/eval_pq.rs:60-69 + src/bin/common.rs:89-130).
+
+Run: ``python -m vq_tpu.cli.eval_pq [--m 16] [--k 256] [--max-iters 10]``
+"""
+
+from __future__ import annotations
+
+from vq_tpu.cli.common import (
+    MAX_ITERS,
+    PQ_K,
+    PQ_M,
+    BenchmarkResult,
+    Timer,
+    base_parser,
+    block,
+    emit,
+    generate_synthetic_data,
+    reconstruction_mse,
+    windowed_recall_at_k,
+)
+
+
+def main(argv=None) -> None:
+    p = base_parser("Benchmark product quantization")
+    p.add_argument("--m", type=int, default=PQ_M, help="number of subspaces")
+    p.add_argument("--k", type=int, default=PQ_K, help="centroids per subspace")
+    p.add_argument("--max-iters", type=int, default=MAX_ITERS)
+    p.add_argument("--distance", type=str, default="euclidean")
+    p.add_argument("--recall", action="store_true", help="also compute recall@10")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from vq_tpu import ProductQuantizer
+
+    results = []
+    for n in args.sizes:
+        data = generate_synthetic_data(n, args.dim, args.seed)
+        with Timer() as t_train:
+            q = ProductQuantizer(
+                data,
+                num_subspaces=args.m,
+                num_centroids=args.k,
+                max_iters=args.max_iters,
+                distance=args.distance,
+                seed=args.seed,
+            )
+            block(q.codebooks)
+        with Timer() as t_enc:
+            codes = block(q.encode(data))
+        recon = np.asarray(q.decode(codes))
+        extra = {
+            "m": args.m,
+            "k": args.k,
+            "code_bytes_per_vector": int(codes.shape[1]) * codes.dtype.itemsize,
+        }
+        recall = (
+            windowed_recall_at_k(data, recon, seed=args.seed)
+            if args.recall
+            else None
+        )
+        results.append(
+            BenchmarkResult(
+                algorithm="pq",
+                num_samples=n,
+                dim=args.dim,
+                train_ms=t_train.ms,
+                encode_ms=t_enc.ms,
+                mse=reconstruction_mse(data, recon),
+                recall_at_k=recall,
+                extra=extra,
+            )
+        )
+    emit(results, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""SQ eval harness (reference: src/bin/eval_sq.rs).
+
+Run: ``python -m vq_tpu.cli.eval_sq [--levels 256] [--sizes ...]``
+"""
+
+from __future__ import annotations
+
+from vq_tpu.cli.common import (
+    BenchmarkResult,
+    Timer,
+    base_parser,
+    block,
+    emit,
+    generate_synthetic_data,
+    reconstruction_mse,
+)
+
+
+def main(argv=None) -> None:
+    p = base_parser("Benchmark scalar quantization")
+    p.add_argument("--levels", type=int, default=256)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from vq_tpu import ScalarQuantizer
+
+    results = []
+    for n in args.sizes:
+        data = generate_synthetic_data(n, args.dim, args.seed)
+        with Timer() as t_train:
+            q = ScalarQuantizer(float(data.min()), float(data.max()), args.levels)
+        with Timer() as t_enc:
+            codes = block(q.quantize(data))
+        recon = np.asarray(q.dequantize(codes))
+        results.append(
+            BenchmarkResult(
+                algorithm="sq",
+                num_samples=n,
+                dim=args.dim,
+                train_ms=t_train.ms,
+                encode_ms=t_enc.ms,
+                mse=reconstruction_mse(data, recon),
+                extra={"levels": args.levels},
+            )
+        )
+    emit(results, args.output)
+
+
+if __name__ == "__main__":
+    main()

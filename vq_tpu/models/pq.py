@@ -158,6 +158,26 @@ def _adc_lookup_jit(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def pq_encode_best(
+    x: jnp.ndarray, cb: jnp.ndarray, metric: Metric, block_rows: int
+) -> jnp.ndarray:
+    """Fastest available encode path for the current backend.
+
+    On TPU with squared-L2-family metrics this is the fused Pallas
+    distance+argmin kernel (vq_tpu/ops/pallas_kernels.py) — codebooks stay
+    resident in VMEM across data tiles. Other backends/metrics use the
+    XLA-fused path. Both produce identical codes (ties break to the lowest
+    index in either path).
+    """
+    if metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN) and (
+        jax.default_backend() == "tpu"
+    ):
+        from vq_tpu.ops.pallas_kernels import pq_encode_fused
+
+        return pq_encode_fused(x, cb, block_rows=block_rows)
+    return _pq_encode_jit(x, cb, metric, block_rows)
+
+
 # ---------------------------------------------------------------------------
 # Functional API.
 # ---------------------------------------------------------------------------

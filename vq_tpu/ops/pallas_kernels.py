@@ -1,0 +1,366 @@
+"""Fused Pallas TPU kernels for the hot paths.
+
+The north star (BASELINE.json) calls for Lloyd's assignment as a *fused*
+distance-matmul + argmin kernel: distances go MXU -> VMEM -> argmin on the
+VPU without the ``[tile, k]`` score matrix ever reaching HBM, and the
+per-cluster ``(sum, count)`` accumulators build up in VMEM across the data
+tiles of one grid pass. These kernels are the TPU-native replacement for the
+reference's two hot loops:
+
+* k-means assignment (reference src/core/vector.rs:417-429, Rayon-parallel
+  scalar scan) -> :func:`assign_fused` / :func:`lloyd_accumulate_fused`.
+* PQ encode (reference src/pq.rs:177-196, per-subspace linear scan over
+  centroids through the hsdlib C FFI) -> :func:`pq_encode_fused`.
+
+Tie-breaking: ``jnp.argmin`` keeps the lowest index, matching the
+reference's strict ``<`` scans (src/core/vector.rs:352-363,
+src/pq.rs:183-191); the k-tiled merge in the assignment kernel preserves
+that by merging tiles with strict ``<`` on the running minimum.
+
+All kernels compute scores as ``||c||^2 - 2 x.c^T`` in f32 (the ``||x||^2``
+term is argmin-invariant); inertia adds the ``||x||^2`` term back at the
+end. f32 (not bf16) keeps assignments from flipping near ties (SURVEY.md
+§7.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "assign_fused",
+    "pq_encode_fused",
+    "lloyd_accumulate_fused",
+]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fused nearest-centroid assignment: data [n, d] x centroids [k, d]
+#   -> codes [n] i32, sqdist [n] f32
+# ---------------------------------------------------------------------------
+
+
+# All in-kernel matmuls run at HIGHEST precision: the MXU's default f32
+# handling truncates inputs to bf16, which flips argmins near ties and
+# breaks exact-code parity with the XLA path (SURVEY.md §7.3).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total):
+    """One [TN, d] data tile against all centroids, k-tiled in VMEM.
+
+    Scores stream through VMEM; the running (min, argmin) merge keeps the
+    lowest index on ties via strict ``<``.
+    """
+    x = x_ref[:]  # [TN, d]
+    tn = x.shape[0]
+    num_k_tiles = k_total // k_tile
+
+    run_min = jnp.full((tn,), jnp.inf, jnp.float32)
+    run_idx = jnp.zeros((tn,), jnp.int32)
+    for t in range(num_k_tiles):  # static unroll: k_total/k_tile is small
+        c = c_ref[pl.ds(t * k_tile, k_tile), :]  # [TK, d]
+        cc = cc_ref[0, pl.ds(t * k_tile, k_tile)]  # [TK]
+        xc = jax.lax.dot_general(
+            x, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )  # [TN, TK] on the MXU
+        scores = cc[None, :] - 2.0 * xc
+        tile_idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        tile_min = jnp.min(scores, axis=-1)
+        better = tile_min < run_min  # strict: earlier tile wins ties
+        run_idx = jnp.where(better, tile_idx + t * k_tile, run_idx)
+        run_min = jnp.where(better, tile_min, run_min)
+
+    xx = jnp.sum(x * x, axis=-1)
+    # Outputs are [n, 1] column vectors: 1-D blocks trip Mosaic/XLA layout
+    # tiling mismatches for s32, and (1, TN) blocks violate the sublane
+    # divisibility rule; (TN, 1) satisfies both.
+    codes_ref[:, 0] = run_idx
+    dist_ref[:, 0] = jnp.maximum(run_min + xx, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _assign_fused_jit(data, centroids, block_rows: int, interpret: bool):
+    n, d = data.shape
+    k = centroids.shape[0]
+    # Pad k to a lane-aligned tile; padded centroids sit at +inf distance.
+    k_tile = min(_round_up(k, 128), 512)
+    k_pad = _round_up(k, k_tile)
+    c = jnp.pad(centroids, ((0, k_pad - k), (0, 0)))
+    cc = jnp.sum(c * c, axis=-1)
+    # Padded (zero) centroids must never win: push their score to +inf.
+    cc = jnp.where(jnp.arange(k_pad) < k, cc, jnp.inf)[None, :]  # [1, k_pad]
+
+    n_pad = _round_up(n, block_rows)
+    x = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+
+    nb = n_pad // block_rows
+    codes, dists = pl.pallas_call(
+        functools.partial(_assign_kernel, k_tile=k_tile, k_total=k_pad),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, c, cc)
+    return codes[:n, 0], dists[:n, 0]
+
+
+def assign_fused(
+    data, centroids, block_rows: int = 1024, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused distance+argmin assignment (squared-L2, lowest-index ties).
+
+    Drop-in for :func:`vq_tpu.ops.kmeans.assign` on TPU. ``interpret=True``
+    runs the Pallas interpreter (CPU testing).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    block_rows = min(block_rows, _round_up(data.shape[0], 8))
+    return _assign_fused_jit(data, centroids, int(block_rows), bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused PQ encode: x [n, m*s] x codebooks [m, k, s] -> codes [n, m] i32
+# ---------------------------------------------------------------------------
+
+
+def _pq_encode_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision):
+    """One [TN, m*s] tile against all m codebooks (resident in VMEM).
+
+    The m subspace matmuls are a static unroll — each is [TN, s] x [s, k]
+    on the MXU followed by an argmin on the VPU, all without leaving VMEM.
+    """
+    for i in range(m):
+        xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s]
+        cbi = cb_ref[i]  # [k, s]
+        xc = jax.lax.dot_general(
+            xs, cbi, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [TN, k]
+        scores = cc_ref[i][None, :] - 2.0 * xc
+        out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "interpret", "precision")
+)
+def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
+    n, dim = x.shape
+    m, k, s = cb.shape
+    k_pad = _round_up(k, 128)
+    cbp = jnp.pad(cb, ((0, 0), (0, k_pad - k), (0, 0)))
+    cc = jnp.sum(cbp * cbp, axis=-1)  # [m, k_pad]
+    cc = jnp.where(jnp.arange(k_pad)[None, :] < k, cc, jnp.inf)
+
+    n_pad = _round_up(n, block_rows)
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    codes = pl.pallas_call(
+        functools.partial(
+            _pq_encode_kernel, m=m, s=s, k=k_pad, precision=precision
+        ),
+        grid=(n_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.int32),
+        interpret=interpret,
+    )(xp, cbp, cc)
+    return codes[:n]
+
+
+def pq_encode_fused(
+    x, codebooks, block_rows: int = 1024, interpret: bool = False,
+    precision=_PRECISION,
+) -> jnp.ndarray:
+    """Fused PQ encode: all m subspaces' distance+argmin in one kernel pass.
+
+    Codebooks stay resident in VMEM across data tiles (m*k*s*4 bytes — 128 KB
+    for the 8x256x16 north-star config, 1.5 MB for 16x256x96), so HBM traffic
+    is exactly one read of ``x`` and one write of the codes.
+
+    ``precision`` controls the MXU matmul: HIGHEST (default) is bit-compatible
+    with the XLA/CPU f32 paths; lower settings trade near-tie argmin fidelity
+    for pass count. ``block_rows`` is capped at 2048 — larger tiles overflow
+    the ~16 MB VMEM budget (scores + codebooks + unrolled temporaries).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    cb = jnp.asarray(codebooks, jnp.float32)
+    block_rows = min(block_rows, _round_up(x.shape[0], 8), 2048)
+    return _pq_encode_fused_jit(
+        x, cb, int(block_rows), bool(interpret), precision
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused Lloyd iteration accumulate:
+#   data [n, d] x centroids [k, d] -> sums [k, d], counts [k], inertia []
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_acc_kernel(
+    x_ref, c_ref, cc_ref, valid_ref,
+    sums_ref, counts_ref, inertia_ref,
+    *, k_tile, k_total,
+):
+    """Assignment + (sum, count) accumulation fused in VMEM.
+
+    Grid walks data tiles sequentially; the [k, d] sums / [k] counts output
+    blocks map to the same block for every program, so they live in VMEM for
+    the whole pass and are written back to HBM once at the end — the
+    accumulate-then-reduce structure the multi-host psum path feeds on.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        inertia_ref[:] = jnp.zeros_like(inertia_ref)
+
+    x = x_ref[:]  # [TN, d]
+    tn = x.shape[0]
+    valid = valid_ref[0, pl.ds(step * tn, tn)]  # [TN] f32 0/1 row mask
+
+    run_min = jnp.full((tn,), jnp.inf, jnp.float32)
+    run_idx = jnp.zeros((tn,), jnp.int32)
+    num_k_tiles = k_total // k_tile
+    for t in range(num_k_tiles):
+        c = c_ref[pl.ds(t * k_tile, k_tile), :]
+        cc = cc_ref[0, pl.ds(t * k_tile, k_tile)]
+        xc = jax.lax.dot_general(
+            x, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )
+        scores = cc[None, :] - 2.0 * xc
+        tile_idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        tile_min = jnp.min(scores, axis=-1)
+        better = tile_min < run_min
+        run_idx = jnp.where(better, tile_idx + t * k_tile, run_idx)
+        run_min = jnp.where(better, tile_min, run_min)
+
+    onehot = (
+        (run_idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (tn, k_total), 1))
+        .astype(jnp.float32)
+        * valid[:, None]
+    )  # [TN, k]
+    sums_ref[:] += jax.lax.dot_general(
+        onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION,
+    )  # [k, d]
+    # Cross-row reductions to [1, k] / [1, 1] are expressed as matmuls with a
+    # ones vector: Mosaic rejects 1-D->scalar vector reductions ("Offset
+    # change" not implemented) and scalar VMEM stores, and the MXU does these
+    # for free alongside the sums matmul anyway.
+    ones_row = jnp.ones((1, tn), jnp.float32)
+    counts_ref[:, :] += jax.lax.dot_general(
+        ones_row, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION,
+    )  # [1, k]
+    xx = jnp.sum(x * x, axis=-1)
+    contrib = (jnp.maximum(run_min + xx, 0.0) * valid)[:, None]  # [TN, 1]
+    inertia_ref[:, :] += jax.lax.dot_general(
+        ones_row, contrib, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION,
+    )  # [1, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _lloyd_accumulate_jit(data, centroids, block_rows: int, interpret: bool):
+    n, d = data.shape
+    k = centroids.shape[0]
+    k_tile = min(_round_up(k, 128), 512)
+    k_pad = _round_up(k, k_tile)
+    c = jnp.pad(centroids, ((0, k_pad - k), (0, 0)))
+    cc = jnp.sum(c * c, axis=-1)
+    cc = jnp.where(jnp.arange(k_pad) < k, cc, jnp.inf)[None, :]
+
+    n_pad = _round_up(n, block_rows)
+    x = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[None, :]  # [1, n_pad]
+
+    grid = (n_pad // block_rows,)
+    sums, counts, inertia = pl.pallas_call(
+        functools.partial(_lloyd_acc_kernel, k_tile=k_tile, k_total=k_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, c, cc, valid)
+    return sums[:k], counts[0, :k], inertia[0, 0]
+
+
+def lloyd_accumulate_fused(
+    data, centroids, block_rows: int = 1024, interpret: bool = False
+):
+    """One fused Lloyd pass: per-cluster (sums [k,d], counts [k], inertia []).
+
+    The Pallas analog of ``vq_tpu.ops.kmeans._assign_accumulate``:
+    accumulators persist in VMEM across the whole data sweep and hit HBM
+    exactly once.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    block_rows = min(block_rows, _round_up(data.shape[0], 8))
+    return _lloyd_accumulate_jit(
+        data, centroids, int(block_rows), bool(interpret)
+    )
