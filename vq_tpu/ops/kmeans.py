@@ -157,13 +157,26 @@ def assign(data, centroids, block_rows: Optional[int] = None):
     return _assign_codes(data, centroids, block_rows)
 
 
-def _lloyd_body_factory(data, k, eps, block_rows):
+def _accumulate_dispatch(data, centroids, block_rows, use_pallas: bool):
+    """Pick the accumulate implementation: fused Pallas kernel on TPU, the
+    XLA scan elsewhere. Both return (sums [k, d], counts [k], inertia [])
+    with identical assignments (HIGHEST-precision matmuls in both)."""
+    if use_pallas:
+        from vq_tpu.ops.pallas_kernels import lloyd_accumulate_fused
+
+        return lloyd_accumulate_fused(data, centroids, block_rows=block_rows)
+    return _assign_accumulate(data, centroids, block_rows)
+
+
+def _lloyd_body_factory(data, k, eps, block_rows, use_pallas=False):
     n = data.shape[0]
 
     def body(state):
         centroids, key, it, _changed = state
         key, reseed_key = jax.random.split(key)
-        sums, counts, _ = _assign_accumulate(data, centroids, block_rows)
+        sums, counts, _ = _accumulate_dispatch(
+            data, centroids, block_rows, use_pallas
+        )
         nonempty = counts > 0
         means = sums / jnp.maximum(counts, 1.0)[:, None]
         reseed_idx = jax.random.randint(reseed_key, (k,), 0, n)
@@ -176,7 +189,9 @@ def _lloyd_body_factory(data, k, eps, block_rows):
     return body
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "block_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "block_rows", "use_pallas")
+)
 def _lloyd_jit(
     data: jnp.ndarray,
     key: jnp.ndarray,
@@ -184,13 +199,14 @@ def _lloyd_jit(
     max_iters: int,
     eps: float,
     block_rows: int,
+    use_pallas: bool = False,
 ):
     n = data.shape[0]
     init_idx = jax.random.choice(key, n, (k,), replace=False)
     centroids0 = jnp.take(data, init_idx, axis=0)
     key, loop_key = jax.random.split(key)
 
-    body = _lloyd_body_factory(data, k, eps, block_rows)
+    body = _lloyd_body_factory(data, k, eps, block_rows, use_pallas)
 
     def cond(state):
         _, _, it, changed = state
@@ -226,6 +242,7 @@ def lloyd(
     key: Optional[jnp.ndarray] = None,
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> KMeansResult:
     """Train ``k`` centroids with Lloyd's algorithm (reference
     ``lbg_quantize``, src/core/vector.rs:390-461).
@@ -233,7 +250,9 @@ def lloyd(
     ``data`` is ``[n, d]`` f32; returns a :class:`KMeansResult`. Pass either
     an integer ``seed`` (reference-style) or an explicit JAX PRNG ``key``.
     ``block_rows`` tiles the data axis so the per-tile score matrix stays in
-    VMEM-sized chunks; ``None`` picks a size automatically.
+    VMEM-sized chunks; ``None`` picks a size automatically. ``use_pallas``
+    selects the fused VMEM-resident accumulate kernel (defaults to on for
+    the TPU backend); both paths produce identical assignments.
     """
     data = check_training_matrix(data)
     n, d = data.shape
@@ -244,8 +263,13 @@ def lloyd(
         key = jax.random.PRNGKey(int(seed))
     if block_rows is None:
         block_rows = default_block_rows(n, k, d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # The fused kernel caps its tile height by the VMEM budget.
+        block_rows = min(int(block_rows), 1024)
     centroids, assignments, inertia, iterations, converged = _lloyd_jit(
-        data, key, k, max_iters, float(eps), int(block_rows)
+        data, key, k, max_iters, float(eps), int(block_rows), bool(use_pallas)
     )
     return KMeansResult(centroids, assignments, inertia, iterations, converged)
 

@@ -172,6 +172,30 @@ def _pq_encode_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision):
         out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
 
 
+def _pq_encode_bf16x3_kernel(x_ref, cbh_ref, cbl_ref, cc_ref, out_ref, *, m, s, k):
+    """bf16x3 variant: each f32 operand splits into bf16 hi + lo halves and
+    the product is reconstructed from three bf16 MXU passes
+    (hi*hi + hi*lo + lo*hi) — half the passes of a full-f32 (HIGHEST)
+    matmul at ~2^-22 relative accuracy, which keeps argmins identical except
+    at exact near-ties. The codebook halves are precomputed on the host side
+    of the call; the data tile splits on the VPU in-kernel.
+    """
+    _dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for i in range(m):
+        xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s] f32
+        xh = xs.astype(jnp.bfloat16)
+        xl = (xs - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        cbh = cbh_ref[i]  # [k, s] bf16 high halves
+        cbl = cbl_ref[i]  # [k, s] bf16 residuals
+        xc = _dot(xh, cbh) + _dot(xh, cbl) + _dot(xl, cbh)
+        scores = cc_ref[i][None, :] - 2.0 * xc
+        out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_rows", "interpret", "precision")
 )
@@ -186,22 +210,43 @@ def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
     n_pad = _round_up(n, block_rows)
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
+    grid = (n_pad // block_rows,)
+    x_spec = pl.BlockSpec((block_rows, dim), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    cc_spec = pl.BlockSpec((m, k_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_rows, m), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_pad, m), jnp.int32)
+
+    if precision == "bf16x3":
+        cbh = cbp.astype(jnp.bfloat16)
+        cbl = (cbp - cbh.astype(jnp.float32)).astype(jnp.bfloat16)
+        cb_spec = pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        codes = pl.pallas_call(
+            functools.partial(_pq_encode_bf16x3_kernel, m=m, s=s, k=k_pad),
+            grid=grid,
+            in_specs=[x_spec, cb_spec, cb_spec, cc_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xp, cbh, cbl, cc)
+        return codes[:n]
+
     codes = pl.pallas_call(
         functools.partial(
             _pq_encode_kernel, m=m, s=s, k=k_pad, precision=precision
         ),
-        grid=(n_pad // block_rows,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows, dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, k_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            cc_spec,
         ],
-        out_specs=pl.BlockSpec((block_rows, m), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.int32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(xp, cbp, cc)
     return codes[:n]
