@@ -18,10 +18,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Runnable as `python benchmarks/parity.py` from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_clustered(n: int, d: int, n_clusters: int, seed: int) -> np.ndarray:
