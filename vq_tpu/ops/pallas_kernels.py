@@ -172,6 +172,22 @@ def _pq_encode_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision):
         out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
 
 
+def _pq_encode_bf16_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k):
+    """Fast-mode variant: operands arrive in VMEM already bf16, so each
+    subspace matmul is a single MXU pass with no in-kernel conversion (the
+    conversion cost is what made casting f32 operands inside the kernel
+    slower than HIGHEST). ``cc`` stays f32, computed from the f32 codebooks.
+    """
+    for i in range(m):
+        xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s] bf16
+        xc = jax.lax.dot_general(
+            xs, cb_ref[i], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, k] f32 accumulation
+        scores = cc_ref[i][None, :] - 2.0 * xc
+        out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
 def _pq_encode_bf16x3_kernel(x_ref, cbh_ref, cbl_ref, cc_ref, out_ref, *, m, s, k):
     """bf16x3 variant: each f32 operand splits into bf16 hi + lo halves and
     the product is reconstructed from three bf16 MXU passes
@@ -218,6 +234,26 @@ def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
     out_spec = pl.BlockSpec((block_rows, m), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n_pad, m), jnp.int32)
+
+    if precision == "bf16_fast":
+        xb = xp.astype(jnp.bfloat16)
+        cbb = cbp.astype(jnp.bfloat16)
+        cb_spec = pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        codes = pl.pallas_call(
+            functools.partial(_pq_encode_bf16_kernel, m=m, s=s, k=k_pad),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                cb_spec,
+                cc_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xb, cbb, cc)
+        return codes[:n]
 
     if precision == "bf16x3":
         cbh = cbp.astype(jnp.bfloat16)

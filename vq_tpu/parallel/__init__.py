@@ -1,5 +1,9 @@
 """Multi-device / multi-host parallel training and encoding."""
 
+from vq_tpu.parallel.data import (
+    sharded_from_callback,
+    sharded_synthetic_corpus,
+)
 from vq_tpu.parallel.kmeans import (
     ShardedKMeansResult,
     sharded_lloyd,
@@ -22,4 +26,6 @@ __all__ = [
     "ShardedKMeansResult",
     "sharded_lloyd",
     "sharded_pq_train",
+    "sharded_from_callback",
+    "sharded_synthetic_corpus",
 ]
