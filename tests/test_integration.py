@@ -153,3 +153,19 @@ def test_checkpoint_train_resume_equivalence(rng):
     assert pq.num_subspaces == 1
     r5 = lloyd(data, 8, max_iters=20, seed=9)
     assert float(r5.inertia) <= float(r2.inertia) + 1e-4
+
+
+def test_fit_transform_roundtrip(corpus):
+    # Reference roadmap item: fit_transform (ROADMAP.md §3). Constructors
+    # fit; fit_transform/transform encode.
+    pq = ProductQuantizer(corpus, 4, 16, max_iters=3)
+    codes = np.asarray(pq.fit_transform(corpus))
+    np.testing.assert_array_equal(codes, np.asarray(pq.encode(corpus)))
+    sq = ScalarQuantizer(0.0, 1.0, 16)
+    np.testing.assert_array_equal(
+        np.asarray(sq.fit_transform(corpus)), np.asarray(sq.quantize(corpus))
+    )
+    ts = TSVQ(corpus, max_depth=3)
+    np.testing.assert_array_equal(
+        np.asarray(ts.transform(corpus)), np.asarray(ts.encode(corpus))
+    )

@@ -84,3 +84,16 @@ def test_assign_fused_small_input(rng):
     codes_p, _ = assign_fused(x, c, block_rows=512, interpret=True)
     codes_r, _ = assign(x, c)
     np.testing.assert_array_equal(np.asarray(codes_p), np.asarray(codes_r))
+
+
+def test_adc_lookup_fused_matches_xla(rng):
+    from vq_tpu.models.pq import _adc_lookup_jit
+    from vq_tpu.ops.pallas_kernels import adc_lookup_fused
+
+    tables = rng.random((5, 4, 200), dtype=np.float32)  # k=200: padding path
+    codes = rng.integers(0, 200, (777, 4)).astype(np.int32)
+    got = adc_lookup_fused(tables, codes, block_cols=256, interpret=True)
+    want = _adc_lookup_jit(jnp.asarray(tables), jnp.asarray(codes))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+    )

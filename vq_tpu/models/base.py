@@ -30,6 +30,22 @@ class Quantizer(abc.ABC):
     def dequantize(self, q):
         """Reconstruct f32 values from the compact representation."""
 
+    def transform(self, x):
+        """sklearn-style alias: the most compact encoding this quantizer
+        has (code indices where they exist, else the quantized form)."""
+        encode = getattr(self, "encode", None)
+        return encode(x) if encode is not None else self.quantize(x)
+
+    def fit_transform(self, x):
+        """Encode ``x`` with this (already-fitted) quantizer.
+
+        The reference lists ``fit_transform`` as an unimplemented roadmap
+        item (reference ROADMAP.md §3); here every quantizer trains in its
+        constructor, so ``Quantizer(data, ...).fit_transform(data)`` is the
+        one-liner: fit on construction, transform here.
+        """
+        return self.transform(x)
+
 
 def require_finite_scalar(value: float, parameter: str) -> float:
     """Validate a finite float parameter (reference pattern: src/sq.rs:63-75,
