@@ -50,24 +50,29 @@ class ShardedKMeansResult(NamedTuple):
     inertia: jnp.ndarray  # [] f32 — global sum of squared assignment dists
 
 
-def _local_accumulate(xs, cb, block_rows):
+def _local_accumulate(xs, cb, block_rows, row_offset=0, total_rows=None):
     """Per-device blockwise assign+accumulate over subspace-batched data.
 
     xs: [n_local, m_l, s]; cb: [m_l, k, s]
     -> sums [m_l, k, s], counts [m_l, k], inertia [].
+    ``row_offset``/``total_rows`` let a caller accumulate a slice of the
+    local shard (used by the overlapped step) while masking pad rows
+    against the true local row count.
     """
     n, m, s = xs.shape
+    if total_rows is None:
+        total_rows = n
     k = cb.shape[1]
     cc = jnp.sum(cb * cb, axis=-1)  # [m_l, k]
     pad = (-n) % block_rows
     padded = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
     tiles = padded.reshape(-1, block_rows, m, s)
-    base = jnp.arange(block_rows, dtype=jnp.int32)
+    base = jnp.arange(block_rows, dtype=jnp.int32) + row_offset
 
     def body(carry, inp):
         sums, counts, inertia = carry
         tile, bidx = inp  # [B, m_l, s]
-        valid = (base + bidx * block_rows) < n
+        valid = (base + bidx * block_rows) < total_rows
         xc = jnp.einsum(
             "bms,mks->bmk", tile, cb,
             preferred_element_type=jnp.float32,
@@ -101,8 +106,17 @@ def _local_accumulate(xs, cb, block_rows):
     return sums, counts, inertia
 
 
-def _make_sharded_step(mesh: Mesh, block_rows: int):
-    """shard_map'd global accumulate: data-sharded in, psum-merged out."""
+def _make_sharded_step(mesh: Mesh, block_rows: int, overlap: bool = True):
+    """shard_map'd global accumulate: data-sharded in, psum-merged out.
+
+    With ``overlap`` (the default, and the north star's collective/compute
+    overlap requirement) the local sweep is split in two halves and the
+    first half's accumulator ``psum`` is issued *before* the second half's
+    compute — the data dependence allows XLA's latency-hiding scheduler to
+    run the codebook-sized all-reduce concurrently with the second half's
+    distance matmuls, instead of serializing one big psum after all local
+    work. Results are identical up to f32 summation order.
+    """
 
     @functools.partial(
         jax.shard_map,
@@ -119,11 +133,32 @@ def _make_sharded_step(mesh: Mesh, block_rows: int):
         # every intermediate (and the scan carry) has one consistent
         # varying-axis type.
         cb_local = jax.lax.pcast(cb_local, (DATA_AXIS,), to="varying")
-        sums, counts, inertia = _local_accumulate(xs_local, cb_local, block_rows)
-        # Merge corpus-shard partials; subspace axis needs no collective.
-        sums = jax.lax.psum(sums, DATA_AXIS)
-        counts = jax.lax.psum(counts, DATA_AXIS)
-        inertia = jax.lax.psum(inertia, DATA_AXIS)
+        n_local = xs_local.shape[0]
+        half = ((n_local // 2) // block_rows) * block_rows
+        if overlap and 0 < half < n_local:
+            s1, c1, i1 = _local_accumulate(
+                xs_local[:half], cb_local, block_rows,
+                row_offset=0, total_rows=n_local,
+            )
+            # psum of the first half's accumulators starts here; the second
+            # half's matmuls have no data dependence on it.
+            s1 = jax.lax.psum(s1, DATA_AXIS)
+            c1 = jax.lax.psum(c1, DATA_AXIS)
+            i1 = jax.lax.psum(i1, DATA_AXIS)
+            s2, c2, i2 = _local_accumulate(
+                xs_local[half:], cb_local, block_rows,
+                row_offset=half, total_rows=n_local,
+            )
+            sums = s1 + jax.lax.psum(s2, DATA_AXIS)
+            counts = c1 + jax.lax.psum(c2, DATA_AXIS)
+            inertia = i1 + jax.lax.psum(i2, DATA_AXIS)
+        else:
+            sums, counts, inertia = _local_accumulate(
+                xs_local, cb_local, block_rows
+            )
+            sums = jax.lax.psum(sums, DATA_AXIS)
+            counts = jax.lax.psum(counts, DATA_AXIS)
+            inertia = jax.lax.psum(inertia, DATA_AXIS)
         return sums, counts, jax.lax.psum(inertia, SUBSPACE_AXIS)
 
     return step
