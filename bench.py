@@ -38,9 +38,12 @@ def measure_device() -> float:
     from vq_tpu.models.pq import pq_encode_best
     from vq_tpu.ops.distance import Metric
 
-    rng = np.random.default_rng(SEED)
-    x = jnp.asarray(rng.random((N_DEVICE, DIM), dtype=np.float32))
-    cb = jnp.asarray(rng.random((M, K, DIM // M), dtype=np.float32))
+    # Generate on device: host<->device transfers through a TPU tunnel can
+    # run at ~MB/s, so a 512 MB upload would dominate the benchmark's wall
+    # clock (not its timed region, but the driver's time budget).
+    kx, kc = jax.random.split(jax.random.PRNGKey(SEED))
+    x = jax.random.uniform(kx, (N_DEVICE, DIM), jnp.float32)
+    cb = jax.random.uniform(kc, (M, K, DIM // M), jnp.float32)
 
     @jax.jit
     def probe(codes):

@@ -174,3 +174,49 @@ class TestADC:
         rec = np.asarray(pq.decode(codes))
         want = np.abs(queries[:, None, :] - rec[None, :, :]).sum(-1)
         np.testing.assert_allclose(adc, want, rtol=1e-3, atol=1e-3)
+
+
+class TestRerank:
+    def test_rerank_improves_or_matches_recall(self, rng):
+        # Two-stage search: ADC shortlist + exact rerank must dominate
+        # plain ADC on ground-truth recall.
+        import jax
+
+        from vq_tpu.ops.distance import pairwise
+
+        data = rng.random((4000, 32), dtype=np.float32)
+        pq = ProductQuantizer(data, 4, 16, max_iters=5)
+        codes = pq.encode(data)
+        queries = data[:30]
+        d_true = pairwise(queries, data, "euclidean")
+        _, truth = jax.lax.top_k(-d_true, 10)
+        truth = np.asarray(truth)
+
+        def recall(idx):
+            idx = np.asarray(idx)
+            return np.mean([
+                len(set(r.tolist()) & set(t.tolist())) / 10
+                for r, t in zip(idx, truth)
+            ])
+
+        idx_adc, _ = pq.adc_search(queries, codes, k=10)
+        idx_rr, d_rr = pq.adc_search(
+            queries, codes, k=10, rerank=200, corpus=data
+        )
+        assert recall(idx_rr) >= recall(idx_adc)
+        # Reranked distances are exact (match brute-force pairwise for the
+        # returned ids) and sorted ascending.
+        d_rr = np.asarray(d_rr)
+        assert (np.diff(d_rr, axis=1) >= -1e-6).all()
+        d_true_np = np.asarray(d_true)
+        picked = np.take_along_axis(d_true_np, np.asarray(idx_rr), axis=1)
+        # sqrt of the matmul-form's f32 error floor (~2e-6) puts near-
+        # zero distances at the ~1.5e-3 scale; tolerance covers that.
+        np.testing.assert_allclose(d_rr, picked, rtol=1e-3, atol=2e-3)
+
+    def test_rerank_caps_at_corpus(self, rng):
+        data = rng.random((50, 16), dtype=np.float32)
+        pq = ProductQuantizer(data, 4, 8, max_iters=2)
+        codes = pq.encode(data)
+        idx, _ = pq.adc_search(data[:3], codes, k=5, rerank=1000, corpus=data)
+        assert np.asarray(idx).shape == (3, 5)

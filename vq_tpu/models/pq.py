@@ -39,7 +39,17 @@ import jax.numpy as jnp
 
 from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
-from vq_tpu.ops.distance import COSINE_NORM_EPS, Distance, Metric
+from vq_tpu.ops.distance import (
+    COSINE_NORM_EPS,
+    _PAIRWISE,
+    Distance,
+    Metric,
+)
+
+
+def _PAIRWISE_FOR_RERANK(q, cand, metric):
+    """Exact [1, R] distances for one query's rerank candidates."""
+    return _PAIRWISE[metric](q, cand)
 from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
 
 __all__ = ["ProductQuantizer", "pq_train", "pq_encode", "pq_decode"]
@@ -426,12 +436,31 @@ class ProductQuantizer(Quantizer):
             return jnp.where(degenerate, 1.0, dist)
         return acc
 
-    def adc_search(self, queries, codes, k: int = 10):
+    def adc_search(self, queries, codes, k: int = 10, *, rerank: int = 0,
+                   corpus=None):
         """Top-k nearest codes for each query by asymmetric distance.
 
         Returns ``(indices [Q, k], distances [Q, k])`` sorted ascending.
+
+        With ``rerank=R > 0`` and the original ``corpus`` rows provided, a
+        top-R ADC shortlist is re-scored with exact distances under this
+        quantizer's metric (standard two-stage ANN search — recovers the
+        recall that quantization error costs at large corpus sizes for the
+        price of R exact distance computations per query).
         """
         d = self.adc_distances(queries, codes)
+        if rerank and corpus is not None:
+            r = min(int(rerank), d.shape[1])
+            _, short = jax.lax.top_k(-d, r)  # [Q, R] candidate ids
+            q2d, _ = as_batch_f32(queries)
+            corpus = jnp.asarray(corpus, jnp.float32)
+            cand = jnp.take(corpus, short, axis=0)  # [Q, R, d]
+            exact = jax.vmap(
+                lambda qv, cv: _PAIRWISE_FOR_RERANK(qv[None, :], cv, self._metric)[0]
+            )(q2d, cand)  # [Q, R]
+            neg_top, pos = jax.lax.top_k(-exact, min(k, r))
+            idx = jnp.take_along_axis(short, pos, axis=1)
+            return idx, -neg_top
         neg_top, idx = jax.lax.top_k(-d, k)
         return idx, -neg_top
 

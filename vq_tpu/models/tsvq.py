@@ -78,8 +78,15 @@ def _build_node(
     lefts: list,
     rights: list,
 ) -> int:
-    """Recursively build the subtree over ``data[idx]``; returns node id."""
-    subset = data[idx]
+    """Recursively build the subtree over ``data[idx]``; returns node id.
+
+    Memory-aware (SURVEY.md §7.3 "TSVQ medians at scale"): per-node
+    temporaries are freed *before* recursing, so peak memory is
+    O(n·d · Σ 2^-level) ≈ 2·n·d instead of O(n·d·depth) — holding each
+    level's subset copy across the child recursion made million-row
+    960-d builds thrash.
+    """
+    subset = data[idx]  # one gather per node
     centroid = subset.mean(axis=0, dtype=np.float32)
     node = len(centroids)
     centroids.append(centroid)
@@ -92,8 +99,13 @@ def _build_node(
 
     # Summed squared deviation per dim (the reference's "variance",
     # src/tsvq.rs:47-57 — a sum, not a mean; argmax is the same either way).
-    dev = subset - centroid[None, :]
-    variances = np.sum(dev * dev, axis=0, dtype=np.float32)
+    # In-place center + einsum avoids two [n, d] temporaries; NaNs
+    # propagate into the per-dim sums exactly as with the naive form.
+    values_col: np.ndarray  # original values of the split column
+    subset -= centroid[None, :]
+    variances = np.einsum(
+        "ij,ij->j", subset, subset, dtype=np.float32
+    )
     finite = ~np.isnan(variances)
     if finite.any():
         masked = np.where(finite, variances, -np.inf)
@@ -101,19 +113,26 @@ def _build_node(
     else:
         split_dim = 0  # reference's unwrap_or(0), src/tsvq.rs:66
 
-    values = subset[:, split_dim]
-    values = np.sort(values[~np.isnan(values)])
-    if values.size == 0:
-        return node  # all-NaN split column: nothing to split on
-    half = values.size // 2
-    if values.size % 2 == 0:
-        median = float((values[half - 1] + values[half]) / 2.0)
-    else:
-        median = float(values[half])
+    del subset  # free before median/partition/recursion
+    # Re-gather the split column's ORIGINAL values: reconstructing them from
+    # the centered copy ((x - c) + c) can differ by an ulp and flip
+    # median/partition decisions vs the reference.
+    values_col = data[idx, split_dim]
 
-    go_left = subset[:, split_dim] <= median  # NaN -> False -> right
+    finite_vals = values_col[~np.isnan(values_col)]
+    if finite_vals.size == 0:
+        return node  # all-NaN split column: nothing to split on
+    half = finite_vals.size // 2
+    if finite_vals.size % 2 == 0:
+        two = np.partition(finite_vals, [half - 1, half])
+        median = float((two[half - 1] + two[half]) / 2.0)
+    else:
+        median = float(np.partition(finite_vals, half)[half])
+
+    go_left = values_col <= median  # NaN -> False -> right
     left_idx = idx[go_left]
     right_idx = idx[~go_left]
+    del values_col, go_left
 
     if 0 < left_idx.shape[0] < n:
         lefts[node] = _build_node(
