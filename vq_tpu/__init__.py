@@ -37,6 +37,7 @@ from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, r
 from vq_tpu.ops.kmeans import KMeansResult, lloyd, lloyd_batched
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
+from vq_tpu.search import BinaryIndex, PQIndex
 
 __version__ = "0.1.0"
 
@@ -84,6 +85,8 @@ __all__ = [
     "lloyd_batched",
     "lloyd_stepped",
     "lloyd_minibatch",
+    "PQIndex",
+    "BinaryIndex",
     "pq_train",
     "pq_encode",
     "pq_decode",
