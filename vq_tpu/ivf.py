@@ -1,0 +1,303 @@
+"""IVF-PQ: inverted-file index with product-quantized residuals.
+
+The standard two-level large-scale ANN index (coarse k-means partition +
+PQ codes per list), built TPU-first:
+
+* **Static shapes everywhere.** Inverted lists are stored as padded dense
+  buckets ``codes [nlist, cap, m]`` / ``ids [nlist, cap]`` (−1 = pad), so a
+  search is pure gathers + matmuls under jit — no ragged structures.
+* **Residual encoding** (``by_residual=True``, the accuracy-standard
+  formulation): PQ trains on ``x − coarse_centroid(x)`` and search builds
+  per-(query, probed-list) lookup tables over the query residuals.
+* **Search** = coarse scan ([Q, nlist] matmul) → top-``nprobe`` lists →
+  residual ADC tables ([Q, nprobe, m, k] einsum) → per-subspace
+  table gathers over the probed buckets → masked top-k. Optional exact
+  rerank when the raw corpus is retained.
+
+Everything heavy is jitted; `add` is append-only with lazy bucket
+(re)building.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidData
+from vq_tpu.models.pq import ProductQuantizer, pq_train
+from vq_tpu.ops.kmeans import lloyd
+from vq_tpu.utils.serialize import _from_npz, _to_npz
+
+__all__ = ["IVFPQIndex"]
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search_jit(
+    q: jnp.ndarray,  # [Q, d]
+    coarse: jnp.ndarray,  # [nlist, d]
+    cb: jnp.ndarray,  # [m, kk, s]
+    bucket_codes: jnp.ndarray,  # [nlist, cap, m] int32
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
+    nprobe: int,
+    k: int,
+):
+    Q, d = q.shape
+    m, kk, s = cb.shape
+
+    # Coarse scan: squared-L2 on the MXU.
+    cc = jnp.sum(coarse * coarse, axis=-1)
+    qc = jax.lax.dot_general(
+        q, coarse, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    coarse_scores = cc[None, :] - 2.0 * qc  # [Q, nlist] (+||q||^2, argmin-inv)
+    _, probe = jax.lax.top_k(-coarse_scores, nprobe)  # [Q, nprobe]
+
+    # Residual tables: r = q - coarse[probe]; table[q,l,i,j] = ||r_i - cb_ij||^2.
+    qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)  # [Q, np, d]
+    qres = qres.reshape(Q, nprobe, m, s)
+    cbcb = jnp.sum(cb * cb, axis=-1)  # [m, kk]
+    rc = jnp.einsum(
+        "plms,mks->plmk", qres, cb,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, np, m, kk]
+    rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
+    tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
+
+    # Gather probed buckets and sum table entries per subspace.
+    codes = jnp.take(bucket_codes, probe, axis=0)  # [Q, np, cap, m]
+    ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
+    dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, cap]
+    for i in range(m):
+        dist = dist + jnp.take_along_axis(
+            tables[:, :, i, :], codes[..., i], axis=-1
+        )
+    dist = jnp.where(ids >= 0, dist, jnp.inf)
+
+    flat_dist = dist.reshape(Q, -1)
+    flat_ids = ids.reshape(Q, -1)
+    neg_top, pos = jax.lax.top_k(-flat_dist, k)
+    found = jnp.take_along_axis(flat_ids, pos, axis=1)
+    return found, -neg_top
+
+
+class IVFPQIndex:
+    """Inverted-file index with PQ-coded residuals (the FAISS ``IVFx,PQy``
+    analog), TPU-native.
+
+    Build with :meth:`train` (coarse k-means + residual PQ from a training
+    sample), then :meth:`add` corpus batches and :meth:`search`.
+    """
+
+    def __init__(
+        self,
+        coarse_centroids,
+        pq: ProductQuantizer,
+        *,
+        by_residual: bool = True,
+        keep_corpus: bool = False,
+    ):
+        self.coarse = jnp.asarray(coarse_centroids, jnp.float32)  # [nlist, d]
+        self.pq = pq
+        self.by_residual = bool(by_residual)
+        self.keep_corpus = bool(keep_corpus)
+        if self.coarse.shape[1] != pq.dim:
+            raise DimensionMismatch(
+                expected=pq.dim, found=self.coarse.shape[1]
+            )
+        # Flat (append-only) storage; buckets built lazily.
+        self._flat_codes: Optional[np.ndarray] = None  # [n, m] u8/i32
+        self._flat_lists: Optional[np.ndarray] = None  # [n] i32
+        self._corpus: Optional[jnp.ndarray] = None
+        self._buckets: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        training_data,
+        nlist: int,
+        num_subspaces: int,
+        num_centroids: int = 256,
+        *,
+        max_iters: int = 10,
+        seed: int = 42,
+        by_residual: bool = True,
+        keep_corpus: bool = False,
+    ) -> "IVFPQIndex":
+        """Fit the coarse quantizer and the (residual) PQ codebooks."""
+        x = jnp.asarray(training_data, jnp.float32)
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed)
+        coarse = res.centroids
+        if by_residual:
+            assign = res.assignments
+            train_vecs = x - jnp.take(coarse, assign, axis=0)
+        else:
+            train_vecs = x
+        cb = pq_train(
+            train_vecs, num_subspaces, num_centroids,
+            max_iters=max_iters, seed=seed + 1,
+        )
+        pq = ProductQuantizer(codebooks=cb, distance="squared_euclidean")
+        return cls(
+            coarse, pq, by_residual=by_residual, keep_corpus=keep_corpus
+        )
+
+    @property
+    def nlist(self) -> int:
+        return self.coarse.shape[0]
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._flat_codes is None else self._flat_codes.shape[0]
+
+    # -- data ---------------------------------------------------------------
+
+    def add(self, vectors) -> None:
+        """Coarse-assign, residual-encode, and append a batch."""
+        x = jnp.asarray(vectors, jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.pq.dim:
+            raise DimensionMismatch(expected=self.pq.dim, found=x.shape[1])
+        from vq_tpu.ops.kmeans import assign
+
+        lists, _ = assign(x, self.coarse)
+        enc_in = (
+            x - jnp.take(self.coarse, lists, axis=0)
+            if self.by_residual else x
+        )
+        codes = np.asarray(self.pq.encode(enc_in))
+        lists = np.asarray(lists)
+        if self._flat_codes is None:
+            self._flat_codes, self._flat_lists = codes, lists
+        else:
+            self._flat_codes = np.concatenate([self._flat_codes, codes])
+            self._flat_lists = np.concatenate([self._flat_lists, lists])
+        if self.keep_corpus:
+            self._corpus = (
+                x if self._corpus is None
+                else jnp.concatenate([self._corpus, x], axis=0)
+            )
+        self._buckets = None  # invalidate
+
+    def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pack flat storage into padded dense buckets (host-side, cached)."""
+        if self._buckets is not None:
+            return self._buckets
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        lists = self._flat_lists
+        counts = np.bincount(lists, minlength=self.nlist)
+        cap = max(8, int(-(-int(counts.max()) // 8) * 8))
+        m = self._flat_codes.shape[1]
+        bucket_codes = np.zeros((self.nlist, cap, m), np.int32)
+        bucket_ids = np.full((self.nlist, cap), -1, np.int32)
+        order = np.argsort(lists, kind="stable")
+        sorted_lists = lists[order]
+        sorted_codes = self._flat_codes[order].astype(np.int32)
+        starts = np.searchsorted(sorted_lists, np.arange(self.nlist))
+        for l in range(self.nlist):
+            c = counts[l]
+            if c == 0:
+                continue
+            sl = slice(starts[l], starts[l] + c)
+            bucket_codes[l, :c] = sorted_codes[sl]
+            bucket_ids[l, :c] = order[sl]
+        self._buckets = (jnp.asarray(bucket_codes), jnp.asarray(bucket_ids))
+        return self._buckets
+
+    # -- search -------------------------------------------------------------
+
+    def search(
+        self, queries, k: int = 10, *, nprobe: int = 8, rerank: int = 0
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k (ids, squared-L2 distances). ``nprobe`` lists per query.
+
+        Ids of −1 mean fewer than k candidates existed in the probed lists.
+        With ``rerank=R`` and ``keep_corpus=True``, a top-R shortlist is
+        re-scored exactly.
+        """
+        bucket_codes, bucket_ids = self._build_buckets()
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.pq.dim:
+            raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
+        nprobe = min(int(nprobe), self.nlist)
+        fetch = max(k, int(rerank)) if rerank else k
+        ids, dist = _ivf_search_jit(
+            q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
+            nprobe, min(fetch, bucket_ids.size),
+        )
+        if rerank:
+            if self._corpus is None:
+                raise InvalidData(
+                    "rerank requires keep_corpus=True at construction"
+                )
+            safe = jnp.maximum(ids, 0)
+            cand = jnp.take(self._corpus, safe, axis=0)  # [Q, R, d]
+            exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
+            exact = jnp.where(ids >= 0, exact, jnp.inf)
+            neg_top, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
+            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
+        return ids[:, :k], dist[:, :k]
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        arrays = {
+            "coarse": np.asarray(self.coarse),
+            "codebooks": np.asarray(self.pq.codebooks),
+            "flat_codes": (
+                self._flat_codes if self._flat_codes is not None
+                else np.zeros((0, self.pq.num_subspaces), np.int32)
+            ),
+            "flat_lists": (
+                self._flat_lists if self._flat_lists is not None
+                else np.zeros((0,), np.int32)
+            ),
+        }
+        if self.keep_corpus and self._corpus is not None:
+            arrays["corpus"] = np.asarray(self._corpus)
+        return _to_npz(
+            path,
+            "ivfpq_index",
+            {
+                "by_residual": self.by_residual,
+                "keep_corpus": self.keep_corpus,
+            },
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "ivfpq_index":
+            raise InvalidData(f"expected an ivfpq_index checkpoint, got {kind!r}")
+        pq = ProductQuantizer(
+            codebooks=arrays["codebooks"], distance="squared_euclidean"
+        )
+        idx = cls(
+            arrays["coarse"], pq,
+            by_residual=config["by_residual"],
+            keep_corpus=config["keep_corpus"],
+        )
+        if arrays["flat_codes"].shape[0]:
+            idx._flat_codes = arrays["flat_codes"]
+            idx._flat_lists = arrays["flat_lists"]
+        if "corpus" in arrays:
+            idx._corpus = jnp.asarray(arrays["corpus"])
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"IVFPQIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
+            f"m={self.pq.num_subspaces}, k={self.pq.num_centroids}, "
+            f"residual={self.by_residual})"
+        )
