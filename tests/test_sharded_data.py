@@ -71,3 +71,30 @@ def test_uneven_rows_rejected():
     mesh = make_mesh()
     with pytest.raises(InvalidParameter):
         sharded_synthetic_corpus(130, 8, mesh=mesh)  # 130 % 8 != 0
+
+
+def test_sharded_pq_encode_matches_single(rng):
+    from vq_tpu.models.pq import pq_train
+    from vq_tpu.parallel.encode import sharded_pq_encode
+    from vq_tpu import pq_encode
+
+    mesh = make_mesh()
+    data = rng.random((512, 32), dtype=np.float32)
+    cb = pq_train(data, 4, 8, max_iters=3, seed=0)
+    sharded = sharded_pq_encode(data, cb, mesh=mesh)
+    single = pq_encode(data, cb, "squared_euclidean")
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+    # output stays sharded along the data axis
+    shards = {s.data.shape[0] for s in sharded.addressable_shards}
+    assert shards == {512 // mesh.shape["data"]}
+
+
+def test_sharded_quantize_elementwise(rng):
+    from vq_tpu import ScalarQuantizer
+    from vq_tpu.parallel.encode import sharded_quantize
+
+    mesh = make_mesh()
+    data = rng.random((256, 16), dtype=np.float32)
+    sq = ScalarQuantizer(0.0, 1.0, 256)
+    out = sharded_quantize(sq, data, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(sq.quantize(data)))

@@ -30,6 +30,7 @@ from vq_tpu.models.bq import (
     packed_width,
     unpack_bits,
 )
+from vq_tpu.models.opq import OPQQuantizer, opq_train
 from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode, pq_train
 from vq_tpu.models.sq import ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
@@ -65,6 +66,8 @@ __all__ = [
     "BinaryQuantizer",
     "ScalarQuantizer",
     "ProductQuantizer",
+    "OPQQuantizer",
+    "opq_train",
     "TSVQ",
     "TSVQTree",
     "Quantizer",

@@ -1,0 +1,207 @@
+"""OPQ — Optimized Product Quantization (Ge et al., CVPR 2013).
+
+Plain PQ quantizes fixed coordinate blocks; OPQ first applies a learned
+orthogonal rotation ``R`` so variance (and correlation) spreads evenly
+across subspaces, then PQ-quantizes the rotated vectors. Reconstruction
+rotates back. On correlated data this cuts reconstruction MSE at identical
+code budgets — a capability the reference lacks entirely.
+
+Training alternates (the non-parametric OPQ algorithm):
+
+1. **PQ step** — retrain/refresh the codebooks on ``X @ R`` (warm-started
+   from the previous iteration's codebooks via ``lloyd_batched``'s
+   ``init_centroids``).
+2. **Rotation step** — orthogonal Procrustes: with ``Y`` the PQ
+   reconstruction of ``X @ R``, the optimal rotation is ``R = U @ Vt`` from
+   the SVD of ``X^T Y``. One jitted [d, d] SVD on device.
+
+Both steps are monotone in the joint objective ``||X @ R - Y||^2``.
+
+:class:`OPQQuantizer` wraps the result with the standard quantizer surface
+(encode / decode / quantize / dequantize) plus ADC search in the rotated
+space (rotating queries is one [Q, d] x [d, d] matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vq_tpu.errors import DimensionMismatch, InvalidParameter
+from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
+from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode_best
+from vq_tpu.ops.distance import Metric
+from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
+
+__all__ = ["OPQQuantizer", "opq_train"]
+
+
+@jax.jit
+def _procrustes(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """argmin_R ||x @ R - y||_F over orthogonal R: R = U @ Vt of x^T y."""
+    m = jax.lax.dot_general(
+        x, y, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [d, d]
+    u, _, vt = jnp.linalg.svd(m, full_matrices=False)
+    return u @ vt
+
+
+def opq_train(
+    training_data,
+    num_subspaces: int,
+    num_centroids: int,
+    *,
+    opq_iters: int = 10,
+    pq_iters: int = 4,
+    final_pq_iters: int = 10,
+    seed: int = 42,
+    block_rows: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Learn ``(rotation [d, d], codebooks [m, k, sub])``.
+
+    ``pq_iters`` Lloyd refinements run per OPQ iteration (warm-started);
+    ``final_pq_iters`` polish the codebooks under the final rotation.
+    """
+    x = check_training_matrix(training_data)
+    n, d = x.shape
+    m, k = int(num_subspaces), int(num_centroids)
+    if m <= 0 or d % m != 0:
+        raise InvalidParameter(
+            "num_subspaces", f"dimension ({d}) must be divisible by m"
+        )
+    sub = d // m
+
+    rot = jnp.eye(d, dtype=jnp.float32)
+    codebooks = None
+    for it in range(int(opq_iters)):
+        xr = x @ rot  # [n, d]
+        per_sub = jnp.moveaxis(xr.reshape(n, m, sub), 1, 0)  # [m, n, sub]
+        codebooks, _, _ = lloyd_batched(
+            per_sub, k, max_iters=int(pq_iters), seed=seed,
+            block_rows=block_rows, init_centroids=codebooks,
+        )
+        codes = pq_encode_best(
+            xr, codebooks, Metric.SQUARED_EUCLIDEAN,
+            block_rows or default_block_rows(n, k * m, sub),
+        )
+        y = pq_decode(codes, codebooks)  # [n, d] reconstruction of x @ rot
+        rot = _procrustes(x, y)
+
+    xr = x @ rot
+    per_sub = jnp.moveaxis(xr.reshape(n, m, sub), 1, 0)
+    codebooks, _, _ = lloyd_batched(
+        per_sub, k, max_iters=int(final_pq_iters), seed=seed,
+        block_rows=block_rows, init_centroids=codebooks,
+    )
+    return rot, codebooks
+
+
+class OPQQuantizer(Quantizer):
+    """Rotation-optimized product quantizer.
+
+    ``OPQQuantizer(training_data, num_subspaces, num_centroids, ...)``
+    trains; or pass ``rotation=``/``codebooks=`` to restore a saved model.
+    """
+
+    def __init__(
+        self,
+        training_data=None,
+        num_subspaces: Optional[int] = None,
+        num_centroids: Optional[int] = None,
+        *,
+        opq_iters: int = 10,
+        pq_iters: int = 4,
+        seed: int = 42,
+        rotation=None,
+        codebooks=None,
+    ):
+        if rotation is not None and codebooks is not None:
+            self._rot = jnp.asarray(rotation, jnp.float32)
+            self._pq = ProductQuantizer(
+                codebooks=codebooks, distance="squared_euclidean"
+            )
+        else:
+            if training_data is None or num_subspaces is None or (
+                num_centroids is None
+            ):
+                raise InvalidParameter(
+                    "training_data",
+                    "required (with num_subspaces/num_centroids) unless "
+                    "rotation+codebooks are given",
+                )
+            rot, cb = opq_train(
+                training_data, num_subspaces, num_centroids,
+                opq_iters=opq_iters, pq_iters=pq_iters, seed=seed,
+            )
+            self._rot = rot
+            self._pq = ProductQuantizer(
+                codebooks=cb, distance="squared_euclidean"
+            )
+
+    @property
+    def rotation(self) -> jnp.ndarray:
+        return self._rot
+
+    @property
+    def codebooks(self) -> jnp.ndarray:
+        return self._pq.codebooks
+
+    @property
+    def num_subspaces(self) -> int:
+        return self._pq.num_subspaces
+
+    @property
+    def num_centroids(self) -> int:
+        return self._pq.num_centroids
+
+    @property
+    def dim(self) -> int:
+        return self._pq.dim
+
+    def _check(self, x2d):
+        if x2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
+
+    def encode(self, x) -> jnp.ndarray:
+        x2d, was_1d = as_batch_f32(x)
+        self._check(x2d)
+        codes = self._pq.encode(x2d @ self._rot)
+        return codes[0] if was_1d else codes
+
+    def decode(self, codes) -> jnp.ndarray:
+        out = self._pq.decode(codes) @ self._rot.T
+        return out
+
+    def quantize(self, x) -> jnp.ndarray:
+        """f16 reconstruction (reference-style surface)."""
+        x2d, was_1d = as_batch_f32(x)
+        self._check(x2d)
+        recon = self.decode(self.encode(x2d)).astype(jnp.float16)
+        return recon[0] if was_1d else recon
+
+    def dequantize(self, quantized) -> jnp.ndarray:
+        q = jnp.asarray(quantized)
+        d = q.shape[-1] if q.ndim else 0
+        if d != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=d)
+        return q.astype(jnp.float32)
+
+    def adc_search(self, queries, codes, k: int = 10, **kw):
+        """ADC search in the rotated space (queries rotate, codes don't)."""
+        q2d, _ = as_batch_f32(queries)
+        self._check(q2d)
+        if kw.get("corpus") is not None:
+            kw = dict(kw)
+            kw["corpus"] = jnp.asarray(kw["corpus"], jnp.float32) @ self._rot
+        return self._pq.adc_search(q2d @ self._rot, codes, k=k, **kw)
+
+    def __repr__(self) -> str:
+        return (
+            f"OPQQuantizer(m={self.num_subspaces}, k={self.num_centroids}, "
+            f"dim={self.dim})"
+        )

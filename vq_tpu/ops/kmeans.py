@@ -275,15 +275,17 @@ def lloyd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "block_rows")
+    jax.jit, static_argnames=("k", "max_iters", "block_rows", "has_init")
 )
 def _lloyd_batched_jit(
     data: jnp.ndarray,  # [m, n, d]
     keys: jnp.ndarray,  # [m, 2] PRNG keys
+    init: jnp.ndarray,  # [m, k, d] warm-start centroids (dummy if !has_init)
     k: int,
     max_iters: int,
     eps: float,
     block_rows: int,
+    has_init: bool,
 ):
     """vmapped Lloyd over independent sub-problems (PQ's m subspaces).
 
@@ -294,9 +296,12 @@ def _lloyd_batched_jit(
     """
     n = data.shape[1]
 
-    def one(sub_data, sub_key):
-        init_idx = jax.random.choice(sub_key, n, (k,), replace=False)
-        centroids0 = jnp.take(sub_data, init_idx, axis=0)
+    def one(sub_data, sub_key, sub_init):
+        if has_init:
+            centroids0 = sub_init  # warm start (e.g. OPQ outer iterations)
+        else:
+            init_idx = jax.random.choice(sub_key, n, (k,), replace=False)
+            centroids0 = jnp.take(sub_data, init_idx, axis=0)
         _, loop_key = jax.random.split(sub_key)
         raw_body = _lloyd_body_factory(sub_data, k, eps, block_rows)
 
@@ -320,7 +325,7 @@ def _lloyd_batched_jit(
         )
         return centroids, iterations, jnp.logical_not(changed)
 
-    return jax.vmap(one)(data, keys)
+    return jax.vmap(one)(data, keys, init)
 
 
 def lloyd_batched(
@@ -331,13 +336,15 @@ def lloyd_batched(
     *,
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
+    init_centroids=None,
 ):
     """Train independent codebooks for a batch of sub-problems at once.
 
     ``data`` is ``[m, n, d]``; returns ``(centroids [m, k, d],
     iterations [m], converged [m])``. Sub-problem ``i`` uses PRNG
     ``fold_in(seed, i)`` — the analog of the reference PQ's per-subspace
-    ``seed + i`` (src/pq.rs:130).
+    ``seed + i`` (src/pq.rs:130). Pass ``init_centroids [m, k, d]`` to warm
+    start (e.g. OPQ's outer loop) instead of seeded sampling.
     """
     data = jnp.asarray(data, jnp.float32)
     if data.ndim != 3:
@@ -351,6 +358,16 @@ def lloyd_batched(
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(m))
     if block_rows is None:
         block_rows = default_block_rows(n, k, d)
+    has_init = init_centroids is not None
+    if has_init:
+        init = jnp.asarray(init_centroids, jnp.float32)
+        if init.shape != (m, k, d):
+            raise InvalidParameter(
+                "init_centroids", f"expected {(m, k, d)}, got {init.shape}"
+            )
+    else:
+        init = jnp.zeros((m, k, d), jnp.float32)
     return _lloyd_batched_jit(
-        data, keys, k, int(max_iters), float(eps), int(block_rows)
+        data, keys, init, k, int(max_iters), float(eps), int(block_rows),
+        has_init,
     )

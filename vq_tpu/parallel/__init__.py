@@ -4,6 +4,7 @@ from vq_tpu.parallel.data import (
     sharded_from_callback,
     sharded_synthetic_corpus,
 )
+from vq_tpu.parallel.encode import sharded_pq_encode, sharded_quantize
 from vq_tpu.parallel.kmeans import (
     ShardedKMeansResult,
     sharded_lloyd,
@@ -28,4 +29,6 @@ __all__ = [
     "sharded_pq_train",
     "sharded_from_callback",
     "sharded_synthetic_corpus",
+    "sharded_pq_encode",
+    "sharded_quantize",
 ]

@@ -88,6 +88,18 @@ def save(path: str, quantizer) -> str:
             },
             {},
         )
+    from vq_tpu.models.opq import OPQQuantizer
+
+    if isinstance(quantizer, OPQQuantizer):
+        return _to_npz(
+            path,
+            "opq",
+            {},
+            {
+                "rotation": np.asarray(quantizer.rotation),
+                "codebooks": np.asarray(quantizer.codebooks),
+            },
+        )
     if isinstance(quantizer, ProductQuantizer):
         return _to_npz(
             path,
@@ -131,6 +143,12 @@ def load(path: str):
     if kind == "pq":
         return ProductQuantizer(
             distance=config["distance"], codebooks=arrays["codebooks"]
+        )
+    if kind == "opq":
+        from vq_tpu.models.opq import OPQQuantizer
+
+        return OPQQuantizer(
+            rotation=arrays["rotation"], codebooks=arrays["codebooks"]
         )
     if kind == "tsvq":
         tree = TSVQTree(
