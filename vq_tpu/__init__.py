@@ -31,6 +31,7 @@ from vq_tpu.models.bq import (
     unpack_bits,
 )
 from vq_tpu.models.opq import OPQQuantizer, opq_train
+from vq_tpu.models.rq import ResidualQuantizer, rq_decode, rq_encode, rq_train
 from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode, pq_train
 from vq_tpu.models.sq import ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
@@ -68,6 +69,10 @@ __all__ = [
     "ProductQuantizer",
     "OPQQuantizer",
     "opq_train",
+    "ResidualQuantizer",
+    "rq_train",
+    "rq_encode",
+    "rq_decode",
     "TSVQ",
     "TSVQTree",
     "Quantizer",

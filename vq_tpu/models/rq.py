@@ -1,0 +1,187 @@
+"""Residual quantization (RQ) — stage-wise additive codebooks.
+
+RQ approximates ``x ≈ Σ_s C_s[code_s]``: stage ``s`` k-means-quantizes the
+residual left by stages ``< s``. Unlike PQ's per-subspace split, every
+codeword spans the full dimension, which wins at small byte budgets and on
+data whose structure doesn't align with coordinate blocks. This codec
+family (RQ/LSQ/additive) has no counterpart in the reference library.
+
+Training: sequential Lloyd's per stage on the running residual (stage
+``s`` uses PRNG ``fold_in(seed, s)``). Encoding: greedy nearest-centroid
+per stage — each stage is one fused distance+argmin over ``[k, d]``
+centroids, the same kernel shape as k-means assignment. Decoding: sum of
+``S`` gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vq_tpu.errors import DimensionMismatch, InvalidParameter
+from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
+from vq_tpu.ops.kmeans import assign, lloyd
+
+__all__ = ["ResidualQuantizer", "rq_train", "rq_encode", "rq_decode"]
+
+
+def rq_train(
+    training_data,
+    num_stages: int,
+    num_centroids: int,
+    max_iters: int = 10,
+    seed: int = 42,
+) -> jnp.ndarray:
+    """Train stage codebooks; returns ``[S, k, d]`` f32."""
+    data = check_training_matrix(training_data)
+    S, k = int(num_stages), int(num_centroids)
+    if S <= 0:
+        raise InvalidParameter("num_stages", "must be greater than 0")
+    residual = data
+    codebooks = []
+    for s in range(S):
+        res = lloyd(
+            residual, k, max_iters=max_iters,
+            key=jax.random.fold_in(jax.random.PRNGKey(int(seed)), s),
+        )
+        codebooks.append(res.centroids)
+        residual = residual - jnp.take(res.centroids, res.assignments, axis=0)
+    return jnp.stack(codebooks)  # [S, k, d]
+
+
+@jax.jit
+def _rq_encode_jit(x: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
+    """Greedy stage-wise encode: [n, d] x [S, k, d] -> [n, S] int32."""
+
+    def stage(residual, cb):
+        cc = jnp.sum(cb * cb, axis=-1)
+        xc = jax.lax.dot_general(
+            residual, cb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        codes = jnp.argmin(cc[None, :] - 2.0 * xc, axis=-1).astype(jnp.int32)
+        return residual - jnp.take(cb, codes, axis=0), codes
+
+    _, codes = jax.lax.scan(stage, x, cbs)
+    return codes.T  # [n, S]
+
+
+@jax.jit
+def _rq_decode_jit(codes: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
+    def body(acc, inp):
+        cb, c = inp
+        return acc + jnp.take(cb, c, axis=0), None
+
+    init = jnp.zeros((codes.shape[0], cbs.shape[2]), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (cbs, codes.T))
+    return out
+
+
+def rq_encode(x, codebooks) -> jnp.ndarray:
+    cbs = jnp.asarray(codebooks, jnp.float32)
+    x2d, _ = as_batch_f32(x)
+    if x2d.shape[1] != cbs.shape[2]:
+        raise DimensionMismatch(expected=cbs.shape[2], found=x2d.shape[1])
+    return _rq_encode_jit(x2d, cbs)
+
+
+def rq_decode(codes, codebooks) -> jnp.ndarray:
+    cbs = jnp.asarray(codebooks, jnp.float32)
+    codes = jnp.asarray(codes)
+    if codes.ndim == 1:
+        codes = codes[None, :]
+    if codes.shape[1] != cbs.shape[0]:
+        raise DimensionMismatch(expected=cbs.shape[0], found=codes.shape[1])
+    return _rq_decode_jit(codes.astype(jnp.int32), cbs)
+
+
+class ResidualQuantizer(Quantizer):
+    """Additive residual quantizer: ``S`` stages × ``k`` full-d centroids.
+
+    ``ResidualQuantizer(training_data, num_stages, num_centroids, ...)``
+    trains; pass ``codebooks=[S, k, d]`` to restore.
+    """
+
+    def __init__(
+        self,
+        training_data=None,
+        num_stages: Optional[int] = None,
+        num_centroids: Optional[int] = None,
+        max_iters: int = 10,
+        seed: int = 42,
+        *,
+        codebooks=None,
+    ):
+        if codebooks is not None:
+            cbs = jnp.asarray(codebooks, jnp.float32)
+            if cbs.ndim != 3:
+                raise InvalidParameter(
+                    "codebooks", f"must be [S, k, d], got {cbs.ndim}-D"
+                )
+            self._cbs = cbs
+        else:
+            if training_data is None or num_stages is None or (
+                num_centroids is None
+            ):
+                raise InvalidParameter(
+                    "training_data",
+                    "required (with num_stages/num_centroids) unless "
+                    "codebooks are given",
+                )
+            self._cbs = rq_train(
+                training_data, num_stages, num_centroids,
+                max_iters=max_iters, seed=seed,
+            )
+
+    @property
+    def codebooks(self) -> jnp.ndarray:
+        return self._cbs
+
+    @property
+    def num_stages(self) -> int:
+        return self._cbs.shape[0]
+
+    @property
+    def num_centroids(self) -> int:
+        return self._cbs.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self._cbs.shape[2]
+
+    def encode(self, x) -> jnp.ndarray:
+        x2d, was_1d = as_batch_f32(x)
+        codes = rq_encode(x2d, self._cbs)
+        if self.num_centroids <= 256:
+            codes = codes.astype(jnp.uint8)
+        return codes[0] if was_1d else codes
+
+    def decode(self, codes) -> jnp.ndarray:
+        codes = jnp.asarray(codes)
+        was_1d = codes.ndim == 1
+        out = rq_decode(codes, self._cbs)
+        return out[0] if was_1d else out
+
+    def quantize(self, x) -> jnp.ndarray:
+        x2d, was_1d = as_batch_f32(x)
+        if x2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
+        recon = self.decode(self.encode(x2d)).astype(jnp.float16)
+        return recon[0] if was_1d else recon
+
+    def dequantize(self, quantized) -> jnp.ndarray:
+        q = jnp.asarray(quantized)
+        d = q.shape[-1] if q.ndim else 0
+        if d != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=d)
+        return q.astype(jnp.float32)
+
+    def __repr__(self) -> str:
+        return (
+            f"ResidualQuantizer(stages={self.num_stages}, "
+            f"k={self.num_centroids}, dim={self.dim})"
+        )

@@ -89,7 +89,12 @@ def save(path: str, quantizer) -> str:
             {},
         )
     from vq_tpu.models.opq import OPQQuantizer
+    from vq_tpu.models.rq import ResidualQuantizer
 
+    if isinstance(quantizer, ResidualQuantizer):
+        return _to_npz(
+            path, "rq", {}, {"codebooks": np.asarray(quantizer.codebooks)}
+        )
     if isinstance(quantizer, OPQQuantizer):
         return _to_npz(
             path,
@@ -150,6 +155,10 @@ def load(path: str):
         return OPQQuantizer(
             rotation=arrays["rotation"], codebooks=arrays["codebooks"]
         )
+    if kind == "rq":
+        from vq_tpu.models.rq import ResidualQuantizer
+
+        return ResidualQuantizer(codebooks=arrays["codebooks"])
     if kind == "tsvq":
         tree = TSVQTree(
             arrays["centroids"], arrays["left"], arrays["right"], config["depth"]
