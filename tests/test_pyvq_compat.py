@@ -100,3 +100,39 @@ def test_reference_doc_example(rng):
     restored = pq.dequantize(quantized)
     rmse = float(np.sqrt(np.mean((vec - restored) ** 2)))
     assert rmse < 0.3
+
+
+def test_empty_vectors_pass_through():
+    # reference pyvq/tests/test_regressions.py:246-257
+    bq = pyvq.BinaryQuantizer(0.0)
+    sq = pyvq.ScalarQuantizer(0.0, 1.0)
+    empty = np.array([], dtype=np.float32)
+    assert len(bq.quantize(empty)) == 0
+    assert len(sq.quantize(empty)) == 0
+
+
+def test_empty_training_rejected():
+    # reference pyvq/tests/test_regressions.py:260-274
+    empty = np.zeros((0, 4), dtype=np.float32)
+    with pytest.raises(ValueError):
+        pyvq.ProductQuantizer(empty, 2, 4)
+    with pytest.raises(ValueError):
+        pyvq.TSVQ(empty, max_depth=3)
+
+
+def test_extreme_values():
+    # reference pyvq/tests/test_regressions.py:283-303
+    bq = pyvq.BinaryQuantizer(0.0)
+    out = bq.quantize(np.array([1e10, -1e10, 1e-10, -1e-10], np.float32))
+    assert set(np.unique(out)).issubset({0, 1})
+    sq = pyvq.ScalarQuantizer(-1.0, 1.0)
+    out = sq.quantize(np.array([1e10, -1e10, 1.5, -1.5], np.float32))
+    np.testing.assert_array_equal(out, [255, 0, 255, 0])
+
+
+def test_float64_input_accepted():
+    # reference pyvq/tests/test_regressions.py:322-339 — f64 either works or
+    # raises a clear type error; our shim converts.
+    bq = pyvq.BinaryQuantizer(0.0)
+    out = bq.quantize(np.array([0.5, -0.3, 0.8], dtype=np.float64))
+    np.testing.assert_array_equal(out, [1, 0, 1])

@@ -72,14 +72,37 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def generate_synthetic_data(n: int, dim: int, seed: int) -> np.ndarray:
-    """Uniform[0,1) synthetic corpus (reference: src/bin/common.rs:43-53)."""
+def generate_synthetic_data(n: int, dim: int, seed: int, device: bool = True):
+    """Uniform[0,1) synthetic corpus (reference: src/bin/common.rs:43-53).
+
+    ``device=True`` (default) generates with ``jax.random`` directly on the
+    accelerator — host->device uploads through a TPU tunnel can run at
+    ~MB/s, which would dwarf every measured time. ``device=False`` gives
+    the reference-style seeded numpy array (host).
+    """
+    if device:
+        import jax
+        import jax.numpy as jnp
+
+        return jax.random.uniform(
+            jax.random.PRNGKey(seed), (n, dim), jnp.float32
+        )
     rng = np.random.default_rng(seed)
     return rng.random((n, dim), dtype=np.float32)
 
 
-def reconstruction_mse(original: np.ndarray, reconstructed: np.ndarray) -> float:
-    """Mean squared error over all elements (src/bin/common.rs:61-78)."""
+def reconstruction_mse(original, reconstructed) -> float:
+    """Mean squared error over all elements (src/bin/common.rs:61-78).
+
+    Computed wherever the arrays live (device arrays never transfer; only
+    the scalar comes back).
+    """
+    if hasattr(original, "devices") or hasattr(reconstructed, "devices"):
+        import jax.numpy as jnp
+
+        a = jnp.asarray(original, jnp.float32)
+        b = jnp.asarray(reconstructed, jnp.float32)
+        return float(jnp.mean((a - b) ** 2))
     diff = original.astype(np.float64) - reconstructed.astype(np.float64)
     return float(np.mean(diff * diff))
 
@@ -115,6 +138,18 @@ def windowed_recall_at_k(
         retr_k = set(np.argpartition(d_retr, k)[:k].tolist())
         recalls.append(len(true_k & retr_k) / k)
     return float(np.mean(recalls))
+
+
+def warmup_backend() -> None:
+    """Touch the accelerator once before timing anything.
+
+    Backend init through a TPU tunnel (PJRT registration + first program)
+    can cost minutes; without this it lands inside the first phase's timer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jnp.zeros((8, 8)).sum().block_until_ready()
 
 
 class Timer:

@@ -26,10 +26,11 @@ def main(argv=None) -> None:
     p.add_argument("--high", type=int, default=1)
     args = p.parse_args(argv)
 
-    import numpy as np
-
     from vq_tpu import BinaryQuantizer
 
+    from vq_tpu.cli.common import warmup_backend
+
+    warmup_backend()
     results = []
     for n in args.sizes:
         data = generate_synthetic_data(n, args.dim, args.seed)
@@ -37,7 +38,7 @@ def main(argv=None) -> None:
             q = BinaryQuantizer(args.threshold, args.low, args.high)
         with Timer() as t_enc:
             codes = block(q.quantize(data))
-        recon = np.asarray(q.dequantize(codes))
+        recon = q.dequantize(codes)  # stays on device; MSE computes there
         with Timer() as t_pack:
             packed = block(q.quantize_packed(data))
         results.append(

@@ -37,6 +37,9 @@ def main(argv=None) -> None:
 
     from vq_tpu import ProductQuantizer
 
+    from vq_tpu.cli.common import warmup_backend
+
+    warmup_backend()
     results = []
     for n in args.sizes:
         data = generate_synthetic_data(n, args.dim, args.seed)
@@ -52,14 +55,16 @@ def main(argv=None) -> None:
             block(q.codebooks)
         with Timer() as t_enc:
             codes = block(q.encode(data))
-        recon = np.asarray(q.decode(codes))
+        recon = q.decode(codes)  # device; only pulled to host if --recall
         extra = {
             "m": args.m,
             "k": args.k,
             "code_bytes_per_vector": int(codes.shape[1]) * codes.dtype.itemsize,
         }
         recall = (
-            windowed_recall_at_k(data, recon, seed=args.seed)
+            windowed_recall_at_k(
+                np.asarray(data), np.asarray(recon), seed=args.seed
+            )
             if args.recall
             else None
         )

@@ -21,10 +21,11 @@ def main(argv=None) -> None:
     p.add_argument("--levels", type=int, default=256)
     args = p.parse_args(argv)
 
-    import numpy as np
-
     from vq_tpu import ScalarQuantizer
 
+    from vq_tpu.cli.common import warmup_backend
+
+    warmup_backend()
     results = []
     for n in args.sizes:
         data = generate_synthetic_data(n, args.dim, args.seed)
@@ -32,7 +33,7 @@ def main(argv=None) -> None:
             q = ScalarQuantizer(float(data.min()), float(data.max()), args.levels)
         with Timer() as t_enc:
             codes = block(q.quantize(data))
-        recon = np.asarray(q.dequantize(codes))
+        recon = q.dequantize(codes)
         results.append(
             BenchmarkResult(
                 algorithm="sq",

@@ -27,14 +27,22 @@ def main(argv=None) -> None:
 
     from vq_tpu import TSVQ
 
+    from vq_tpu.cli.common import warmup_backend
+
+    warmup_backend()
     results = []
     for n in args.sizes:
-        data = generate_synthetic_data(n, args.dim, args.seed)
+        # Tree build is host-side recursion -> host data; encode/MSE run on
+        # a device-generated sample of the same distribution (uploading the
+        # host corpus through a TPU tunnel would dominate the timing).
+        data = generate_synthetic_data(n, args.dim, args.seed, device=False)
         with Timer() as t_train:
             q = TSVQ(data, max_depth=args.max_depth, distance=args.distance)
+        dev_data = generate_synthetic_data(n, args.dim, args.seed + 1)
         with Timer() as t_enc:
-            codes = block(q.encode(data))
-        recon = np.asarray(q.decode(codes))
+            codes = block(q.encode(dev_data))
+        data = dev_data
+        recon = q.decode(codes)
         results.append(
             BenchmarkResult(
                 algorithm="tsvq",

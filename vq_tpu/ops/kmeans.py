@@ -141,15 +141,25 @@ def _assign_codes(
     return codes.reshape(-1)[:n], dists.reshape(-1)[:n]
 
 
-def assign(data, centroids, block_rows: Optional[int] = None):
+def assign(
+    data, centroids, block_rows: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+):
     """Nearest-centroid assignment under squared-L2 (the k-means metric).
 
     Reference always assigns with squared Euclidean regardless of the user's
     encode-time Distance (src/core/vector.rs:352-363 via Vector::distance2).
-    Returns ``(codes [n] int32, sq_dists [n] f32)``.
+    Returns ``(codes [n] int32, sq_dists [n] f32)``. On TPU this runs the
+    fused Pallas distance+argmin kernel by default (identical codes).
     """
     data = jnp.asarray(data, jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vq_tpu.ops.pallas_kernels import assign_fused
+
+        return assign_fused(data, centroids, block_rows=min(block_rows or 1024, 1024))
     if block_rows is None:
         block_rows = default_block_rows(
             data.shape[0], centroids.shape[0], data.shape[1]

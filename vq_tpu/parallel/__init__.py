@@ -12,6 +12,7 @@ from vq_tpu.parallel.kmeans import (
 )
 from vq_tpu.parallel.mesh import (
     DATA_AXIS,
+    init_distributed,
     SUBSPACE_AXIS,
     make_mesh,
     replicate,
@@ -22,6 +23,7 @@ __all__ = [
     "DATA_AXIS",
     "SUBSPACE_AXIS",
     "make_mesh",
+    "init_distributed",
     "replicate",
     "shard_rows",
     "ShardedKMeansResult",

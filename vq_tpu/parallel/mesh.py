@@ -29,6 +29,7 @@ SUBSPACE_AXIS = "sub"
 
 __all__ = [
     "DATA_AXIS",
+    "init_distributed",
     "SUBSPACE_AXIS",
     "make_mesh",
     "shard_rows",
@@ -37,6 +38,22 @@ __all__ = [
     "Mesh",
     "NamedSharding",
 ]
+
+
+def init_distributed(**kwargs) -> int:
+    """Initialize multi-host JAX (one process per host) and return the
+    process index.
+
+    Thin wrapper over ``jax.distributed.initialize`` so pipelines have one
+    import; on single-host setups (or if already initialized) it is a
+    no-op returning 0. Pass ``coordinator_address``/``num_processes``/
+    ``process_id`` explicitly outside auto-bootstrapped environments.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-host without coordinator
+    return jax.process_index()
 
 
 def make_mesh(
