@@ -122,3 +122,52 @@ class TestValidation:
     def test_ragged_rejected(self):
         with pytest.raises(DimensionMismatch):
             TSVQ([[1.0, 2.0], [1.0]], 2)
+
+
+class TestBatchedBuild:
+    """Device (level-synchronous) build must produce the recursive
+    builder's exact tree — same DFS numbering, topology, centroids."""
+
+    def test_exact_tree_parity(self, rng):
+        from vq_tpu.models.tsvq import tsvq_build, tsvq_build_batched
+
+        data = rng.random((2000, 16), dtype=np.float32)
+        a = tsvq_build(data, 5)
+        b = tsvq_build_batched(data, 5)
+        assert a.num_nodes == b.num_nodes
+        np.testing.assert_array_equal(np.asarray(a.left), np.asarray(b.left))
+        np.testing.assert_array_equal(np.asarray(a.right), np.asarray(b.right))
+        np.testing.assert_allclose(
+            np.asarray(a.centroids), np.asarray(b.centroids),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_nan_rows(self, rng):
+        from vq_tpu.models.tsvq import tsvq_build, tsvq_build_batched
+
+        data = rng.random((300, 8), dtype=np.float32)
+        data[7, 2] = np.nan
+        data[100, 5] = np.nan
+        a = tsvq_build(data, 4)
+        b = tsvq_build_batched(data, 4)
+        assert a.num_nodes == b.num_nodes
+        np.testing.assert_array_equal(np.asarray(a.left), np.asarray(b.left))
+
+    def test_via_class(self, rng):
+        data = rng.random((500, 8), dtype=np.float32)
+        host = TSVQ(data, max_depth=4, build="host")
+        dev = TSVQ(data, max_depth=4, build="device")
+        np.testing.assert_array_equal(
+            np.asarray(host.encode(data[:50])),
+            np.asarray(dev.encode(data[:50])),
+        )
+
+    def test_depth_zero_and_tiny(self, rng):
+        from vq_tpu.models.tsvq import tsvq_build, tsvq_build_batched
+
+        data = rng.random((5, 4), dtype=np.float32)
+        a = tsvq_build(data, 0)
+        b = tsvq_build_batched(data, 0)
+        assert a.num_nodes == b.num_nodes == 1
+        one = rng.random((1, 4), dtype=np.float32)
+        assert tsvq_build_batched(one, 3).num_nodes == 1

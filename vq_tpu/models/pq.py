@@ -45,11 +45,6 @@ from vq_tpu.ops.distance import (
     Distance,
     Metric,
 )
-
-
-def _PAIRWISE_FOR_RERANK(q, cand, metric):
-    """Exact [1, R] distances for one query's rerank candidates."""
-    return _PAIRWISE[metric](q, cand)
 from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
 
 __all__ = ["ProductQuantizer", "pq_train", "pq_encode", "pq_decode"]
@@ -456,7 +451,7 @@ class ProductQuantizer(Quantizer):
             corpus = jnp.asarray(corpus, jnp.float32)
             cand = jnp.take(corpus, short, axis=0)  # [Q, R, d]
             exact = jax.vmap(
-                lambda qv, cv: _PAIRWISE_FOR_RERANK(qv[None, :], cv, self._metric)[0]
+                lambda qv, cv: _PAIRWISE[self._metric](qv[None, :], cv)[0]
             )(q2d, cand)  # [Q, R]
             neg_top, pos = jax.lax.top_k(-exact, min(k, r))
             idx = jnp.take_along_axis(short, pos, axis=1)

