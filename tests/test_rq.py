@@ -92,3 +92,37 @@ def test_validation(data):
         rq.encode(np.zeros((2, 10), np.float32))
     with pytest.raises(DimensionMismatch):
         rq_decode(np.zeros((2, 3), np.int32), rq.codebooks)
+
+
+class TestBeamSearch:
+    def test_beam1_equals_greedy(self, data):
+        from vq_tpu.models.rq import _rq_encode_beam_jit
+
+        rq = ResidualQuantizer(data, 3, 16, max_iters=5, seed=7)
+        greedy = np.asarray(rq.encode(data[:200]))
+        # the beam kernel itself at width 1 must reproduce greedy exactly
+        beam1 = np.asarray(
+            _rq_encode_beam_jit(
+                np.asarray(data[:200]), rq.codebooks, 1, 200
+            )
+        )
+        np.testing.assert_array_equal(greedy, beam1)
+
+    def test_beam_improves_mse(self, data):
+        rq = ResidualQuantizer(data, 4, 16, max_iters=8, seed=7)
+        x = data[:500]
+        mse_greedy = float(np.mean(
+            (np.asarray(rq.decode(rq.encode(x))) - x) ** 2
+        ))
+        codes_b = rq.encode(x, beam=8)
+        mse_beam = float(np.mean(
+            (np.asarray(rq.decode(codes_b)) - x) ** 2
+        ))
+        assert mse_beam <= mse_greedy
+        assert mse_beam < mse_greedy * 0.999  # strictly better somewhere
+
+    def test_beam_codes_in_range(self, data):
+        rq = ResidualQuantizer(data, 3, 16, max_iters=3, seed=1)
+        codes = np.asarray(rq.encode(data[:50], beam=4))
+        assert codes.shape == (50, 3)
+        assert codes.max() < 16

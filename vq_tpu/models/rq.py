@@ -70,6 +70,81 @@ def _rq_encode_jit(x: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
     return codes.T  # [n, S]
 
 
+@functools.partial(jax.jit, static_argnames=("beam", "block_rows"))
+def _rq_encode_beam_jit(
+    x: jnp.ndarray, cbs: jnp.ndarray, beam: int, block_rows: int
+) -> jnp.ndarray:
+    """Beam-search encode: track the ``beam`` best additive prefixes.
+
+    Greedy RQ is suboptimal because stages interact; with beam width B the
+    cumulative objective after stage s is exactly the candidate residual's
+    squared norm, so selection is a top-B over ``[B*k]`` expanded scores per
+    vector. B=1 reduces to greedy. Data is tiled over ``block_rows`` so the
+    ``[tile, B, d]`` residual tensor stays modest.
+    """
+    n, d = x.shape
+    S, k, _ = cbs.shape
+    pad = (-n) % block_rows
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    tiles = xp.reshape(-1, block_rows, d)
+    cc = jnp.sum(cbs * cbs, axis=-1)  # [S, k]
+
+    def encode_tile(tile):
+        # Stage 0: plain nearest-B.
+        xc = jax.lax.dot_general(
+            tile, cbs[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, k]
+        xx = jnp.sum(tile * tile, axis=-1, keepdims=True)
+        scores0 = xx + cc[0][None, :] - 2.0 * xc
+        neg, idx0 = jax.lax.top_k(-scores0, beam)  # [T, B]
+        # Fixed-shape carry: codes preallocated [T, B, S], written per stage.
+        codes = jnp.zeros((tile.shape[0], beam, S), jnp.int32)
+        codes = codes.at[:, :, 0].set(idx0)
+        residuals = tile[:, None, :] - jnp.take(cbs[0], idx0, axis=0)
+        costs = -neg  # [T, B] == ||residual||^2 (+ rounding)
+
+        def stage(carry, inp):
+            codes, residuals, _costs = carry
+            cb_s, cc_s, s_idx = inp  # [k, d], [k], []
+            rc = jnp.einsum(
+                "tbd,kd->tbk", residuals, cb_s,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rr = jnp.sum(residuals * residuals, axis=-1)  # [T, B]
+            scores = rr[:, :, None] + cc_s[None, None, :] - 2.0 * rc
+            flat = scores.reshape(scores.shape[0], beam * k)
+            neg, pick = jax.lax.top_k(-flat, beam)  # [T, B]
+            parent = pick // k
+            code = pick % k
+            new_codes = jnp.take_along_axis(
+                codes, parent[:, :, None], axis=1
+            )
+            new_codes = jax.lax.dynamic_update_index_in_dim(
+                new_codes, code, s_idx, axis=2
+            )
+            new_res = (
+                jnp.take_along_axis(residuals, parent[:, :, None], axis=1)
+                - jnp.take(cb_s, code, axis=0)
+            )
+            return (new_codes, new_res, -neg), None
+
+        (codes, residuals, costs), _ = jax.lax.scan(
+            stage,
+            (codes, residuals, costs),
+            (cbs[1:], cc[1:], jnp.arange(1, S)),
+        )
+        best = jnp.argmin(costs, axis=-1)  # [T]
+        return jnp.take_along_axis(
+            codes, best[:, None, None], axis=1
+        )[:, 0, :].astype(jnp.int32)
+
+    out = jax.lax.map(encode_tile, tiles)
+    return out.reshape(-1, S)[:n]
+
+
 @jax.jit
 def _rq_decode_jit(codes: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
     def body(acc, inp):
@@ -81,11 +156,16 @@ def _rq_decode_jit(codes: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def rq_encode(x, codebooks) -> jnp.ndarray:
+def rq_encode(x, codebooks, beam: int = 1, block_rows: int = 4096) -> jnp.ndarray:
+    """Encode; ``beam > 1`` enables beam search (lower MSE, B*k work/stage)."""
     cbs = jnp.asarray(codebooks, jnp.float32)
     x2d, _ = as_batch_f32(x)
     if x2d.shape[1] != cbs.shape[2]:
         raise DimensionMismatch(expected=cbs.shape[2], found=x2d.shape[1])
+    if int(beam) > 1:
+        return _rq_encode_beam_jit(
+            x2d, cbs, int(beam), min(int(block_rows), x2d.shape[0])
+        )
     return _rq_encode_jit(x2d, cbs)
 
 
@@ -153,9 +233,11 @@ class ResidualQuantizer(Quantizer):
     def dim(self) -> int:
         return self._cbs.shape[2]
 
-    def encode(self, x) -> jnp.ndarray:
+    def encode(self, x, beam: int = 1) -> jnp.ndarray:
+        """``beam > 1`` uses beam-search over stage combinations (lower MSE
+        at B*k scoring cost per stage; greedy when 1)."""
         x2d, was_1d = as_batch_f32(x)
-        codes = rq_encode(x2d, self._cbs)
+        codes = rq_encode(x2d, self._cbs, beam=beam)
         if self.num_centroids <= 256:
             codes = codes.astype(jnp.uint8)
         return codes[0] if was_1d else codes

@@ -31,7 +31,7 @@ from vq_tpu.models.base import check_training_matrix
 from vq_tpu.ops.kmeans import (
     CONVERGENCE_EPS,
     KMeansResult,
-    _assign_accumulate,
+    _accumulate_dispatch,
     _assign_codes,
     _validate_kmeans_args,
     default_block_rows,
@@ -91,6 +91,9 @@ def lloyd_stepped(
     _validate_kmeans_args(n, k, max_iters)
     if block_rows is None:
         block_rows = default_block_rows(n, k, d)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        block_rows = min(int(block_rows), 1024)
 
     key = jax.random.PRNGKey(int(seed))
     start_iter = 0
@@ -119,7 +122,9 @@ def lloyd_stepped(
         t0 = time.perf_counter()
         key, reseed_key = jax.random.split(key)
         with trace("vq_tpu.lloyd.assign_accumulate"):
-            sums, counts, inertia = _assign_accumulate(data, centroids, block_rows)
+            sums, counts, inertia = _accumulate_dispatch(
+                data, centroids, block_rows, use_pallas
+            )
         with trace("vq_tpu.lloyd.update"):
             centroids, changed_dev, movement, n_empty = _update_step(
                 sums, counts, centroids, data, reseed_key, float(eps), k
