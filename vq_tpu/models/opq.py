@@ -24,7 +24,6 @@ space (rotating queries is one [Q, d] x [d, d] matmul).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

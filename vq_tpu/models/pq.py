@@ -32,12 +32,12 @@ TPU-native extensions beyond the reference:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
+from vq_tpu.errors import DimensionMismatch, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
 from vq_tpu.ops.distance import (
     COSINE_NORM_EPS,

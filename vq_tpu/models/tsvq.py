@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
+from vq_tpu.errors import DimensionMismatch, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
 from vq_tpu.ops.distance import Distance, Metric, _rowwise_jit
 

@@ -13,7 +13,6 @@ codes come back sharded the same way.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vq_tpu.errors import InvalidParameter
 from vq_tpu.models.base import check_training_matrix
 from vq_tpu.ops.kmeans import CONVERGENCE_EPS, default_block_rows, _validate_kmeans_args
-from vq_tpu.parallel.mesh import DATA_AXIS, SUBSPACE_AXIS, make_mesh, shard_rows
+from vq_tpu.parallel.mesh import DATA_AXIS, SUBSPACE_AXIS, make_mesh
 
 __all__ = ["ShardedKMeansResult", "sharded_lloyd", "sharded_pq_train"]
 

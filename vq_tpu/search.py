@@ -15,7 +15,6 @@ round-trip through the same single-file `.npz` scheme as the quantizers.
 
 from __future__ import annotations
 
-import json
 from typing import Optional, Tuple
 
 import jax
