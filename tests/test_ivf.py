@@ -107,3 +107,25 @@ def test_validation(clustered):
     idx.add(clustered[:100])
     with pytest.raises(InvalidData):
         idx.search(clustered[:2], rerank=10)  # no corpus kept
+
+
+def test_max_list_size_caps_memory(clustered):
+    idx = IVFPQIndex.train(
+        clustered[:1000], nlist=8, num_subspaces=4, num_centroids=8,
+    )
+    idx.max_list_size = 64
+    idx.add(clustered)  # 5000 rows over 8 lists -> heavy overflow
+    stats = idx.bucket_stats()
+    assert stats["cap"] <= 64
+    assert stats["overflow_dropped"] > 0
+    # search still works over the capped structure
+    ids, dist = idx.search(clustered[:3], k=5, nprobe=8)
+    assert np.asarray(ids).shape == (3, 5)
+    assert np.isfinite(np.asarray(dist)).all()
+
+
+def test_bucket_stats_shape(index):
+    stats = index.bucket_stats()
+    assert stats["ntotal"] == 5000
+    assert stats["overflow_dropped"] == 0
+    assert 0.0 <= stats["padding_waste"] < 1.0

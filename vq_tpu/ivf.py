@@ -100,11 +100,19 @@ class IVFPQIndex:
         *,
         by_residual: bool = True,
         keep_corpus: bool = False,
+        max_list_size: Optional[int] = None,
     ):
+        """``max_list_size`` caps the padded bucket capacity: lists longer
+        than the cap keep only their first ``max_list_size`` entries in the
+        probe structure (overflow entries are reported by
+        :meth:`bucket_stats` and still retrievable via rerank when the
+        corpus is kept). Bounds memory to ``nlist * cap * m`` under
+        adversarial skew."""
         self.coarse = jnp.asarray(coarse_centroids, jnp.float32)  # [nlist, d]
         self.pq = pq
         self.by_residual = bool(by_residual)
         self.keep_corpus = bool(keep_corpus)
+        self.max_list_size = max_list_size
         if self.coarse.shape[1] != pq.dim:
             raise DimensionMismatch(
                 expected=pq.dim, found=self.coarse.shape[1]
@@ -195,6 +203,8 @@ class IVFPQIndex:
         lists = self._flat_lists
         counts = np.bincount(lists, minlength=self.nlist)
         cap = max(8, int(-(-int(counts.max()) // 8) * 8))
+        if self.max_list_size is not None:
+            cap = min(cap, max(8, int(-(-int(self.max_list_size) // 8) * 8)))
         m = self._flat_codes.shape[1]
         bucket_codes = np.zeros((self.nlist, cap, m), np.int32)
         bucket_ids = np.full((self.nlist, cap), -1, np.int32)
@@ -203,7 +213,7 @@ class IVFPQIndex:
         sorted_codes = self._flat_codes[order].astype(np.int32)
         starts = np.searchsorted(sorted_lists, np.arange(self.nlist))
         for l in range(self.nlist):
-            c = counts[l]
+            c = min(int(counts[l]), cap)
             if c == 0:
                 continue
             sl = slice(starts[l], starts[l] + c)
@@ -211,6 +221,26 @@ class IVFPQIndex:
             bucket_ids[l, :c] = order[sl]
         self._buckets = (jnp.asarray(bucket_codes), jnp.asarray(bucket_ids))
         return self._buckets
+
+    def bucket_stats(self) -> dict:
+        """Occupancy diagnostics: list-size distribution, padded capacity,
+        and how many entries a ``max_list_size`` cap currently drops."""
+        if self._flat_lists is None:
+            return {"ntotal": 0}
+        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        bucket_codes, _ = self._build_buckets()
+        cap = int(bucket_codes.shape[1])
+        return {
+            "ntotal": int(self.ntotal),
+            "nlist": self.nlist,
+            "cap": cap,
+            "min": int(counts.min()),
+            "mean": float(counts.mean()),
+            "max": int(counts.max()),
+            "empty_lists": int((counts == 0).sum()),
+            "overflow_dropped": int(np.maximum(counts - cap, 0).sum()),
+            "padding_waste": float(1.0 - counts.clip(max=cap).sum() / (self.nlist * cap)),
+        }
 
     # -- search -------------------------------------------------------------
 
