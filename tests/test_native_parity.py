@@ -105,3 +105,37 @@ class TestBatchKernels:
         a = native.pq_encode(data, cb, num_threads=1)
         b = native.pq_encode(data, cb, num_threads=4)
         np.testing.assert_array_equal(a, b)
+
+
+class TestFuzzParity:
+    """Differential fuzzing: exact code agreement between the XLA paths and
+    the native C++ oracle over many random shapes and seeds."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_assign_exact_match(self, seed):
+        from vq_tpu.ops.kmeans import assign
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 700))
+        d = int(rng.integers(1, 96))
+        k = int(rng.integers(1, 300))
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        c = rng.standard_normal((k, d)).astype(np.float32)
+        got, _ = assign(x, c)
+        want = native.assign(x, c)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    @pytest.mark.parametrize("seed", [10, 11, 12])
+    def test_pq_encode_exact_match(self, seed):
+        from vq_tpu.models.pq import pq_encode
+
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(1, 9))
+        s = int(rng.integers(1, 17))
+        k = int(rng.integers(2, 257))
+        n = int(rng.integers(1, 500))
+        x = rng.standard_normal((n, m * s)).astype(np.float32)
+        cb = rng.standard_normal((m, k, s)).astype(np.float32)
+        got = np.asarray(pq_encode(x, cb, "squared_euclidean"))
+        want = native.pq_encode(x, cb)
+        np.testing.assert_array_equal(got, want.astype(got.dtype))
