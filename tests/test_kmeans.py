@@ -137,3 +137,34 @@ class TestBatched:
         a = lloyd_batched(data, k=4, max_iters=10, seed=9)[0]
         b = lloyd_batched(data, k=4, max_iters=10, seed=9)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestKMeansPlusPlusInit:
+    def test_kpp_beats_or_matches_sample_init(self):
+        # Clustered data where random sample-init frequently double-books a
+        # blob: k-means++ must find an equal-or-better minimum.
+        rng = np.random.default_rng(12)
+        centers = rng.normal(0, 5.0, (8, 16)).astype(np.float32)
+        which = rng.integers(0, 8, 2000)
+        data = (centers[which] + rng.normal(0, 0.1, (2000, 16))).astype(
+            np.float32
+        )
+        worst = max(
+            float(lloyd(data, 8, max_iters=15, seed=s).inertia)
+            for s in range(3)
+        )
+        kpp = float(lloyd(data, 8, max_iters=15, seed=0, init="kmeans++").inertia)
+        assert kpp <= worst * 1.001
+
+    def test_invalid_init_rejected(self, uniform_data):
+        from vq_tpu.errors import InvalidParameter
+
+        with pytest.raises(InvalidParameter):
+            lloyd(uniform_data, 4, init="magic")
+
+    def test_kpp_deterministic(self, uniform_data):
+        a = lloyd(uniform_data, 8, max_iters=4, seed=3, init="kmeans++")
+        b = lloyd(uniform_data, 8, max_iters=4, seed=3, init="kmeans++")
+        np.testing.assert_array_equal(
+            np.asarray(a.centroids), np.asarray(b.centroids)
+        )

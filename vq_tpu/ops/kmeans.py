@@ -253,6 +253,7 @@ def lloyd(
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
     use_pallas: Optional[bool] = None,
+    init: str = "sample",
 ) -> KMeansResult:
     """Train ``k`` centroids with Lloyd's algorithm (reference
     ``lbg_quantize``, src/core/vector.rs:390-461).
@@ -263,6 +264,10 @@ def lloyd(
     VMEM-sized chunks; ``None`` picks a size automatically. ``use_pallas``
     selects the fused VMEM-resident accumulate kernel (defaults to on for
     the TPU backend); both paths produce identical assignments.
+
+    ``init``: ``"sample"`` (reference semantics — k distinct random rows,
+    src/core/vector.rs:412-413) or ``"kmeans++"`` (D²-weighted seeding;
+    better minima, deviation from the reference documented).
     """
     data = check_training_matrix(data)
     n, d = data.shape
@@ -278,10 +283,61 @@ def lloyd(
     if use_pallas:
         # The fused kernel caps its tile height by the VMEM budget.
         block_rows = min(int(block_rows), 1024)
+    if init == "kmeans++":
+        from vq_tpu.ops.kmeans_stream import kmeans_plusplus_init
+
+        import numpy as _np
+
+        seeds = kmeans_plusplus_init(
+            _np.asarray(data), k, _np.random.default_rng(int(seed))
+        )
+        centroids, assignments, inertia, iterations, converged = (
+            _lloyd_from_init_jit(
+                data, jnp.asarray(seeds), key, max_iters, float(eps),
+                int(block_rows), bool(use_pallas),
+            )
+        )
+        return KMeansResult(
+            centroids, assignments, inertia, iterations, converged
+        )
+    if init != "sample":
+        raise InvalidParameter(
+            "init", f"expected 'sample' or 'kmeans++', got {init!r}"
+        )
     centroids, assignments, inertia, iterations, converged = _lloyd_jit(
         data, key, k, max_iters, float(eps), int(block_rows), bool(use_pallas)
     )
     return KMeansResult(centroids, assignments, inertia, iterations, converged)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "block_rows", "use_pallas")
+)
+def _lloyd_from_init_jit(
+    data: jnp.ndarray,
+    centroids0: jnp.ndarray,
+    key: jnp.ndarray,
+    max_iters: int,
+    eps: float,
+    block_rows: int,
+    use_pallas: bool = False,
+):
+    """Lloyd refinement from explicit initial centroids."""
+    k = centroids0.shape[0]
+    _, loop_key = jax.random.split(key)
+    body = _lloyd_body_factory(data, k, eps, block_rows, use_pallas)
+
+    def cond(state):
+        _, _, it, changed = state
+        return jnp.logical_and(it < max_iters, changed)
+
+    centroids, _, iterations, changed = jax.lax.while_loop(
+        cond, body, (centroids0, loop_key, jnp.int32(0), jnp.bool_(True))
+    )
+    assignments, sq_dists = _assign_codes(data, centroids, block_rows)
+    return centroids, assignments, jnp.sum(sq_dists), iterations, (
+        jnp.logical_not(changed)
+    )
 
 
 @functools.partial(
