@@ -97,3 +97,65 @@ def test_adc_lookup_fused_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
     )
+
+
+def test_pq_lloyd_accumulate_fused_matches_batched(rng):
+    """The fused multi-subspace accumulate must agree with the XLA path."""
+    import jax
+    from vq_tpu.ops.pallas_kernels import pq_lloyd_accumulate_fused
+    from vq_tpu.ops.kmeans import _assign_accumulate
+
+    n, m, s, k = 700, 4, 8, 40
+    x = rng.random((n, m * s), dtype=np.float32)
+    cb = rng.random((m, k, s), dtype=np.float32)
+    sums, counts, inertia = pq_lloyd_accumulate_fused(
+        x, cb, block_rows=256, interpret=True
+    )
+    # Reference: run the single-codebook XLA accumulate per subspace.
+    tot_inertia = 0.0
+    for i in range(m):
+        xs = jnp.asarray(x[:, i * s : (i + 1) * s])
+        s_r, c_r, i_r = _assign_accumulate(xs, jnp.asarray(cb[i]), 256)
+        np.testing.assert_allclose(
+            np.asarray(sums[i]), np.asarray(s_r), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(counts[i]), np.asarray(c_r)
+        )
+        tot_inertia += float(i_r)
+    np.testing.assert_allclose(float(inertia), tot_inertia, rtol=1e-5)
+
+
+def test_pq_train_fused_matches_xla(rng):
+    """The fused PQ trainer follows the vmapped trainer's trajectory."""
+    from vq_tpu.models.pq import pq_train
+
+    data = rng.random((600, 32), dtype=np.float32)
+    cb_xla = pq_train(data, 4, 8, max_iters=6, seed=3, use_pallas=False)
+    # Force the fused path (interpret-mode pallas inside) on CPU by
+    # calling the jit directly.
+    import jax
+    from vq_tpu.ops.kmeans import _pq_lloyd_fused_jit
+
+    base = jax.random.PRNGKey(3)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(4))
+    # interpret mode is selected inside pq_lloyd_accumulate_fused only via
+    # param; on CPU pallas compiles through the CPU lowering in interpret
+    # mode only — patch by monkeypatching the accumulate to interpret.
+    import vq_tpu.ops.pallas_kernels as pk
+
+    orig = pk.pq_lloyd_accumulate_fused
+
+    def interp(x, cb, block_rows=1024):
+        return orig(x, cb, block_rows=block_rows, interpret=True)
+
+    pk.pq_lloyd_accumulate_fused = interp
+    try:
+        cb_fused, _, _ = _pq_lloyd_fused_jit(
+            jnp.asarray(data), keys, 8, 6, 1e-6, 256
+        )
+    finally:
+        pk.pq_lloyd_accumulate_fused = orig
+    np.testing.assert_allclose(
+        np.asarray(cb_xla), np.asarray(cb_fused), rtol=1e-4, atol=1e-4
+    )

@@ -45,7 +45,11 @@ from vq_tpu.ops.distance import (
     Distance,
     Metric,
 )
-from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
+from vq_tpu.ops.kmeans import (
+    CONVERGENCE_EPS,
+    default_block_rows,
+    lloyd_batched,
+)
 
 __all__ = ["ProductQuantizer", "pq_train", "pq_encode", "pq_decode"]
 
@@ -205,10 +209,16 @@ def pq_train(
     seed: int = 42,
     *,
     block_rows: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Train PQ codebooks; returns ``[m, k, sub_dim]`` f32.
 
-    Validation matches the reference ctor (src/pq.rs:91-118).
+    Validation matches the reference ctor (src/pq.rs:91-118). On TPU the
+    per-iteration assignment+accumulate for all m subspaces runs as one
+    fused Pallas pass (one HBM read of the data per Lloyd iteration);
+    elsewhere the vmapped XLA path is used. Same per-subspace key streams
+    and update rule either way — results coincide up to f32 summation
+    order.
     """
     data = check_training_matrix(training_data)
     n, dim = data.shape
@@ -225,6 +235,19 @@ def pq_train(
             "num_subspaces", f"dimension ({dim}) must be divisible by m"
         )
     sub = dim // m
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and n >= k:
+        from vq_tpu.ops.kmeans import _pq_lloyd_fused_jit, _validate_kmeans_args
+
+        _validate_kmeans_args(n, k, int(max_iters))
+        base = jax.random.PRNGKey(int(seed))
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(m))
+        codebooks, _iters, _conv = _pq_lloyd_fused_jit(
+            data, keys, k, int(max_iters), float(CONVERGENCE_EPS),
+            min(int(block_rows) if block_rows else 1024, 1024),
+        )
+        return codebooks
     # [n, d] -> [m, n, sub]: each subspace trains on its column block
     # (reference slices per-vector copies, src/pq.rs:121-129; here it's a
     # reshape+transpose XLA handles as a layout change).

@@ -37,6 +37,7 @@ __all__ = [
     "assign_fused",
     "pq_encode_fused",
     "lloyd_accumulate_fused",
+    "pq_lloyd_accumulate_fused",
     "adc_lookup_fused",
 ]
 
@@ -310,6 +311,118 @@ def pq_encode_fused(
     return _pq_encode_fused_jit(
         x, cb, int(block_rows), bool(interpret), precision
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused PQ Lloyd accumulate: one pass over [n, m*s] data against all m
+# codebooks -> per-subspace (sums [m, k, s], counts [m, k], inertia []).
+# ---------------------------------------------------------------------------
+
+
+def _pq_lloyd_acc_kernel(
+    x_ref, cb_ref, cc_ref, valid_ref,
+    sums_ref, counts_ref, inertia_ref,
+    *, m, s, k,
+):
+    """The PQ-training hot loop fused: for every subspace, assignment
+    (distance matmul + argmin) and (sum, count) accumulation happen in VMEM
+    while the data tile is resident — one HBM read of x per Lloyd iteration
+    for all m sub-problems. The single-codebook kernel is the m == 1 case.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        inertia_ref[:] = jnp.zeros_like(inertia_ref)
+
+    tn = x_ref.shape[0]
+    valid = valid_ref[0, pl.ds(step * tn, tn)]  # [TN] 0/1 row mask
+    ones_row = jnp.ones((1, tn), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
+    for i in range(m):
+        xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s]
+        cbi = cb_ref[i]  # [k, s]
+        xc = jax.lax.dot_general(
+            xs, cbi, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )
+        scores = cc_ref[i][None, :] - 2.0 * xc  # [TN, k]
+        idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        onehot = (idx[:, None] == col).astype(jnp.float32) * valid[:, None]
+        sums_ref[i] += jax.lax.dot_general(
+            onehot, xs, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )  # [k, s]
+        counts_ref[i, :] += jax.lax.dot_general(
+            ones_row, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )[0]
+        xx = jnp.sum(xs * xs, axis=-1)
+        contrib = (
+            jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0) * valid
+        )[:, None]
+        inertia_ref[:, :] += jax.lax.dot_general(
+            ones_row, contrib, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _pq_lloyd_accumulate_jit(x, cb, block_rows: int, interpret: bool):
+    n, dim = x.shape
+    m, k, s = cb.shape
+    k_pad = _round_up(k, 128)
+    cbp = jnp.pad(cb, ((0, 0), (0, k_pad - k), (0, 0)))
+    cc = jnp.sum(cbp * cbp, axis=-1)
+    cc = jnp.where(jnp.arange(k_pad)[None, :] < k, cc, jnp.inf)
+
+    n_pad = _round_up(n, block_rows)
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[None, :]
+
+    sums, counts, inertia = pl.pallas_call(
+        functools.partial(_pq_lloyd_acc_kernel, m=m, s=s, k=k_pad),
+        grid=(n_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k_pad, s), jnp.float32),
+            jax.ShapeDtypeStruct((m, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, cbp, cc, valid)
+    return sums[:, :k], counts[:, :k], inertia[0, 0]
+
+
+def pq_lloyd_accumulate_fused(
+    x, codebooks, block_rows: int = 1024, interpret: bool = False
+):
+    """One fused PQ-Lloyd pass over ``x [n, m*s]``: per-subspace
+    ``(sums [m, k, s], counts [m, k])`` and total inertia, accumulated in
+    VMEM across the data sweep (one HBM read of x for all m sub-problems)."""
+    x = jnp.asarray(x, jnp.float32)
+    cb = jnp.asarray(codebooks, jnp.float32)
+    block_rows = min(block_rows, _round_up(x.shape[0], 8), 1024)
+    return _pq_lloyd_accumulate_jit(x, cb, int(block_rows), bool(interpret))
 
 
 # ---------------------------------------------------------------------------
