@@ -24,8 +24,12 @@ TPU-native extensions beyond the reference:
   and a batched top-k search over encoded corpora, computed as one-hot
   matmuls on the MXU. Supports all four metrics (cosine decomposes via
   per-subspace dot + squared-norm tables).
-* All codebooks train at once: ``lloyd_batched`` vmaps the m sub-problems so
-  XLA fuses them into batched matmuls instead of the reference's sequential
+* All codebooks train at once: on TPU the per-iteration assignment and
+  accumulation for every subspace is one fused Pallas pass over the
+  interleaved data (vq_tpu/ops/pallas_kernels.py::pq_lloyd_accumulate_fused;
+  ~0.5 s for 10 iterations at 1M x 128, 8x256); elsewhere ``lloyd_batched``
+  vmaps the m sub-problems into batched XLA matmuls. Either way all
+  subspaces train simultaneously, unlike the reference's sequential
   per-subspace loop (src/pq.rs:121-132).
 """
 
