@@ -31,9 +31,14 @@ import jax.numpy as jnp
 
 from vq_tpu.errors import DimensionMismatch, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
-from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode_best
+from vq_tpu.models.pq import (
+    ProductQuantizer,
+    pq_decode,
+    pq_encode_best,
+    pq_train,
+)
 from vq_tpu.ops.distance import Metric
-from vq_tpu.ops.kmeans import default_block_rows, lloyd_batched
+from vq_tpu.ops.kmeans import default_block_rows
 
 __all__ = ["OPQQuantizer", "opq_train"]
 
@@ -79,10 +84,11 @@ def opq_train(
     codebooks = None
     for it in range(int(opq_iters)):
         xr = x @ rot  # [n, d]
-        per_sub = jnp.moveaxis(xr.reshape(n, m, sub), 1, 0)  # [m, n, sub]
-        codebooks, _, _ = lloyd_batched(
-            per_sub, k, max_iters=int(pq_iters), seed=seed,
-            block_rows=block_rows, init_centroids=codebooks,
+        # pq_train warm-starts from the previous codebooks and routes to
+        # the fused multi-subspace Pallas trainer on TPU.
+        codebooks = pq_train(
+            xr, m, k, max_iters=int(pq_iters), seed=seed,
+            block_rows=block_rows, init_codebooks=codebooks,
         )
         codes = pq_encode_best(
             xr, codebooks, Metric.SQUARED_EUCLIDEAN,
@@ -92,10 +98,9 @@ def opq_train(
         rot = _procrustes(x, y)
 
     xr = x @ rot
-    per_sub = jnp.moveaxis(xr.reshape(n, m, sub), 1, 0)
-    codebooks, _, _ = lloyd_batched(
-        per_sub, k, max_iters=int(final_pq_iters), seed=seed,
-        block_rows=block_rows, init_centroids=codebooks,
+    codebooks = pq_train(
+        xr, m, k, max_iters=int(final_pq_iters), seed=seed,
+        block_rows=block_rows, init_codebooks=codebooks,
     )
     return rot, codebooks
 

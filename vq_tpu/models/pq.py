@@ -214,6 +214,7 @@ def pq_train(
     *,
     block_rows: Optional[int] = None,
     use_pallas: Optional[bool] = None,
+    init_codebooks=None,
 ) -> jnp.ndarray:
     """Train PQ codebooks; returns ``[m, k, sub_dim]`` f32.
 
@@ -247,9 +248,15 @@ def pq_train(
         _validate_kmeans_args(n, k, int(max_iters))
         base = jax.random.PRNGKey(int(seed))
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(m))
+        has_init = init_codebooks is not None
+        init = (
+            jnp.asarray(init_codebooks, jnp.float32) if has_init
+            else jnp.zeros((m, k, sub), jnp.float32)
+        )
         codebooks, _iters, _conv = _pq_lloyd_fused_jit(
             data, keys, k, int(max_iters), float(CONVERGENCE_EPS),
             min(int(block_rows) if block_rows else 1024, 1024),
+            init, has_init,
         )
         return codebooks
     # [n, d] -> [m, n, sub]: each subspace trains on its column block
@@ -257,7 +264,8 @@ def pq_train(
     # reshape+transpose XLA handles as a layout change).
     per_subspace = jnp.moveaxis(data.reshape(n, m, sub), 1, 0)
     codebooks, _iters, _conv = lloyd_batched(
-        per_subspace, k, max_iters=max_iters, seed=seed, block_rows=block_rows
+        per_subspace, k, max_iters=max_iters, seed=seed,
+        block_rows=block_rows, init_centroids=init_codebooks,
     )
     return codebooks
 

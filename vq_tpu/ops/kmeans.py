@@ -395,7 +395,7 @@ def _lloyd_batched_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "block_rows")
+    jax.jit, static_argnames=("k", "max_iters", "block_rows", "has_init")
 )
 def _pq_lloyd_fused_jit(
     x: jnp.ndarray,  # [n, m*s] PQ-interleaved data
@@ -404,6 +404,8 @@ def _pq_lloyd_fused_jit(
     max_iters: int,
     eps: float,
     block_rows: int,
+    init: Optional[jnp.ndarray] = None,  # [m, k, s] warm start
+    has_init: bool = False,
 ):
     """PQ training with the fused multi-subspace Pallas accumulate.
 
@@ -427,7 +429,10 @@ def _pq_lloyd_fused_jit(
         idx = jax.random.choice(sub_key, n, (k,), replace=False)
         return col_block(idx, i)
 
-    cb0 = jax.vmap(init_one)(keys, jnp.arange(m))  # [m, k, s]
+    if has_init:
+        cb0 = init  # warm start (e.g. OPQ's outer iterations)
+    else:
+        cb0 = jax.vmap(init_one)(keys, jnp.arange(m))  # [m, k, s]
     loop_keys = jax.vmap(lambda kk: jax.random.split(kk)[1])(keys)
 
     def body(state):
