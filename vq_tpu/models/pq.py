@@ -196,7 +196,8 @@ def pq_encode_best(
     ):
         from vq_tpu.ops.pallas_kernels import pq_encode_fused
 
-        return pq_encode_fused(x, cb, block_rows=block_rows)
+        # 768-row tiles measured fastest on v5e (sweep in docs/performance.md).
+        return pq_encode_fused(x, cb, block_rows=min(block_rows, 768))
     return _pq_encode_jit(x, cb, metric, block_rows)
 
 

@@ -340,62 +340,58 @@ def _lloyd_from_init_jit(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "block_rows", "has_init")
-)
-def _lloyd_batched_jit(
-    data: jnp.ndarray,  # [m, n, d]
-    keys: jnp.ndarray,  # [m, 2] PRNG keys
-    init: jnp.ndarray,  # [m, k, d] warm-start centroids (dummy if !has_init)
-    k: int,
-    max_iters: int,
-    eps: float,
-    block_rows: int,
-    has_init: bool,
-):
-    """vmapped Lloyd over independent sub-problems (PQ's m subspaces).
 
-    Under ``vmap`` the ``while_loop`` keeps iterating every lane until *all*
-    lanes' conditions are false, so the body freezes lanes whose own
-    ``changed`` flag has dropped — otherwise converged subspaces would keep
-    reseeding/drifting while slower subspaces finish.
-    """
-    n = data.shape[1]
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _pq_accumulate_xla(x: jnp.ndarray, cb: jnp.ndarray, block_rows: int):
+    """XLA fallback for the fused multi-subspace accumulate: one scan over
+    data tiles with batched einsums (same tile order as the Pallas kernel's
+    sequential grid). x: [n, m*s]; cb: [m, k, s] ->
+    (sums [m, k, s], counts [m, k], inertia [])."""
+    n, d = x.shape
+    m, k, s = cb.shape
+    cc = jnp.sum(cb * cb, axis=-1)  # [m, k]
+    pad = (-n) % block_rows
+    padded = jnp.pad(x.reshape(n, m, s), ((0, pad), (0, 0), (0, 0)))
+    tiles = padded.reshape(-1, block_rows, m, s)
+    base = jnp.arange(block_rows, dtype=jnp.int32)
 
-    def one(sub_data, sub_key, sub_init):
-        if has_init:
-            centroids0 = sub_init  # warm start (e.g. OPQ outer iterations)
-        else:
-            init_idx = jax.random.choice(sub_key, n, (k,), replace=False)
-            centroids0 = jnp.take(sub_data, init_idx, axis=0)
-        _, loop_key = jax.random.split(sub_key)
-        raw_body = _lloyd_body_factory(sub_data, k, eps, block_rows)
-
-        def body(state):
-            centroids, key, it, changed = state
-            new_c, new_key, new_it, new_changed = raw_body(state)
-            # Freeze this lane once it has converged (vmap keeps running it).
-            return (
-                jnp.where(changed, new_c, centroids),
-                jnp.where(changed, new_key, key),
-                jnp.where(changed, new_it, it),
-                jnp.logical_and(changed, new_changed),
-            )
-
-        def cond(state):
-            _, _, it, changed = state
-            return jnp.logical_and(it < max_iters, changed)
-
-        centroids, _, iterations, changed = jax.lax.while_loop(
-            cond, body, (centroids0, loop_key, jnp.int32(0), jnp.bool_(True))
+    def body(carry, inp):
+        sums, counts, inertia = carry
+        tile, bidx = inp  # [B, m, s]
+        valid = ((base + bidx * block_rows) < n).astype(jnp.float32)
+        xc = jnp.einsum(
+            "bms,mks->bmk", tile, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        return centroids, iterations, jnp.logical_not(changed)
+        scores = cc[None] - 2.0 * xc
+        codes = jnp.argmin(scores, axis=-1)  # [B, m]
+        xx = jnp.sum(tile * tile, axis=-1)
+        mind = jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
+        onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32) * valid[:, None, None]
+        sums = sums + jnp.einsum(
+            "bmk,bms->mks", onehot, tile,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        inertia = inertia + jnp.sum(mind * valid[:, None])
+        return (sums, counts, inertia), None
 
-    return jax.vmap(one)(data, keys, init)
+    init = (
+        jnp.zeros((m, k, s), jnp.float32),
+        jnp.zeros((m, k), jnp.float32),
+        jnp.float32(0.0),
+    )
+    (sums, counts, inertia), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
+    )
+    return sums, counts, inertia
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "block_rows", "has_init")
+    jax.jit,
+    static_argnames=("k", "max_iters", "block_rows", "has_init", "use_pallas"),
 )
 def _pq_lloyd_fused_jit(
     x: jnp.ndarray,  # [n, m*s] PQ-interleaved data
@@ -406,15 +402,23 @@ def _pq_lloyd_fused_jit(
     block_rows: int,
     init: Optional[jnp.ndarray] = None,  # [m, k, s] warm start
     has_init: bool = False,
+    use_pallas: bool = True,
 ):
-    """PQ training with the fused multi-subspace Pallas accumulate.
+    """PQ training driver: fused multi-subspace Pallas accumulate on TPU,
+    batched-einsum XLA accumulate elsewhere (same tile order).
 
-    Same per-lane key stream, init, update rule, and lane-freezing as
-    ``_lloyd_batched_jit``; the assignment+accumulate for all m subspaces
-    is one fused kernel pass (one HBM read of x per iteration). Results
-    coincide with the vmapped XLA path up to f32 summation order.
+    Same per-lane key stream, init, update rule, and lane-freezing as the
+    old vmapped path; the assignment+accumulate for all m subspaces is one
+    pass per iteration (one HBM read of x).
     """
-    from vq_tpu.ops.pallas_kernels import pq_lloyd_accumulate_fused
+    if use_pallas:
+        from vq_tpu.ops.pallas_kernels import pq_lloyd_accumulate_fused
+
+        def accumulate(x_, cb_):
+            return pq_lloyd_accumulate_fused(x_, cb_, block_rows=block_rows)
+    else:
+        def accumulate(x_, cb_):
+            return _pq_accumulate_xla(x_, cb_, block_rows)
 
     n, d = x.shape
     m = keys.shape[0]
@@ -439,9 +443,7 @@ def _pq_lloyd_fused_jit(
         cb, lkeys, it, changed = state
         splits = jax.vmap(jax.random.split)(lkeys)  # [m, 2, 2]
         new_keys, reseed_keys = splits[:, 0], splits[:, 1]
-        sums, counts, _ = pq_lloyd_accumulate_fused(
-            x, cb, block_rows=block_rows
-        )
+        sums, counts, _ = accumulate(x, cb)
         nonempty = counts > 0  # [m, k]
         means = sums / jnp.maximum(counts, 1.0)[..., None]
         ridx = jax.vmap(
@@ -513,7 +515,13 @@ def lloyd_batched(
             )
     else:
         init = jnp.zeros((m, k, d), jnp.float32)
-    return _lloyd_batched_jit(
-        data, keys, init, k, int(max_iters), float(eps), int(block_rows),
-        has_init,
+    # Shared driver over the PQ-interleaved layout; fused Pallas accumulate
+    # on TPU, batched-einsum XLA elsewhere (the old vmapped while_loop was
+    # pathologically slow — 355x slower than the fused kernel at 1M rows).
+    x = jnp.moveaxis(data, 0, 1).reshape(n, m * d)
+    use_pallas = jax.default_backend() == "tpu"
+    return _pq_lloyd_fused_jit(
+        x, keys, k, int(max_iters), float(eps),
+        min(int(block_rows), 1024) if use_pallas else int(block_rows),
+        init, has_init, use_pallas,
     )
