@@ -94,3 +94,53 @@ class TestValidation:
     def test_errors_are_value_errors(self):
         with pytest.raises(ValueError):
             ScalarQuantizer(1.0, -1.0, 5)
+
+
+class TestPerDimScalarQuantizer:
+    def test_fit_and_roundtrip(self, rng):
+        from vq_tpu import PerDimScalarQuantizer, ScalarQuantizer
+
+        x = (rng.random((400, 8), dtype=np.float32)
+             * np.arange(1, 9, dtype=np.float32))
+        q = PerDimScalarQuantizer.from_data(x)
+        codes = np.asarray(q.quantize(x))
+        assert codes.dtype == np.uint8
+        rec = np.asarray(q.dequantize(codes))
+        mse_pd = float(np.mean((x - rec) ** 2))
+        g = ScalarQuantizer(float(x.min()), float(x.max()))
+        mse_g = float(np.mean(
+            (x - np.asarray(g.dequantize(g.quantize(x)))) ** 2
+        ))
+        assert mse_pd < mse_g  # per-dim ranges beat a global range
+
+    def test_constant_dimension(self, rng):
+        from vq_tpu import PerDimScalarQuantizer
+
+        x = rng.random((50, 3), dtype=np.float32)
+        x[:, 1] = 4.2  # zero-range dimension
+        q = PerDimScalarQuantizer.from_data(x)
+        rec = np.asarray(q.dequantize(q.quantize(x)))
+        np.testing.assert_allclose(rec[:, 1], 4.2, atol=1e-4)
+
+    def test_validation(self):
+        from vq_tpu import PerDimScalarQuantizer
+        from vq_tpu.errors import DimensionMismatch, InvalidParameter
+
+        with pytest.raises(InvalidParameter):
+            PerDimScalarQuantizer([0.0, 0.0], [1.0, 0.0])  # max <= min
+        with pytest.raises(InvalidParameter):
+            PerDimScalarQuantizer([0.0], [1.0], levels=300)
+        q = PerDimScalarQuantizer([0.0, 0.0], [1.0, 1.0])
+        with pytest.raises(DimensionMismatch):
+            q.quantize(np.zeros((2, 3), np.float32))
+
+    def test_serialize(self, rng, tmp_path):
+        from vq_tpu import PerDimScalarQuantizer
+        from vq_tpu.utils import load, save
+
+        x = rng.random((100, 4), dtype=np.float32)
+        q = PerDimScalarQuantizer.from_data(x, levels=64)
+        q2 = load(save(str(tmp_path / "pdsq"), q))
+        np.testing.assert_array_equal(
+            np.asarray(q.quantize(x)), np.asarray(q2.quantize(x))
+        )

@@ -33,7 +33,7 @@ from vq_tpu.models.bq import (
 from vq_tpu.models.opq import OPQQuantizer, opq_train
 from vq_tpu.models.rq import ResidualQuantizer, rq_decode, rq_encode, rq_train
 from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode, pq_train
-from vq_tpu.models.sq import ScalarQuantizer
+from vq_tpu.models.sq import PerDimScalarQuantizer, ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
 from vq_tpu.ops.kmeans import KMeansResult, lloyd, lloyd_batched
@@ -66,6 +66,7 @@ get_simd_backend = get_backend
 __all__ = [
     "BinaryQuantizer",
     "ScalarQuantizer",
+    "PerDimScalarQuantizer",
     "ProductQuantizer",
     "OPQQuantizer",
     "opq_train",

@@ -77,6 +77,18 @@ def save(path: str, quantizer) -> str:
             },
             {},
         )
+    from vq_tpu.models.sq import PerDimScalarQuantizer
+
+    if isinstance(quantizer, PerDimScalarQuantizer):
+        return _to_npz(
+            path,
+            "sq_perdim",
+            {"levels": quantizer.levels},
+            {
+                "mins": np.asarray(quantizer.mins),
+                "maxs": np.asarray(quantizer.maxs),
+            },
+        )
     if isinstance(quantizer, ScalarQuantizer):
         return _to_npz(
             path,
@@ -140,6 +152,12 @@ def load(path: str):
     if kind == "bq":
         return BinaryQuantizer(
             threshold=config["threshold"], low=config["low"], high=config["high"]
+        )
+    if kind == "sq_perdim":
+        from vq_tpu.models.sq import PerDimScalarQuantizer
+
+        return PerDimScalarQuantizer(
+            arrays["mins"], arrays["maxs"], levels=config["levels"]
         )
     if kind == "sq":
         return ScalarQuantizer(
