@@ -178,3 +178,56 @@ def test_pq_codes_in_range_and_deterministic(seed):
     np.testing.assert_array_equal(c1, c2)
     assert c1.max() < 8
     assert c1.shape == (64, 4)
+
+
+# --- RQ / OPQ ---------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_rq_monotone_stage_reconstruction(seed):
+    # Adding a stage never increases reconstruction error for the SAME
+    # prefix codes (each stage quantizes the remaining residual).
+    rng = np.random.default_rng(seed)
+    data = rng.random((128, 8), dtype=np.float32)
+    rq = vq_tpu.ResidualQuantizer(data, 3, 8, max_iters=3, seed=seed)
+    codes = np.asarray(rq.encode(data))
+    cbs = np.asarray(rq.codebooks)
+    prev = np.mean(data.astype(np.float64) ** 2)
+    recon = np.zeros_like(data, dtype=np.float64)
+    for s_i in range(3):
+        recon = recon + cbs[s_i][codes[:, s_i]]
+        err = float(np.mean((data - recon) ** 2))
+        assert err <= prev + 1e-6
+        prev = err
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_opq_rotation_orthogonal_and_codes_in_range(seed):
+    rng = np.random.default_rng(seed)
+    data = rng.random((96, 16), dtype=np.float32)
+    opq = vq_tpu.OPQQuantizer(data, 4, 4, opq_iters=2, pq_iters=2, seed=seed)
+    r = np.asarray(opq.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-3)
+    codes = np.asarray(opq.encode(data))
+    assert codes.max() < 4
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    x=arrays(np.float32, (40, 8), elements=finite_f32),
+    levels=st.integers(2, 256),
+)
+def test_perdim_sq_roundtrip_bounded(x, levels):
+    import jax.numpy as _jnp
+
+    q = vq_tpu.PerDimScalarQuantizer.from_data(x, levels=levels)
+    rec = np.asarray(q.dequantize(q.quantize(x)))
+    steps = np.asarray(q.steps)
+    span = np.asarray(q.maxs) - np.asarray(q.mins)
+    bound = steps / 2 + span * 1e-5 + 1e-6
+    assert np.all(np.abs(rec - x) <= bound[None, :])
