@@ -16,6 +16,14 @@ PQ codes per list), built TPU-first:
 
 Everything heavy is jitted; `add` is append-only with lazy bucket
 (re)building.
+
+**When to prefer the flat index on TPU:** probing is gather-bound while the
+flat ADC scan is matmul-bound, and the MXU outruns HBM gathers by a wide
+margin — measured at 1M rows, `PQIndex`'s full scan answers 128 queries in
+41 ms while IVF probing (nprobe=8, skewed 1000-cluster data) takes ~620 ms
+for 100. IVF's probe cost is O(nprobe × max_list) independent of corpus
+size, so it pays off when the corpus grows to the tens of millions (a 100M
+flat scan would be ~4 s) or when only the 8-byte codes fit in HBM.
 """
 
 from __future__ import annotations
@@ -68,13 +76,15 @@ def _ivf_search_jit(
     rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
     tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
 
-    # Gather probed buckets and sum table entries per subspace.
+    # Gather probed buckets and sum table entries per subspace. Codes are
+    # stored u8 (k <= 256) so the big [Q, nprobe, cap, m] gather moves 4x
+    # less HBM; the per-subspace index cast fuses into its consumer.
     codes = jnp.take(bucket_codes, probe, axis=0)  # [Q, np, cap, m]
     ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
     dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, cap]
     for i in range(m):
         dist = dist + jnp.take_along_axis(
-            tables[:, :, i, :], codes[..., i], axis=-1
+            tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
         )
     dist = jnp.where(ids >= 0, dist, jnp.inf)
 
@@ -138,9 +148,14 @@ class IVFPQIndex:
         by_residual: bool = True,
         keep_corpus: bool = False,
     ) -> "IVFPQIndex":
-        """Fit the coarse quantizer and the (residual) PQ codebooks."""
+        """Fit the coarse quantizer and the (residual) PQ codebooks.
+
+        The coarse quantizer seeds with k-means++ — balanced lists directly
+        bound the padded bucket capacity (memory and search cost both scale
+        with the largest list).
+        """
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed)
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
         coarse = res.centroids
         if by_residual:
             assign = res.assignments
@@ -206,11 +221,14 @@ class IVFPQIndex:
         if self.max_list_size is not None:
             cap = min(cap, max(8, int(-(-int(self.max_list_size) // 8) * 8)))
         m = self._flat_codes.shape[1]
-        bucket_codes = np.zeros((self.nlist, cap, m), np.int32)
+        code_dtype = (
+            np.uint8 if self.pq.num_centroids <= 256 else np.int32
+        )
+        bucket_codes = np.zeros((self.nlist, cap, m), code_dtype)
         bucket_ids = np.full((self.nlist, cap), -1, np.int32)
         order = np.argsort(lists, kind="stable")
         sorted_lists = lists[order]
-        sorted_codes = self._flat_codes[order].astype(np.int32)
+        sorted_codes = self._flat_codes[order].astype(code_dtype)
         starts = np.searchsorted(sorted_lists, np.arange(self.nlist))
         for l in range(self.nlist):
             c = min(int(counts[l]), cap)
