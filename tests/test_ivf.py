@@ -129,3 +129,42 @@ def test_bucket_stats_shape(index):
     assert stats["ntotal"] == 5000
     assert stats["overflow_dropped"] == 0
     assert 0.0 <= stats["padding_waste"] < 1.0
+
+
+def test_search_k_beyond_probe_pool(index, clustered):
+    # Round-2 regression (ADVICE medium): k or rerank larger than
+    # nprobe * cap used to raise ValueError from top_k instead of honoring
+    # the documented "-1 = fewer than k candidates" padding contract.
+    cap = int(index._build_buckets()[1].shape[1])
+    big_k = 2 * cap + 3  # > nprobe * cap with nprobe=2? ensure strictly over
+    ids, dist = index.search(clustered[:3], k=big_k, nprobe=1)
+    ids, dist = np.asarray(ids), np.asarray(dist)
+    assert ids.shape == (3, big_k)
+    # tail must be padded, not garbage
+    assert (ids[:, cap:] == -1).all()
+    assert np.isinf(dist[:, cap:]).all()
+    # padded entries never shadow real ones
+    assert (dist[:, : cap - 1] <= dist[:, 1:cap]).all()
+
+
+def test_search_rerank_beyond_probe_pool(index, clustered):
+    cap = int(index._build_buckets()[1].shape[1])
+    ids, dist = index.search(clustered[:3], k=5, nprobe=1, rerank=3 * cap)
+    assert np.asarray(ids).shape == (3, 5)
+    # top hit is still the query itself (it's in the corpus)
+    assert np.asarray(dist)[:, 0].max() < 1e-3
+
+
+def test_max_list_size_survives_save_load(clustered, tmp_path):
+    # Round-2 regression (ADVICE low): max_list_size was dropped by save(),
+    # so a loaded index silently lost its memory bound.
+    idx = IVFPQIndex.train(
+        clustered[:1000], nlist=8, num_subspaces=4, num_centroids=16,
+        max_iters=4,
+    )
+    idx.max_list_size = 64
+    idx.add(clustered)
+    p = idx.save(str(tmp_path / "capped.npz"))
+    loaded = IVFPQIndex.load(p)
+    assert loaded.max_list_size == 64
+    assert int(loaded._build_buckets()[1].shape[1]) <= 64

@@ -168,3 +168,53 @@ class TestKMeansPlusPlusInit:
         np.testing.assert_array_equal(
             np.asarray(a.centroids), np.asarray(b.centroids)
         )
+
+
+class TestDeviceKMeansPlusPlus:
+    def test_seeds_shape_and_membership(self):
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        rng = np.random.default_rng(21)
+        data = rng.random((500, 8), dtype=np.float32)
+        seeds = np.asarray(kmeans_plusplus_init_device(data, 6, seed=1))
+        assert seeds.shape == (6, 8)
+        rows = {tuple(r) for r in data.round(6).tolist()}
+        for s in seeds.round(6).tolist():
+            assert tuple(s) in rows
+
+    def test_deterministic(self):
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        rng = np.random.default_rng(22)
+        data = rng.random((300, 4), dtype=np.float32)
+        a = np.asarray(kmeans_plusplus_init_device(data, 5, seed=7))
+        b = np.asarray(kmeans_plusplus_init_device(data, 5, seed=7))
+        np.testing.assert_array_equal(a, b)
+
+    def test_spreads_over_clusters(self):
+        # Well-separated blobs: D^2 seeding must hit every blob.
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        rng = np.random.default_rng(23)
+        centers = rng.normal(0, 50.0, (6, 8)).astype(np.float32)
+        which = rng.integers(0, 6, 1200)
+        data = (centers[which] + rng.normal(0, 0.01, (1200, 8))).astype(
+            np.float32
+        )
+        seeds = np.asarray(kmeans_plusplus_init_device(data, 6, seed=0))
+        d = np.sum((centers[None] - seeds[:, None]) ** 2, axis=-1)
+        assert len(set(d.argmin(axis=1))) == 6  # one seed per blob
+
+    def test_degenerate_all_identical(self):
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        data = np.ones((50, 4), dtype=np.float32)
+        seeds = np.asarray(kmeans_plusplus_init_device(data, 3, seed=0))
+        np.testing.assert_array_equal(seeds, np.ones((3, 4), np.float32))
+
+    def test_k_exceeds_n_rejected(self):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        with pytest.raises(InvalidParameter):
+            kmeans_plusplus_init_device(np.ones((3, 2), np.float32), 5)

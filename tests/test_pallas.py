@@ -126,6 +126,49 @@ def test_pq_lloyd_accumulate_fused_matches_batched(rng):
     np.testing.assert_allclose(float(inertia), tot_inertia, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n", [400, 1000, 131])
+def test_lloyd_accumulate_fused_odd_n(rng, n):
+    """Regression (round-2, ADVICE high): the accumulate kernels sliced the
+    validity mask with an in-kernel dynamic lane slice, which Mosaic rejects
+    unless block_rows is 128-aligned — n=400/n=1000 crashed on real TPU.
+    The mask is now a per-block [TN, 1] column BlockSpec; this pins the
+    parity at exactly those sizes (and one < 8-aligned size)."""
+    x = rng.random((n, 24), dtype=np.float32)
+    c = rng.random((17, 24), dtype=np.float32)
+    sums_p, counts_p, inertia_p = lloyd_accumulate_fused(
+        x, c, block_rows=1024, interpret=True
+    )
+    sums_r, counts_r, inertia_r = _assign_accumulate(
+        jnp.asarray(x), jnp.asarray(c), 256
+    )
+    np.testing.assert_array_equal(np.asarray(counts_p), np.asarray(counts_r))
+    np.testing.assert_allclose(
+        np.asarray(sums_p), np.asarray(sums_r), rtol=1e-5, atol=1e-4
+    )
+    assert float(np.asarray(counts_p).sum()) == n
+    np.testing.assert_allclose(float(inertia_p), float(inertia_r), rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [400, 1000])
+def test_pq_lloyd_accumulate_fused_odd_n(rng, n):
+    """Companion regression for the multi-subspace accumulate (same bug)."""
+    from vq_tpu.ops.pallas_kernels import pq_lloyd_accumulate_fused
+
+    m, s, k = 2, 8, 10
+    x = rng.random((n, m * s), dtype=np.float32)
+    cb = rng.random((m, k, s), dtype=np.float32)
+    sums, counts, _ = pq_lloyd_accumulate_fused(
+        x, cb, block_rows=1024, interpret=True
+    )
+    for i in range(m):
+        xs = jnp.asarray(x[:, i * s : (i + 1) * s])
+        s_r, c_r, _ = _assign_accumulate(xs, jnp.asarray(cb[i]), 256)
+        np.testing.assert_array_equal(np.asarray(counts[i]), np.asarray(c_r))
+        np.testing.assert_allclose(
+            np.asarray(sums[i]), np.asarray(s_r), rtol=1e-5, atol=1e-4
+        )
+
+
 def test_pq_train_fused_matches_xla(rng):
     """The fused PQ trainer follows the vmapped trainer's trajectory."""
     from vq_tpu.models.pq import pq_train
@@ -159,3 +202,45 @@ def test_pq_train_fused_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(cb_xla), np.asarray(cb_fused), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pq_encode_argmin_int2_exact(data, rng):
+    """int2 integer-key argmin must be bit-exact vs the variadic reduce."""
+    cb = rng.random((8, 200, 8), dtype=np.float32)
+    want = pq_encode_fused(data, cb, block_rows=256, interpret=True)
+    got = pq_encode_fused(
+        data, cb, block_rows=256, interpret=True, argmin_mode="int2"
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pq_encode_argmin_int1_near_exact(data, rng):
+    """int1 packs the index into the key's low bits — documented as lossy at
+    near-ties; require >= 99.9% agreement and no out-of-range codes."""
+    cb = rng.random((8, 200, 8), dtype=np.float32)
+    want = np.asarray(pq_encode_fused(data, cb, block_rows=256, interpret=True))
+    got = np.asarray(
+        pq_encode_fused(
+            data, cb, block_rows=256, interpret=True, argmin_mode="int1"
+        )
+    )
+    assert (got == want).mean() >= 0.999
+    assert got.min() >= 0 and got.max() < 200
+
+
+def test_int_argmin_exact_ties_and_negatives(rng):
+    """int2 on adversarial input: exact duplicated minima (ties -> lowest
+    index) and negative scores (sign-flip branch of the orderable key)."""
+    import jax
+
+    from vq_tpu.ops.pallas_kernels import _int_argmin
+
+    scores = rng.normal(0, 1, (64, 40)).astype(np.float32)
+    # Plant exact ties: column 7 copied into column 23 (lower index wins).
+    scores[:, 23] = scores[:, 7]
+    s = jnp.asarray(scores)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mv_r, idx_r = _int_argmin(s, col, "reduce")
+    mv_2, idx_2 = _int_argmin(s, col, "int2")
+    np.testing.assert_array_equal(np.asarray(idx_2), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(mv_2), np.asarray(mv_r))

@@ -136,3 +136,51 @@ def test_float64_input_accepted():
     bq = pyvq.BinaryQuantizer(0.0)
     out = bq.quantize(np.array([0.5, -0.3, 0.8], dtype=np.float64))
     np.testing.assert_array_equal(out, [1, 0, 1])
+
+
+def test_stub_matches_runtime_surface():
+    """The .pyi stub (reference analog: pyvq/pyvq.pyi) must not drift from
+    the shim: every stubbed class/function/method/property exists at runtime,
+    and every public runtime name is stubbed."""
+    import ast
+    import inspect
+    import pathlib
+
+    import pyvq
+
+    stub_path = pathlib.Path(pyvq.__file__).with_suffix(".pyi")
+    tree = ast.parse(stub_path.read_text())
+
+    stub_names = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            stub_names.add(node.name)
+            cls = getattr(pyvq, node.name, None)
+            assert cls is not None, f"stubbed class {node.name} missing"
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and not item.name.startswith("__"):
+                    assert hasattr(cls, item.name), (
+                        f"{node.name}.{item.name} stubbed but missing at runtime"
+                    )
+                    # Plain methods: parameter names must agree. Skip
+                    # properties/staticmethods/slot descriptors.
+                    decorators = {
+                        d.id for d in item.decorator_list
+                        if isinstance(d, ast.Name)
+                    }
+                    runtime = inspect.getattr_static(cls, item.name)
+                    if not decorators and inspect.isfunction(runtime):
+                        stub_params = [a.arg for a in item.args.args]
+                        run_params = list(
+                            inspect.signature(runtime).parameters
+                        )
+                        assert stub_params == run_params, (
+                            f"{node.name}.{item.name}: stub {stub_params} "
+                            f"!= runtime {run_params}"
+                        )
+        elif isinstance(node, ast.FunctionDef):
+            stub_names.add(node.name)
+            assert hasattr(pyvq, node.name)
+
+    for name in pyvq.__all__:
+        assert name in stub_names, f"public name {name!r} not in stub"

@@ -112,3 +112,14 @@ class TestBinaryIndex:
         p = pidx.save(str(tmp_path / "x"))
         with pytest.raises(InvalidData):
             BinaryIndex.load(p)
+
+
+def test_binary_index_rerank_without_corpus_raises():
+    # Round-2 regression (VERDICT r1 #9): BinaryIndex.search silently fell
+    # back to Hamming when rerank was requested without a kept corpus;
+    # PQIndex raises InvalidData for the same misuse — now both do.
+    rng = np.random.default_rng(11)
+    idx = BinaryIndex(32)
+    idx.add(rng.normal(0, 1, (100, 32)).astype(np.float32))
+    with pytest.raises(InvalidData):
+        idx.search(rng.normal(0, 1, (4, 32)).astype(np.float32), k=3, rerank=10)

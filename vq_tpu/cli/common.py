@@ -69,6 +69,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         default="-",
         help="JSONL output path ('-' = stdout)",
     )
+    p.add_argument(
+        "--cold",
+        action="store_true",
+        help="time single cold runs (XLA compile time included); the "
+        "default warms each phase once so timings are the steady-state "
+        "analog of the reference's AOT binaries",
+    )
     return p
 
 
@@ -153,7 +160,9 @@ def warmup_backend() -> None:
 
 
 class Timer:
-    """Wall-clock timer that forces JAX completion on exit."""
+    """Wall-clock timer. Does NOT force JAX completion — callers must end
+    the timed region with ``block(output)`` on every device output, or the
+    async dispatch makes the measurement meaningless."""
 
     def __enter__(self):
         self.t0 = time.perf_counter()
@@ -163,10 +172,28 @@ class Timer:
         self.ms = (time.perf_counter() - self.t0) * 1e3
 
 
+_PROBES: dict = {}
+
+
 def block(x):
-    """Force device completion of a JAX array (no-op for numpy)."""
+    """Force device completion of a JAX array (no-op for numpy).
+
+    Uses a data-dependent scalar readback, not ``block_until_ready`` —
+    on tunneled TPU backends the latter can return before execution
+    completes, yielding physically impossible timings (same reason
+    bench.py::measure_device reads a probe scalar). The tiny jitted
+    reduction is cached per (shape, dtype).
+    """
     if hasattr(x, "block_until_ready"):
-        x.block_until_ready()
+        import jax
+        import jax.numpy as jnp
+
+        key = (x.shape, str(x.dtype))
+        probe = _PROBES.get(key)
+        if probe is None:
+            probe = jax.jit(lambda a: jnp.sum(jnp.float32(jnp.ravel(a)[:8])))
+            _PROBES[key] = probe
+        float(probe(x))
     return x
 
 

@@ -36,9 +36,13 @@ def main(argv=None) -> None:
         data = generate_synthetic_data(n, args.dim, args.seed)
         with Timer() as t_train:
             q = BinaryQuantizer(args.threshold, args.low, args.high)
+        if not args.cold:
+            block(q.quantize(data))
         with Timer() as t_enc:
             codes = block(q.quantize(data))
         recon = q.dequantize(codes)  # stays on device; MSE computes there
+        if not args.cold:
+            block(q.quantize_packed(data))
         with Timer() as t_pack:
             packed = block(q.quantize_packed(data))
         results.append(

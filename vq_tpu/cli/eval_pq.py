@@ -43,8 +43,9 @@ def main(argv=None) -> None:
     results = []
     for n in args.sizes:
         data = generate_synthetic_data(n, args.dim, args.seed)
-        with Timer() as t_train:
-            q = ProductQuantizer(
+
+        def fit():
+            return ProductQuantizer(
                 data,
                 num_subspaces=args.m,
                 num_centroids=args.k,
@@ -52,7 +53,14 @@ def main(argv=None) -> None:
                 distance=args.distance,
                 seed=args.seed,
             )
+
+        if not args.cold:  # warm compiles + the block() probe (deterministic rerun)
+            block(fit().codebooks)
+        with Timer() as t_train:
+            q = fit()
             block(q.codebooks)
+        if not args.cold:
+            block(q.encode(data))
         with Timer() as t_enc:
             codes = block(q.encode(data))
         recon = q.decode(codes)  # device; only pulled to host if --recall

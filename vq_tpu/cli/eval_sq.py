@@ -31,6 +31,8 @@ def main(argv=None) -> None:
         data = generate_synthetic_data(n, args.dim, args.seed)
         with Timer() as t_train:
             q = ScalarQuantizer(float(data.min()), float(data.max()), args.levels)
+        if not args.cold:
+            block(q.quantize(data))
         with Timer() as t_enc:
             codes = block(q.quantize(data))
         recon = q.dequantize(codes)

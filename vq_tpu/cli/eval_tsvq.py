@@ -39,6 +39,8 @@ def main(argv=None) -> None:
         with Timer() as t_train:
             q = TSVQ(data, max_depth=args.max_depth, distance=args.distance)
         dev_data = generate_synthetic_data(n, args.dim, args.seed + 1)
+        if not args.cold:
+            block(q.encode(dev_data))
         with Timer() as t_enc:
             codes = block(q.encode(dev_data))
         data = dev_data

@@ -279,9 +279,13 @@ class IVFPQIndex:
             raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
         nprobe = min(int(nprobe), self.nlist)
         fetch = max(k, int(rerank)) if rerank else k
+        # The candidate pool a search actually sees is nprobe * cap (NOT
+        # nlist * cap); k / rerank beyond it are satisfied by -1/inf padding
+        # per the documented contract.
+        pool = nprobe * int(bucket_ids.shape[1])
         ids, dist = _ivf_search_jit(
             q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
-            nprobe, min(fetch, bucket_ids.size),
+            nprobe, min(fetch, pool),
         )
         if rerank:
             if self._corpus is None:
@@ -293,8 +297,15 @@ class IVFPQIndex:
             exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
             exact = jnp.where(ids >= 0, exact, jnp.inf)
             neg_top, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
-            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
-        return ids[:, :k], dist[:, :k]
+            ids, dist = jnp.take_along_axis(ids, pos, axis=1), -neg_top
+        else:
+            ids, dist = ids[:, :k], dist[:, :k]
+        ids = jnp.where(jnp.isinf(dist), -1, ids)
+        if ids.shape[1] < k:  # pool smaller than k: pad out the contract
+            pad = k - ids.shape[1]
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        return ids, dist
 
     # -- persistence --------------------------------------------------------
 
@@ -319,6 +330,7 @@ class IVFPQIndex:
             {
                 "by_residual": self.by_residual,
                 "keep_corpus": self.keep_corpus,
+                "max_list_size": self.max_list_size,
             },
             arrays,
         )
@@ -335,6 +347,8 @@ class IVFPQIndex:
             arrays["coarse"], pq,
             by_residual=config["by_residual"],
             keep_corpus=config["keep_corpus"],
+            # .get: round-1 checkpoints predate the field (were uncapped).
+            max_list_size=config.get("max_list_size"),
         )
         if arrays["flat_codes"].shape[0]:
             idx._flat_codes = arrays["flat_codes"]

@@ -284,7 +284,10 @@ def pq_encode(
         raise DimensionMismatch(expected=m * s, found=x2d.shape[1])
     if block_rows is None:
         block_rows = default_block_rows(x2d.shape[0], k * m, s)
-    return _pq_encode_jit(x2d, cb, metric, int(block_rows))
+    # Single entry point like the reference (src/pq.rs:167-199): every
+    # caller — ProductQuantizer.encode, PQIndex.add, the eval CLIs — gets
+    # the fastest backend path (fused Pallas kernel on TPU for L2 metrics).
+    return pq_encode_best(x2d, cb, metric, int(block_rows))
 
 
 def pq_decode(codes, codebooks) -> jnp.ndarray:

@@ -43,7 +43,14 @@ import jax.numpy as jnp
 from vq_tpu.errors import EmptyInput, InvalidParameter
 from vq_tpu.models.base import check_training_matrix
 
-__all__ = ["KMeansResult", "lloyd", "lloyd_batched", "assign", "CONVERGENCE_EPS"]
+__all__ = [
+    "KMeansResult",
+    "lloyd",
+    "lloyd_batched",
+    "assign",
+    "kmeans_plusplus_init_device",
+    "CONVERGENCE_EPS",
+]
 
 CONVERGENCE_EPS = 1e-6  # reference: src/core/vector.rs:439
 
@@ -231,6 +238,74 @@ def _lloyd_jit(
     return centroids, assignments, inertia, iterations, converged
 
 
+@functools.partial(jax.jit, static_argnames=("k", "sample"))
+def _kpp_init_jit(data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int):
+    """Device-side k-means++ (Arthur & Vassilvitskii 2007): sequential
+    D²-weighted seed draws via inverse-CDF sampling on the device.
+
+    Everything stays on-device — no host round-trip of the corpus (on the
+    tunneled TPU a 1M x 128 pull is ~512 MB at ~MB/s; round-1's host sampler
+    made ``init="kmeans++"`` a latency trap). One [n, d] matvec per seed:
+    O(nkd) total, the cost of a single Lloyd assignment pass.
+    """
+    n = data.shape[0]
+    if n > sample:
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, n, (sample,), replace=False)
+        data = jnp.take(data, idx, axis=0)
+        n = sample
+    xx = jnp.sum(data * data, axis=-1)  # [n]
+
+    def sqdist_to(s):
+        xs = jax.lax.dot_general(
+            data, s[None, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0]
+        return jnp.maximum(xx + jnp.dot(s, s) - 2.0 * xs, 0.0)
+
+    key, k0 = jax.random.split(key)
+    seed0 = data[jax.random.randint(k0, (), 0, n)]
+    if k == 1:
+        return seed0[None]
+
+    def step(d2, kk):
+        total = jnp.sum(d2)
+        ku, kf = jax.random.split(kk)
+        u = jax.random.uniform(ku, dtype=jnp.float32) * total
+        widx = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), u), 0, n - 1)
+        # All residual D² mass zero (every point equals a seed): fall back
+        # to a uniform draw, like the host sampler.
+        idx = jnp.where(total > 0, widx, jax.random.randint(kf, (), 0, n))
+        s = data[idx]
+        return jnp.minimum(d2, sqdist_to(s)), s
+
+    _, rest = jax.lax.scan(step, sqdist_to(seed0), jax.random.split(key, k - 1))
+    return jnp.concatenate([seed0[None], rest], axis=0)
+
+
+def kmeans_plusplus_init_device(
+    data, k: int, seed: int = 0, *, key: Optional[jnp.ndarray] = None,
+    sample: int = 100_000,
+) -> jnp.ndarray:
+    """k-means++ seeding fully on-device; returns ``[k, d]`` f32 seeds.
+
+    ``sample`` caps the candidate pool (uniform on-device subsample) so the
+    sequential D² scan stays cheap for huge corpora.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+    if k <= 0:
+        raise InvalidParameter("k", "must be greater than 0")
+    if n < k:
+        raise InvalidParameter(
+            "k", f"not enough data points ({n}) for {k} clusters"
+        )
+    if key is None:
+        key = jax.random.PRNGKey(int(seed))
+    return _kpp_init_jit(data, key, int(k), int(min(n, max(sample, k))))
+
+
 def _validate_kmeans_args(n: int, k: int, max_iters: int) -> None:
     # reference: src/core/vector.rs:396-410
     if k <= 0:
@@ -284,16 +359,14 @@ def lloyd(
         # The fused kernel caps its tile height by the VMEM budget.
         block_rows = min(int(block_rows), 1024)
     if init == "kmeans++":
-        from vq_tpu.ops.kmeans_stream import kmeans_plusplus_init
-
-        import numpy as _np
-
-        seeds = kmeans_plusplus_init(
-            _np.asarray(data), k, _np.random.default_rng(int(seed))
-        )
+        # Fully on-device D² sampler — the corpus never leaves HBM
+        # (round-2 fix: the host sampler pulled the whole corpus through
+        # the ~MB/s tunnel before subsampling).
+        key, kpp_key = jax.random.split(key)
+        seeds = _kpp_init_jit(data, kpp_key, k, int(min(n, 100_000)))
         centroids, assignments, inertia, iterations, converged = (
             _lloyd_from_init_jit(
-                data, jnp.asarray(seeds), key, max_iters, float(eps),
+                data, seeds, key, max_iters, float(eps),
                 int(block_rows), bool(use_pallas),
             )
         )

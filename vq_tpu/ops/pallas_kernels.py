@@ -62,6 +62,64 @@ def _round_up(x: int, m: int) -> int:
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _orderable_key(scores):
+    """Monotone f32 -> i32 bijection: integer order == float order.
+
+    Standard sign-flip trick (involution): non-negative floats keep their
+    bit pattern, negative floats flip the low 31 bits. NaN maps to a large
+    positive key, so NaN scores never win a min — matching the reference's
+    strict ``<`` scans, where ``NaN < best`` is always false
+    (src/pq.rs:187, src/core/vector.rs:352-363).
+    """
+    b = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    return jnp.where(b < 0, b ^ jnp.int32(0x7FFFFFFF), b)
+
+
+def _key_to_f32(key):
+    """Inverse of :func:`_orderable_key` (it is an involution)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.where(key < 0, key ^ jnp.int32(0x7FFFFFFF), key), jnp.float32
+    )
+
+
+def _int_argmin(scores, col, mode: str):
+    """(min_score f32, argmin i32) over the last axis via integer min-reduces.
+
+    ``mode``:
+
+    * ``"reduce"`` — plain ``jnp.min`` + ``jnp.argmin`` (variadic reduce).
+    * ``"int2"`` — EXACT: orderable-int key min (1 plain i32 reduce), then
+      lowest index among exact key minima (1 more i32 reduce over a fused
+      select). Bit-identical argmin to ``"reduce"`` on non-NaN input, and
+      NaN-safer (NaN never wins, like the reference's ``<`` scan).
+    * ``"int1"`` — FAST: pack ``(key & ~(idx_mask)) | index`` and do ONE i32
+      min-reduce. Drops the low index-width mantissa bits from the
+      comparison, so two scores within ~2^-24+log2(k) relative may tie and
+      resolve to the lower index — not bit-exact near ties.
+
+    ``col`` is the broadcasted index iota of ``scores``'s shape.
+    """
+    if mode == "reduce":
+        return (
+            jnp.min(scores, axis=-1),
+            jnp.argmin(scores, axis=-1).astype(jnp.int32),
+        )
+    key = _orderable_key(scores)
+    if mode == "int2":
+        mkey = jnp.min(key, axis=-1, keepdims=True)
+        idx = jnp.min(
+            jnp.where(key == mkey, col, jnp.int32(0x7FFFFFFF)), axis=-1
+        )
+        return _key_to_f32(mkey[..., 0]), idx
+    if mode == "int1":
+        k = scores.shape[-1]
+        bits = max(1, (k - 1).bit_length())
+        mask = jnp.int32(~((1 << bits) - 1))
+        packed = jnp.min((key & mask) | col, axis=-1)
+        return _key_to_f32(packed & mask), packed & jnp.int32((1 << bits) - 1)
+    raise ValueError(f"unknown argmin mode {mode!r}")
+
+
 def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total):
     """One [TN, d] data tile against all centroids, k-tiled in VMEM.
 
@@ -157,12 +215,17 @@ def assign_fused(
 # ---------------------------------------------------------------------------
 
 
-def _pq_encode_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision):
+def _pq_encode_kernel(
+    x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision, argmin_mode
+):
     """One [TN, m*s] tile against all m codebooks (resident in VMEM).
 
     The m subspace matmuls are a static unroll — each is [TN, s] x [s, k]
     on the MXU followed by an argmin on the VPU, all without leaving VMEM.
+    ``argmin_mode`` selects the VPU argmin strategy (see :func:`_int_argmin`).
     """
+    tn = x_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
     for i in range(m):
         xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s]
         cbi = cb_ref[i]  # [k, s]
@@ -171,7 +234,8 @@ def _pq_encode_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k, precision):
             preferred_element_type=jnp.float32, precision=precision,
         )  # [TN, k]
         scores = cc_ref[i][None, :] - 2.0 * xc
-        out_ref[:, i] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        _, idx = _int_argmin(scores, col, argmin_mode)
+        out_ref[:, i] = idx
 
 
 def _pq_encode_bf16_kernel(x_ref, cb_ref, cc_ref, out_ref, *, m, s, k):
@@ -215,9 +279,12 @@ def _pq_encode_bf16x3_kernel(x_ref, cbh_ref, cbl_ref, cc_ref, out_ref, *, m, s, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "interpret", "precision")
+    jax.jit,
+    static_argnames=("block_rows", "interpret", "precision", "argmin_mode"),
 )
-def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
+def _pq_encode_fused_jit(
+    x, cb, block_rows: int, interpret: bool, precision, argmin_mode: str
+):
     n, dim = x.shape
     m, k, s = cb.shape
     k_pad = _round_up(k, 128)
@@ -274,7 +341,8 @@ def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
 
     codes = pl.pallas_call(
         functools.partial(
-            _pq_encode_kernel, m=m, s=s, k=k_pad, precision=precision
+            _pq_encode_kernel, m=m, s=s, k=k_pad, precision=precision,
+            argmin_mode=argmin_mode,
         ),
         grid=grid,
         in_specs=[
@@ -292,7 +360,7 @@ def _pq_encode_fused_jit(x, cb, block_rows: int, interpret: bool, precision):
 
 def pq_encode_fused(
     x, codebooks, block_rows: int = 1024, interpret: bool = False,
-    precision=_PRECISION,
+    precision=_PRECISION, argmin_mode: str = "reduce",
 ) -> jnp.ndarray:
     """Fused PQ encode: all m subspaces' distance+argmin in one kernel pass.
 
@@ -302,14 +370,17 @@ def pq_encode_fused(
 
     ``precision`` controls the MXU matmul: HIGHEST (default) is bit-compatible
     with the XLA/CPU f32 paths; lower settings trade near-tie argmin fidelity
-    for pass count. ``block_rows`` is capped at 2048 — larger tiles overflow
-    the ~16 MB VMEM budget (scores + codebooks + unrolled temporaries).
+    for pass count. ``argmin_mode`` selects the VPU argmin lowering
+    (see :func:`_int_argmin`; ``"int2"`` is exact, ``"int1"`` packs the index
+    into the key's low bits and may flip codes at near-ties). ``block_rows``
+    is capped at 2048 — larger tiles overflow the ~16 MB VMEM budget (scores
+    + codebooks + unrolled temporaries).
     """
     x = jnp.asarray(x, jnp.float32)
     cb = jnp.asarray(codebooks, jnp.float32)
     block_rows = min(block_rows, _round_up(x.shape[0], 8), 2048)
     return _pq_encode_fused_jit(
-        x, cb, int(block_rows), bool(interpret), precision
+        x, cb, int(block_rows), bool(interpret), precision, str(argmin_mode)
     )
 
 
@@ -338,7 +409,10 @@ def _pq_lloyd_acc_kernel(
         inertia_ref[:] = jnp.zeros_like(inertia_ref)
 
     tn = x_ref.shape[0]
-    valid = valid_ref[0, pl.ds(step * tn, tn)]  # [TN] 0/1 row mask
+    # The mask arrives as this block's [TN, 1] column via BlockSpec — an
+    # in-kernel pl.ds(step*tn, tn) lane slice would need 128-aligned offsets
+    # (Mosaic), which breaks for n < 1024 not a multiple of 128.
+    valid = valid_ref[:, 0]  # [TN] 0/1 row mask
     ones_row = jnp.ones((1, tn), jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
     for i in range(m):
@@ -380,7 +454,7 @@ def _pq_lloyd_accumulate_jit(x, cb, block_rows: int, interpret: bool):
 
     n_pad = _round_up(n, block_rows)
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[None, :]
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]  # [n_pad, 1]
 
     sums, counts, inertia = pl.pallas_call(
         functools.partial(_pq_lloyd_acc_kernel, m=m, s=s, k=k_pad),
@@ -392,7 +466,7 @@ def _pq_lloyd_accumulate_jit(x, cb, block_rows: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -523,7 +597,8 @@ def _lloyd_acc_kernel(
 
     x = x_ref[:]  # [TN, d]
     tn = x.shape[0]
-    valid = valid_ref[0, pl.ds(step * tn, tn)]  # [TN] f32 0/1 row mask
+    # Per-block [TN, 1] mask column via BlockSpec (see _pq_lloyd_acc_kernel).
+    valid = valid_ref[:, 0]  # [TN] f32 0/1 row mask
 
     run_min = jnp.full((tn,), jnp.inf, jnp.float32)
     run_idx = jnp.zeros((tn,), jnp.int32)
@@ -580,7 +655,7 @@ def _lloyd_accumulate_jit(data, centroids, block_rows: int, interpret: bool):
 
     n_pad = _round_up(n, block_rows)
     x = jnp.pad(data, ((0, n_pad - n), (0, 0)))
-    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[None, :]  # [1, n_pad]
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]  # [n_pad, 1]
 
     grid = (n_pad // block_rows,)
     sums, counts, inertia = pl.pallas_call(
@@ -593,7 +668,7 @@ def _lloyd_accumulate_jit(data, centroids, block_rows: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

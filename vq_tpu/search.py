@@ -180,6 +180,12 @@ class BinaryIndex:
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
+        if rerank and self._corpus is None:
+            # Same contract as PQIndex.search — silently falling back to
+            # unreranked Hamming results would hide the misuse.
+            raise InvalidData(
+                "rerank requires keep_corpus=True at index construction"
+            )
         qp = self.bq.quantize_packed(q)
         ham = hamming_distance(qp, self._packed)  # [Q, n] int32
         k = min(k, self.ntotal)
