@@ -169,3 +169,23 @@ def test_fit_transform_roundtrip(corpus):
     np.testing.assert_array_equal(
         np.asarray(ts.transform(corpus)), np.asarray(ts.encode(corpus))
     )
+
+
+def test_eval_cli_recall_all_algos(capsys):
+    """--recall on every CLI (device-side windowed recall path)."""
+    from vq_tpu.cli import eval_bq, eval_sq, eval_tsvq
+
+    eval_sq.main(["--sizes", "600", "--dim", "8", "--recall", "--output", "-"])
+    eval_bq.main(["--sizes", "600", "--dim", "8", "--recall", "--output", "-"])
+    eval_tsvq.main(
+        ["--sizes", "600", "--dim", "8", "--max-depth", "3", "--recall",
+         "--output", "-"]
+    )
+    import json
+
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    # SQ at 256 levels reconstructs almost perfectly -> recall ~1.
+    assert rows[0]["recall_at_k"] > 0.9

@@ -168,3 +168,106 @@ def test_max_list_size_survives_save_load(clustered, tmp_path):
     loaded = IVFPQIndex.load(p)
     assert loaded.max_list_size == 64
     assert int(loaded._build_buckets()[1].shape[1]) <= 64
+
+
+def test_fused_probe_search_matches_xla(index, clustered):
+    # Round-2 (VERDICT r1 #2): the fused Pallas probe kernel must return
+    # identical ids/distances to the XLA gather path.
+    from vq_tpu.ivf import _ivf_search_jit
+    import jax.numpy as jnp
+
+    bucket_codes, bucket_ids = index._build_buckets()
+    q = jnp.asarray(clustered[:9])
+    args = (q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids, 4, 7)
+    ids_x, dist_x = _ivf_search_jit(*args, use_pallas=False)
+    ids_p, dist_p = _ivf_search_jit(*args, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(
+        np.asarray(dist_p), np.asarray(dist_x), rtol=1e-4, atol=1e-4
+    )
+
+
+class TestRebalance:
+    @pytest.fixture()
+    def skewed_index(self):
+        # One dominant blob -> one hugely overfull list.
+        rng = np.random.default_rng(31)
+        centers = rng.normal(0, 4.0, (8, 16)).astype(np.float32)
+        which = np.concatenate(
+            [np.zeros(3000, int), rng.integers(1, 8, 600)]
+        )
+        data = (centers[which] + rng.normal(0, 0.2, (3600, 16))).astype(
+            np.float32
+        )
+        idx = IVFPQIndex.train(
+            data, nlist=8, num_subspaces=4, num_centroids=16,
+            max_iters=6, keep_corpus=True,
+        )
+        idx.max_list_size = 512
+        idx.add(data)
+        return idx, data
+
+    def test_overflow_dropped_zero_after_rebalance(self, skewed_index):
+        # VERDICT r1 #8 done-criterion: after rebalance the cap drops
+        # nothing, and recall against exact kNN does not regress.
+        idx, data = skewed_index
+        assert idx.bucket_stats()["overflow_dropped"] > 0  # skew is real
+        queries = data[:50]
+        exact = exact_knn(queries, data, 5)
+
+        def recall(ids):
+            ids = np.asarray(ids)
+            return np.mean([
+                len(set(ids[i]) & set(exact[i])) / 5
+                for i in range(len(queries))
+            ])
+
+        r_before = recall(idx.search(queries, k=5, nprobe=4)[0])
+        info = idx.rebalance(target_max=512)
+        assert info["split"] >= 1
+        stats = idx.bucket_stats()
+        assert stats["overflow_dropped"] == 0
+        assert stats["max"] <= 512
+        r_after = recall(idx.search(queries, k=5, nprobe=6)[0])
+        assert r_after >= r_before - 0.02
+
+    def test_rebalance_without_corpus_reconstructs(self):
+        rng = np.random.default_rng(33)
+        centers = rng.normal(0, 4.0, (4, 8)).astype(np.float32)
+        which = np.concatenate([np.zeros(1200, int), rng.integers(1, 4, 300)])
+        data = (centers[which] + rng.normal(0, 0.1, (1500, 8))).astype(
+            np.float32
+        )
+        idx = IVFPQIndex.train(
+            data, nlist=4, num_subspaces=4, num_centroids=16, max_iters=5,
+        )
+        idx.add(data)
+        info = idx.rebalance(target_max=400)
+        assert info["split"] >= 1
+        assert idx.bucket_stats()["max"] <= 400
+        # Index still answers searches with itself in the top results.
+        ids, _ = idx.search(data[:10], k=3, nprobe=4)
+        hit = np.mean([(i in np.asarray(ids)[i]) for i in range(10)])
+        assert hit >= 0.8
+
+    def test_retire_small_lists(self):
+        rng = np.random.default_rng(34)
+        data = rng.random((500, 8), dtype=np.float32)
+        idx = IVFPQIndex.train(
+            data, nlist=16, num_subspaces=4, num_centroids=8, max_iters=5,
+            keep_corpus=True,
+        )
+        idx.add(data)
+        before = idx.nlist
+        idx.rebalance(min_size=10)
+        assert idx.nlist <= before
+        counts = np.bincount(idx._flat_lists, minlength=idx.nlist)
+        assert (counts[counts > 0] >= 1).all()
+        assert idx.ntotal == 500  # nothing lost
+        ids, _ = idx.search(data[:10], k=1, nprobe=idx.nlist)
+        assert (np.asarray(ids)[:, 0] == np.arange(10)).mean() >= 0.9
+
+    def test_noop_when_balanced(self, skewed_index):
+        idx, _ = skewed_index
+        info = idx.rebalance(target_max=10**9)
+        assert info == {"split": 0, "retired": 0, "new_nlist": idx.nlist}

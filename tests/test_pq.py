@@ -220,3 +220,39 @@ class TestRerank:
         codes = pq.encode(data)
         idx, _ = pq.adc_search(data[:3], codes, k=5, rerank=1000, corpus=data)
         assert np.asarray(idx).shape == (3, 5)
+
+
+class TestChunkedADCSearch:
+    @pytest.mark.parametrize("metric", ["squared_euclidean", "euclidean", "cosine"])
+    def test_chunked_matches_dense(self, rng, metric):
+        # Small chunk forces the blockwise scan; results must match the
+        # dense [Q, n] path exactly (same top-k, ascending).
+        data = rng.random((1200, 16), dtype=np.float32)
+        q = ProductQuantizer(data, 4, 16, max_iters=3, seed=0,
+                             distance=metric)
+        codes = q.encode(data)
+        queries = data[:7]
+        ids_d, dist_d = q.adc_search(queries, codes, k=9, chunk=10**9)
+        ids_c, dist_c = q.adc_search(queries, codes, k=9, chunk=256)
+        np.testing.assert_allclose(
+            np.asarray(dist_c), np.asarray(dist_d), rtol=1e-5, atol=1e-6
+        )
+        # ids may differ only where distances tie; check by distance parity
+        same = np.asarray(ids_c) == np.asarray(ids_d)
+        tied = np.isclose(np.asarray(dist_c), np.asarray(dist_d), atol=1e-6)
+        assert (same | tied).all()
+
+    def test_chunked_with_rerank(self):
+        # Local fixed rng: the session rng's state depends on test order,
+        # and this assertion (self-retrieval through a finite ADC
+        # shortlist) is data-sensitive.
+        rng = np.random.default_rng(1234)
+        data = rng.random((900, 16), dtype=np.float32)
+        q = ProductQuantizer(data, 4, 16, max_iters=8, seed=0)
+        codes = q.encode(data)
+        ids, dist = q.adc_search(
+            data[:5], codes, k=3, rerank=300, corpus=data, chunk=128
+        )
+        # exact rerank: query finds itself first with ~0 distance
+        assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
+        assert float(np.asarray(dist)[:, 0].max()) < 1e-3

@@ -126,3 +126,66 @@ class TestBeamSearch:
         codes = np.asarray(rq.encode(data[:50], beam=4))
         assert codes.shape == (50, 3)
         assert codes.max() < 16
+
+
+class TestJointRefinement:
+    def test_solve_codebooks_exact_for_fixed_codes(self, rng):
+        # With fixed codes, the normal-equation solve is the global optimum:
+        # MSE must not increase vs the current codebooks.
+        from vq_tpu.models.rq import (
+            _rq_solve_codebooks_jit,
+            rq_decode,
+            rq_encode,
+            rq_train,
+        )
+
+        data = rng.normal(0, 1, (600, 16)).astype(np.float32)
+        cbs = rq_train(data, 3, 8, max_iters=5, seed=0)
+        codes = rq_encode(data, cbs)
+        before = float(np.mean((np.asarray(rq_decode(codes, cbs)) - data) ** 2))
+        import jax.numpy as jnp
+
+        cbs2 = _rq_solve_codebooks_jit(
+            jnp.asarray(data), jnp.asarray(codes).astype(jnp.int32), 8, 256
+        )
+        after = float(np.mean((np.asarray(rq_decode(codes, cbs2)) - data) ** 2))
+        assert after <= before * (1 + 1e-4)
+
+    def test_joint_refinement_lowers_mse(self, rng):
+        from vq_tpu.models.rq import rq_decode, rq_encode, rq_refine_joint, rq_train
+
+        # Correlated data: stage interactions matter, joint update wins.
+        basis = rng.normal(0, 1, (4, 24)).astype(np.float32)
+        coef = rng.normal(0, 1, (800, 4)).astype(np.float32)
+        data = (coef @ basis + 0.05 * rng.normal(0, 1, (800, 24))).astype(
+            np.float32
+        )
+        cbs = rq_train(data, 4, 8, max_iters=8, seed=1)
+        mse0 = float(
+            np.mean((np.asarray(rq_decode(rq_encode(data, cbs, beam=4), cbs))
+                     - data) ** 2)
+        )
+        cbs_j = rq_refine_joint(data, cbs, iters=3, beam=4)
+        mse_j = float(
+            np.mean((np.asarray(rq_decode(rq_encode(data, cbs_j, beam=4), cbs_j))
+                     - data) ** 2)
+        )
+        assert mse_j < mse0 * 0.98  # at least a 2% improvement
+
+    def test_ctor_joint_iters(self, rng):
+        from vq_tpu.models.rq import ResidualQuantizer
+
+        # Correlated data (where stage interactions matter), and evaluate
+        # with the same beam the refinement optimized for.
+        basis = rng.normal(0, 1, (3, 12)).astype(np.float32)
+        coef = rng.normal(0, 1, (500, 3)).astype(np.float32)
+        data = (coef @ basis).astype(np.float32)
+        plain = ResidualQuantizer(data, 3, 8, max_iters=5, seed=2)
+        joint = ResidualQuantizer(
+            data, 3, 8, max_iters=5, seed=2, joint_iters=2, beam=4
+        )
+        mse = lambda q: float(
+            np.mean((np.asarray(q.decode(q.encode(data, beam=4))) - data) ** 2)
+        )
+        assert mse(joint) <= mse(plain) * (1 + 1e-3)
+        assert joint.codebooks.shape == (3, 8, 12)

@@ -31,12 +31,24 @@ from vq_tpu.models.bq import (
     unpack_bits,
 )
 from vq_tpu.models.opq import OPQQuantizer, opq_train
-from vq_tpu.models.rq import ResidualQuantizer, rq_decode, rq_encode, rq_train
+from vq_tpu.models.rq import (
+    ResidualQuantizer,
+    rq_decode,
+    rq_encode,
+    rq_refine_joint,
+    rq_train,
+)
 from vq_tpu.models.pq import ProductQuantizer, pq_decode, pq_encode, pq_train
 from vq_tpu.models.sq import PerDimScalarQuantizer, ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
-from vq_tpu.ops.kmeans import KMeansResult, lloyd, lloyd_batched
+from vq_tpu.ivf import IVFPQIndex
+from vq_tpu.ops.kmeans import (
+    KMeansResult,
+    kmeans_plusplus_init_device,
+    lloyd,
+    lloyd_batched,
+)
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
 from vq_tpu.search import BinaryIndex, PQIndex
@@ -74,6 +86,7 @@ __all__ = [
     "rq_train",
     "rq_encode",
     "rq_decode",
+    "rq_refine_joint",
     "TSVQ",
     "TSVQTree",
     "Quantizer",
@@ -94,8 +107,10 @@ __all__ = [
     "lloyd_batched",
     "lloyd_stepped",
     "lloyd_minibatch",
+    "kmeans_plusplus_init_device",
     "PQIndex",
     "BinaryIndex",
+    "IVFPQIndex",
     "pq_train",
     "pq_encode",
     "pq_decode",

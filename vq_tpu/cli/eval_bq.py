@@ -16,6 +16,7 @@ from vq_tpu.cli.common import (
     emit,
     generate_synthetic_data,
     reconstruction_mse,
+    windowed_recall_at_k,
 )
 
 
@@ -24,6 +25,7 @@ def main(argv=None) -> None:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--low", type=int, default=0)
     p.add_argument("--high", type=int, default=1)
+    p.add_argument("--recall", action="store_true", help="also compute recall@10")
     args = p.parse_args(argv)
 
     from vq_tpu import BinaryQuantizer
@@ -53,6 +55,10 @@ def main(argv=None) -> None:
                 train_ms=t_train.ms,
                 encode_ms=t_enc.ms,
                 mse=reconstruction_mse(data, recon),
+                recall_at_k=(
+                    windowed_recall_at_k(data, recon, seed=args.seed)
+                    if args.recall else None
+                ),
                 extra={
                     "pack_ms": t_pack.ms,
                     "packed_bytes_per_vector": int(packed.shape[1]) * 4,

@@ -70,9 +70,10 @@ def main(argv=None) -> None:
             "code_bytes_per_vector": int(codes.shape[1]) * codes.dtype.itemsize,
         }
         recall = (
-            windowed_recall_at_k(
-                np.asarray(data), np.asarray(recon), seed=args.seed
-            )
+            # Device arrays pass through unconverted — recall computes
+            # on-device (host pull of a 1M corpus would take ~15 min
+            # through the tunnel).
+            windowed_recall_at_k(data, recon, seed=args.seed)
             if args.recall
             else None
         )

@@ -13,12 +13,14 @@ from vq_tpu.cli.common import (
     emit,
     generate_synthetic_data,
     reconstruction_mse,
+    windowed_recall_at_k,
 )
 
 
 def main(argv=None) -> None:
     p = base_parser("Benchmark scalar quantization")
     p.add_argument("--levels", type=int, default=256)
+    p.add_argument("--recall", action="store_true", help="also compute recall@10")
     args = p.parse_args(argv)
 
     from vq_tpu import ScalarQuantizer
@@ -36,6 +38,10 @@ def main(argv=None) -> None:
         with Timer() as t_enc:
             codes = block(q.quantize(data))
         recon = q.dequantize(codes)
+        recall = (
+            windowed_recall_at_k(data, recon, seed=args.seed)
+            if args.recall else None
+        )
         results.append(
             BenchmarkResult(
                 algorithm="sq",
@@ -44,6 +50,7 @@ def main(argv=None) -> None:
                 train_ms=t_train.ms,
                 encode_ms=t_enc.ms,
                 mse=reconstruction_mse(data, recon),
+                recall_at_k=recall,
                 extra={"levels": args.levels},
             )
         )

@@ -14,6 +14,7 @@ from vq_tpu.cli.common import (
     emit,
     generate_synthetic_data,
     reconstruction_mse,
+    windowed_recall_at_k,
 )
 
 
@@ -21,6 +22,7 @@ def main(argv=None) -> None:
     p = base_parser("Benchmark tree-structured VQ")
     p.add_argument("--max-depth", type=int, default=TSVQ_DEPTH)
     p.add_argument("--distance", type=str, default="euclidean")
+    p.add_argument("--recall", action="store_true", help="also compute recall@10")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -53,6 +55,10 @@ def main(argv=None) -> None:
                 train_ms=t_train.ms,
                 encode_ms=t_enc.ms,
                 mse=reconstruction_mse(data, recon),
+                recall_at_k=(
+                    windowed_recall_at_k(data, recon, seed=args.seed)
+                    if args.recall else None
+                ),
                 extra={
                     "max_depth": args.max_depth,
                     "nodes": q.num_nodes,

@@ -17,13 +17,14 @@ PQ codes per list), built TPU-first:
 Everything heavy is jitted; `add` is append-only with lazy bucket
 (re)building.
 
-**When to prefer the flat index on TPU:** probing is gather-bound while the
-flat ADC scan is matmul-bound, and the MXU outruns HBM gathers by a wide
-margin — measured at 1M rows, `PQIndex`'s full scan answers 128 queries in
-41 ms while IVF probing (nprobe=8, skewed 1000-cluster data) takes ~620 ms
-for 100. IVF's probe cost is O(nprobe × max_list) independent of corpus
-size, so it pays off when the corpus grows to the tens of millions (a 100M
-flat scan would be ~4 s) or when only the 8-byte codes fit in HBM.
+**When to prefer the flat index on TPU:** the flat ADC scan is O(n) pure
+MXU work (3122 QPS at 1M rows); the fused Pallas probe (round 2:
+scalar-prefetch DMA of probed lists into VMEM, no HBM mega-gather) is
+O(nprobe × cap) independent of corpus size — 2634 QPS at cap=2048 after
+:meth:`IVFPQIndex.rebalance`. Crossover ≈ 1-2M rows: below it use
+`PQIndex`, above it IVF wins linearly (measured numbers in
+docs/performance.md). Keep lists balanced — probe cost tracks the LARGEST
+list, so `rebalance()` after skewed ingest is what buys the win.
 """
 
 from __future__ import annotations
@@ -43,7 +44,9 @@ from vq_tpu.utils.serialize import _from_npz, _to_npz
 __all__ = ["IVFPQIndex"]
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "use_pallas", "interpret")
+)
 def _ivf_search_jit(
     q: jnp.ndarray,  # [Q, d]
     coarse: jnp.ndarray,  # [nlist, d]
@@ -52,6 +55,8 @@ def _ivf_search_jit(
     bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
     nprobe: int,
     k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     Q, d = q.shape
     m, kk, s = cb.shape
@@ -76,16 +81,29 @@ def _ivf_search_jit(
     rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
     tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
 
-    # Gather probed buckets and sum table entries per subspace. Codes are
-    # stored u8 (k <= 256) so the big [Q, nprobe, cap, m] gather moves 4x
-    # less HBM; the per-subspace index cast fuses into its consumer.
-    codes = jnp.take(bucket_codes, probe, axis=0)  # [Q, np, cap, m]
-    ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
-    dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, cap]
-    for i in range(m):
-        dist = dist + jnp.take_along_axis(
-            tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
-        )
+    ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap] (row gather)
+    if use_pallas:
+        # Fused probe kernel: scalar-prefetched list ids DMA each probed
+        # list's codes straight into VMEM; no [Q, np, cap, m] HBM gather
+        # and no take_along_axis lane gathers (round-1's 20x slowdown).
+        from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
+
+        dist = ivf_probe_adc_fused(
+            tables.reshape(Q * nprobe, m, kk),
+            probe.reshape(-1),
+            bucket_codes,
+            interpret=interpret,
+        ).reshape(Q, nprobe, -1)  # [Q, np, cap]
+    else:
+        # XLA fallback: gather probed buckets, sum table entries per
+        # subspace. Codes are stored u8 (k <= 256) so the big gather moves
+        # 4x less HBM; the index cast fuses into its consumer.
+        codes = jnp.take(bucket_codes, probe, axis=0)  # [Q, np, cap, m]
+        dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, cap]
+        for i in range(m):
+            dist = dist + jnp.take_along_axis(
+                tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
+            )
     dist = jnp.where(ids >= 0, dist, jnp.inf)
 
     flat_dist = dist.reshape(Q, -1)
@@ -182,8 +200,14 @@ class IVFPQIndex:
     # -- data ---------------------------------------------------------------
 
     def add(self, vectors) -> None:
-        """Coarse-assign, residual-encode, and append a batch."""
-        x = jnp.asarray(vectors, jnp.float32)
+        """Coarse-assign, residual-encode, and append a batch.
+
+        f16/bf16 batches keep a half-width kept-corpus; residuals compute
+        in f32 (the subtraction promotes), so codes match f32 input.
+        """
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
         if x.ndim == 1:
             x = x[None, :]
         if x.shape[1] != self.pq.dim:
@@ -260,16 +284,171 @@ class IVFPQIndex:
             "padding_waste": float(1.0 - counts.clip(max=cap).sum() / (self.nlist * cap)),
         }
 
+    def rebalance(
+        self,
+        *,
+        target_max: Optional[int] = None,
+        min_size: int = 0,
+        max_iters: int = 8,
+        seed: int = 0,
+        rounds: int = 3,
+    ) -> dict:
+        """Split overfull lists and retire underfull ones.
+
+        The padded-dense bucket layout pays ``nlist * cap`` memory where
+        ``cap`` tracks the LARGEST list, and a ``max_list_size`` cap drops
+        overflow entries from the probe structure — so skew costs either
+        memory or recall. Rebalancing removes the skew at its source:
+
+        * every list longer than ``target_max`` is split: k-means
+          (k = ceil(len / target_max)) on a ``target_max``-row subsample of
+          its members yields part centroids that replace its coarse
+          centroid (fixed subsample size -> one jit compile per distinct
+          part count, not per list size — remote TPU compiles cost
+          minutes);
+        * every list smaller than ``min_size`` is retired;
+        * all affected members are then reassigned in ONE global
+          nearest-centroid pass and re-encoded against their new centroid
+          (exact when ``keep_corpus=True``; otherwise from their
+          reconstructions, adding at most the quantization error already
+          present). Unaffected lists keep their assignments and codes.
+
+        Because k-means parts aren't exactly balanced, up to ``rounds``
+        passes run until no list exceeds ``target_max`` (typically 1-2).
+        ``target_max`` defaults to ``max_list_size`` (or 2x the mean list
+        size if no cap is set). Returns a summary dict.
+        """
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        total_split = total_retired = 0
+        for r in range(max(1, int(rounds))):
+            info = self._rebalance_once(
+                target_max=target_max,
+                min_size=min_size if r == 0 else 0,
+                max_iters=max_iters,
+                seed=seed + 1000 * r,
+            )
+            total_split += info["split"]
+            total_retired += info["retired"]
+            if info["split"] == 0 and info["retired"] == 0:
+                break
+        return {
+            "split": total_split,
+            "retired": total_retired,
+            "new_nlist": self.nlist,
+        }
+
+    def _rebalance_once(
+        self, *, target_max, min_size, max_iters, seed
+    ) -> dict:
+        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        if target_max is None:
+            target_max = self.max_list_size or int(
+                max(8, 2 * max(1.0, counts.mean()))
+            )
+        target_max = int(target_max)
+        split_ids = np.where(counts > target_max)[0]
+        retire_ids = np.where((counts < int(min_size)) & (counts > 0))[0]
+        retire_ids = np.setdiff1d(retire_ids, split_ids)
+        empty_retire = (
+            np.where(counts == 0)[0] if min_size > 0 else np.array([], int)
+        )
+        if split_ids.size == 0 and retire_ids.size == 0 and empty_retire.size == 0:
+            return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+
+        rng = np.random.default_rng(int(seed))
+        lists = self._flat_lists.copy()
+        old_lists = self._flat_lists  # pre-rebalance assignment (residual base)
+        coarse = np.array(self.coarse)  # mutable host copy
+        flat_codes = np.array(self._flat_codes)
+
+        def member_vectors(row_idx: np.ndarray) -> jnp.ndarray:
+            if self._corpus is not None:
+                return jnp.asarray(self._corpus)[row_idx].astype(jnp.float32)
+            # Reconstruct: decode(residual codes) + OLD coarse centroid.
+            rec = self.pq.decode(flat_codes[row_idx])
+            if self.by_residual:
+                rec = rec + jnp.asarray(np.array(self.coarse))[
+                    old_lists[row_idx]
+                ]
+            return rec
+
+        # --- splits: part centroids from a fixed-size member subsample ------
+        keep = np.ones(self.nlist, bool)
+        keep[retire_ids] = False
+        keep[empty_retire] = False
+        extra_centroids = []
+        affected = [np.where(np.isin(lists, split_ids))[0]] if (
+            split_ids.size
+        ) else []
+        next_id = self.nlist
+        for li, l in enumerate(split_ids):
+            rows = np.where(lists == l)[0]
+            parts = int(-(-rows.size // target_max))
+            sub = rows if rows.size <= target_max else rng.choice(
+                rows, target_max, replace=False
+            )
+            res = lloyd(
+                member_vectors(np.sort(sub)), parts, max_iters=max_iters,
+                seed=seed + 7 * li, init="kmeans++",
+            )
+            part_c = np.asarray(res.centroids)
+            coarse[l] = part_c[0]  # part 0 reuses slot l
+            if parts > 1:
+                extra_centroids.append(part_c[1:])
+                next_id += parts - 1
+        coarse_full = (
+            np.concatenate([coarse] + extra_centroids, axis=0)
+            if extra_centroids else coarse
+        )
+
+        for l in retire_ids:
+            affected.append(np.where(lists == l)[0])
+
+        # --- compact retired slots out of the id space ----------------------
+        keep_full = np.ones(coarse_full.shape[0], bool)
+        keep_full[: self.nlist] = keep
+        remap = np.cumsum(keep_full) - 1  # old id -> new id
+        coarse_new = coarse_full[keep_full]
+        lists = remap[lists]
+
+        # --- ONE global reassign + re-encode of all affected members --------
+        if affected:
+            rows = np.unique(np.concatenate(affected))
+            x = member_vectors(rows)
+            from vq_tpu.ops.kmeans import assign as _assign
+
+            new_lists, _ = _assign(x, jnp.asarray(coarse_new, jnp.float32))
+            lists[rows] = np.asarray(new_lists)
+            enc_in = (
+                x - jnp.asarray(coarse_new, jnp.float32)[lists[rows]]
+                if self.by_residual else x
+            )
+            flat_codes[rows] = np.asarray(self.pq.encode(enc_in))
+
+        self._flat_codes = flat_codes
+        self.coarse = jnp.asarray(coarse_new, jnp.float32)
+        self._flat_lists = lists
+        self._buckets = None
+        return {
+            "split": int(split_ids.size),
+            "retired": int(retire_ids.size + empty_retire.size),
+            "new_nlist": self.nlist,
+        }
+
     # -- search -------------------------------------------------------------
 
     def search(
-        self, queries, k: int = 10, *, nprobe: int = 8, rerank: int = 0
+        self, queries, k: int = 10, *, nprobe: int = 8, rerank: int = 0,
+        use_pallas: Optional[bool] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k (ids, squared-L2 distances). ``nprobe`` lists per query.
 
         Ids of −1 mean fewer than k candidates existed in the probed lists.
         With ``rerank=R`` and ``keep_corpus=True``, a top-R shortlist is
-        re-scored exactly.
+        re-scored exactly. On TPU the probe step runs the fused Pallas
+        kernel (scalar-prefetch DMA of probed lists into VMEM) — identical
+        returned ids to the XLA path.
         """
         bucket_codes, bucket_ids = self._build_buckets()
         q = jnp.asarray(queries, jnp.float32)
@@ -283,9 +462,11 @@ class IVFPQIndex:
         # nlist * cap); k / rerank beyond it are satisfied by -1/inf padding
         # per the documented contract.
         pool = nprobe * int(bucket_ids.shape[1])
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         ids, dist = _ivf_search_jit(
             q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
-            nprobe, min(fetch, pool),
+            nprobe, min(fetch, pool), bool(use_pallas),
         )
         if rerank:
             if self._corpus is None:

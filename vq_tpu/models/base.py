@@ -77,6 +77,34 @@ def as_batch_f32(x, *, allow_any_rank: bool = False):
     raise InvalidParameter("x", f"expected [d] or [n, d] input, got {x.ndim}-D")
 
 
+_HALF_DTYPES = (jnp.float16, jnp.bfloat16)
+
+
+def as_batch_compute(x, *, allow_any_rank: bool = False):
+    """Like :func:`as_batch_f32` but keeps half-precision inputs half.
+
+    The TPU-native analog of the reference's ``Vector<f16>``
+    (src/core/vector.rs:12-71): an f16/bf16 corpus stays half-width in HBM
+    end to end; compute paths upcast tiles to f32 in VMEM, so scores (and
+    therefore codes) are identical to feeding the same values as f32.
+    Everything else (ints, f64) is coerced to f32 as before.
+    """
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating) and not jnp.issubdtype(
+        x.dtype, jnp.integer
+    ):
+        raise InvalidParameter("x", f"expected numeric input, got dtype {x.dtype}")
+    if x.dtype not in _HALF_DTYPES:
+        x = x.astype(jnp.float32)
+    if allow_any_rank:
+        return x, False
+    if x.ndim == 1:
+        return x[None, :], True
+    if x.ndim == 2:
+        return x, False
+    raise InvalidParameter("x", f"expected [d] or [n, d] input, got {x.ndim}-D")
+
+
 def check_training_matrix(data) -> jnp.ndarray:
     """Validate a 2-D non-empty training matrix, coercing to f32.
 

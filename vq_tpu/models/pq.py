@@ -42,7 +42,12 @@ import jax
 import jax.numpy as jnp
 
 from vq_tpu.errors import DimensionMismatch, InvalidParameter
-from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
+from vq_tpu.models.base import (
+    Quantizer,
+    as_batch_compute,
+    as_batch_f32,
+    check_training_matrix,
+)
 from vq_tpu.ops.distance import (
     COSINE_NORM_EPS,
     _PAIRWISE,
@@ -103,7 +108,10 @@ def _pq_encode_jit(
     tiles = padded.reshape(-1, block_rows, m, s)
 
     def one(tile):
-        scores = _subspace_scores(tile, cb, metric)  # [B, m, k]
+        # Half-width corpora upcast per-tile (the HBM array stays f16/bf16).
+        scores = _subspace_scores(
+            tile.astype(jnp.float32), cb, metric
+        )  # [B, m, k]
         return jnp.argmin(scores, axis=-1).astype(jnp.int32)
 
     codes = jax.lax.map(one, tiles).reshape(-1, m)[:n]
@@ -169,6 +177,61 @@ def _adc_lookup_jit(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
         xs=(jnp.moveaxis(tables, 1, 0), codes.T),
     )
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+def _adc_search_chunked_jit(
+    tables: jnp.ndarray,  # [Q, m, k]
+    cb_sqn: jnp.ndarray,  # [m, k] per-centroid squared norms (cosine only)
+    qn: jnp.ndarray,  # [Q] query norms (cosine only)
+    code_chunks: jnp.ndarray,  # [nc, chunk, m] padded corpus codes
+    nvalid: jnp.ndarray,  # [] number of real rows
+    metric: Metric,
+    fetch: int,
+):
+    """Blockwise ADC scan with a running top-``fetch`` merge.
+
+    Working set is one ``[Q, chunk]`` distance block; the merge is a
+    ``top_k`` over ``[Q, fetch + chunk]`` per block. Avoids materializing
+    the full ``[Q, n]`` matrix (512 MB HBM at Q=128, n=1M).
+    """
+    Q = tables.shape[0]
+    chunk = code_chunks.shape[1]
+
+    def body(carry, inp):
+        best_d, best_i = carry  # [Q, fetch]
+        chunk_codes, cidx = inp  # [chunk, m], []
+        acc = _adc_lookup_jit(tables, chunk_codes)  # [Q, chunk]
+        if metric == Metric.EUCLIDEAN:
+            d = jnp.sqrt(jnp.maximum(acc, 0.0))
+        elif metric == Metric.COSINE:
+            recon_sqn = _adc_lookup_jit(cb_sqn[None], chunk_codes)[0]
+            rn = jnp.sqrt(jnp.maximum(recon_sqn, 0.0))
+            denom = jnp.maximum(qn[:, None] * rn[None, :], COSINE_NORM_EPS)
+            d = jnp.clip(1.0 - acc / denom, 0.0, 1.0)
+            degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                rn[None, :] < COSINE_NORM_EPS
+            )
+            d = jnp.where(degenerate, 1.0, d)
+        else:
+            d = acc
+        gidx = cidx * chunk + jnp.arange(chunk)
+        d = jnp.where((gidx < nvalid)[None, :], d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (code_chunks, jnp.arange(code_chunks.shape[0]))
+    )
+    return best_i, best_d
 
 
 def _adc_lookup_best(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
@@ -278,7 +341,7 @@ def pq_encode(
     """Encode ``[n, d]`` vectors to ``[n, m]`` int32 code indices."""
     metric = Metric.parse(metric)
     cb = jnp.asarray(codebooks, jnp.float32)
-    x2d, _ = as_batch_f32(x)
+    x2d, _ = as_batch_compute(x)  # f16/bf16 corpora stay half in HBM
     m, k, s = cb.shape
     if x2d.shape[1] != m * s:
         raise DimensionMismatch(expected=m * s, found=x2d.shape[1])
@@ -391,8 +454,10 @@ class ProductQuantizer(Quantizer):
         """``[n, d]`` (or ``[d]``) -> ``[n, m]`` (or ``[m]``) code indices.
 
         Returned as uint8 when ``k <= 256`` — the actual PQ byte budget.
+        f16/bf16 input stays half-width in HBM (codes identical to f32
+        input of the same values; reference ``Vector<f16>`` analog).
         """
-        x2d, was_1d = as_batch_f32(x)
+        x2d, was_1d = as_batch_compute(x)
         codes = pq_encode(x2d, self._codebooks, self._metric, self._block_rows)
         if self.num_centroids <= 256:
             codes = codes.astype(jnp.uint8)
@@ -471,7 +536,7 @@ class ProductQuantizer(Quantizer):
         return acc
 
     def adc_search(self, queries, codes, k: int = 10, *, rerank: int = 0,
-                   corpus=None):
+                   corpus=None, chunk: int = 262_144):
         """Top-k nearest codes for each query by asymmetric distance.
 
         Returns ``(indices [Q, k], distances [Q, k])`` sorted ascending.
@@ -481,14 +546,47 @@ class ProductQuantizer(Quantizer):
         quantizer's metric (standard two-stage ANN search — recovers the
         recall that quantization error costs at large corpus sizes for the
         price of R exact distance computations per query).
+
+        Corpora longer than ``chunk`` are scanned blockwise with a running
+        top-k merge, so the working set is ``[Q, chunk]`` instead of the
+        full ``[Q, n]`` distance matrix (512 MB of HBM at Q=128, n=1M).
         """
-        d = self.adc_distances(queries, codes)
+        codes_arr = jnp.asarray(codes)
+        n = codes_arr.shape[0]
+        fetch = max(int(k), int(rerank)) if rerank else int(k)
+        if n > int(chunk) and fetch < n:
+            d = None
+            ids, dist = self._adc_search_chunked(
+                queries, codes_arr, min(fetch, n), int(chunk)
+            )
+        else:
+            d = self.adc_distances(queries, codes)
+            ids = dist = None
+        if d is None and not rerank:
+            return ids[:, :k], dist[:, :k]
+        if d is None and rerank:
+            # Chunked shortlist: re-score exactly below.
+            short, _ = ids, dist
+            if corpus is not None:
+                q2d, _ = as_batch_f32(queries)
+                cand = jnp.take(jnp.asarray(corpus), short, axis=0).astype(
+                    jnp.float32
+                )
+                exact = jax.vmap(
+                    lambda qv, cv: _PAIRWISE[self._metric](qv[None, :], cv)[0]
+                )(q2d, cand)
+                neg_top, pos = jax.lax.top_k(-exact, min(k, short.shape[1]))
+                return jnp.take_along_axis(short, pos, axis=1), -neg_top
+            return short[:, :k], dist[:, :k]
         if rerank and corpus is not None:
             r = min(int(rerank), d.shape[1])
             _, short = jax.lax.top_k(-d, r)  # [Q, R] candidate ids
             q2d, _ = as_batch_f32(queries)
-            corpus = jnp.asarray(corpus, jnp.float32)
-            cand = jnp.take(corpus, short, axis=0)  # [Q, R, d]
+            # Gather candidates first, THEN upcast — a half-width corpus
+            # must not be materialized as a full f32 copy at search time.
+            cand = jnp.take(jnp.asarray(corpus), short, axis=0).astype(
+                jnp.float32
+            )  # [Q, R, d]
             exact = jax.vmap(
                 lambda qv, cv: _PAIRWISE[self._metric](qv[None, :], cv)[0]
             )(q2d, cand)  # [Q, R]
@@ -497,6 +595,24 @@ class ProductQuantizer(Quantizer):
             return idx, -neg_top
         neg_top, idx = jax.lax.top_k(-d, k)
         return idx, -neg_top
+
+    def _adc_search_chunked(self, queries, codes, fetch: int, chunk: int):
+        """Driver for :func:`_adc_search_chunked_jit`: builds tables and
+        the padded ``[nc, chunk, m]`` code blocks."""
+        q2d, _ = as_batch_f32(queries)
+        if q2d.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q2d.shape[1])
+        tables = _adc_tables_jit(q2d, self._codebooks, self._metric)
+        codes = jnp.asarray(codes).astype(jnp.int32)
+        n, m = codes.shape
+        pad = (-n) % chunk
+        code_chunks = jnp.pad(codes, ((0, pad), (0, 0))).reshape(-1, chunk, m)
+        cb_sqn = jnp.sum(self._codebooks * self._codebooks, axis=-1)
+        qn = jnp.sqrt(jnp.sum(q2d * q2d, axis=-1))
+        return _adc_search_chunked_jit(
+            tables, cb_sqn, qn, code_chunks, jnp.int32(n), self._metric,
+            int(fetch),
+        )
 
     def __repr__(self) -> str:
         return (

@@ -11,6 +11,18 @@ Training: sequential Lloyd's per stage on the running residual (stage
 per stage — each stage is one fused distance+argmin over ``[k, d]``
 centroids, the same kernel shape as k-means assignment. Decoding: sum of
 ``S`` gathers.
+
+LSQ-style joint optimization (:func:`rq_refine_joint`): alternate
+beam-search encoding with the *exact* least-squares codebook update for
+fixed codes — for each output dimension independently,
+``X ≈ B W`` where ``B [n, S*k]`` is the concatenated stage one-hot matrix
+and ``W [S*k, d]`` the stacked codebooks, so the optimal update solves the
+normal equations ``(BᵀB + λI) W = BᵀX``. Both Gram accumulation (one-hot
+matmuls over data tiles, MXU) and the SPD solve (Cholesky on a
+``[S·k, S·k]`` matrix) run on device. The codebook step is globally
+optimal per iteration, unlike stage-wise k-means which ignores
+inter-stage interactions (Martinez et al., "Solving multi-codebook
+quantization in the GPU", and the LSQ/LSQ++ line of work).
 """
 
 from __future__ import annotations
@@ -25,7 +37,13 @@ from vq_tpu.errors import DimensionMismatch, InvalidParameter
 from vq_tpu.models.base import Quantizer, as_batch_f32, check_training_matrix
 from vq_tpu.ops.kmeans import assign, lloyd
 
-__all__ = ["ResidualQuantizer", "rq_train", "rq_encode", "rq_decode"]
+__all__ = [
+    "ResidualQuantizer",
+    "rq_train",
+    "rq_encode",
+    "rq_decode",
+    "rq_refine_joint",
+]
 
 
 def rq_train(
@@ -145,6 +163,90 @@ def _rq_encode_beam_jit(
     return out.reshape(-1, S)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def _rq_solve_codebooks_jit(
+    x: jnp.ndarray, codes: jnp.ndarray, k: int, block_rows: int,
+    ridge: float = 1e-5,
+):
+    """Exact least-squares codebook update for fixed codes.
+
+    Accumulates the normal equations over data tiles — ``G = BᵀB``
+    (``[S*k, S*k]`` stage-code co-occurrence Gram) and ``H = BᵀX`` — where
+    the per-tile one-hot block ``[T, S, k] -> [T, S*k]`` reshape lands each
+    stage in its own column block, so both accumulations are plain MXU
+    matmuls. Solves ``(G + λ tr(G)/Sk · I) W = H`` by Cholesky (λ keeps
+    never-used codewords harmless) and returns ``[S, k, d]`` codebooks.
+    """
+    n, d = x.shape
+    S = codes.shape[1]
+    sk = S * k
+    pad = (-n) % block_rows
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    # Padded rows get code k (one_hot -> all-zero row): they contribute
+    # nothing to G or H.
+    cp = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=k)
+    x_tiles = xp.reshape(-1, block_rows, d)
+    c_tiles = cp.reshape(-1, block_rows, S)
+
+    def body(carry, inp):
+        G, H = carry
+        xt, ct = inp
+        oh = jax.nn.one_hot(ct, k, dtype=jnp.float32).reshape(
+            xt.shape[0], sk
+        )  # [T, S*k]
+        G = G + jax.lax.dot_general(
+            oh, oh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        H = H + jax.lax.dot_general(
+            oh, xt, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (G, H), None
+
+    init = (jnp.zeros((sk, sk), jnp.float32), jnp.zeros((sk, d), jnp.float32))
+    (G, H), _ = jax.lax.scan(body, init, (x_tiles, c_tiles))
+    lam = ridge * jnp.trace(G) / sk + 1e-20
+    W = jax.scipy.linalg.solve(
+        G + lam * jnp.eye(sk, dtype=jnp.float32), H, assume_a="pos"
+    )
+    return W.reshape(S, k, d)
+
+
+def rq_refine_joint(
+    training_data,
+    codebooks,
+    *,
+    iters: int = 3,
+    beam: int = 4,
+    block_rows: int = 1024,
+    ridge: float = 1e-5,
+) -> jnp.ndarray:
+    """LSQ-style alternating refinement of RQ codebooks.
+
+    Each iteration: (1) beam-search encode with the current codebooks,
+    (2) replace ALL stage codebooks with the globally optimal
+    least-squares solution for those codes (:func:`_rq_solve_codebooks_jit`).
+    The codebook step never increases reconstruction MSE for fixed codes;
+    in practice 2-4 iterations recover most of the gap between stage-wise
+    RQ and joint additive quantization.
+    """
+    data = check_training_matrix(training_data)
+    cbs = jnp.asarray(codebooks, jnp.float32)
+    S, k, d = cbs.shape
+    if data.shape[1] != d:
+        raise DimensionMismatch(expected=d, found=data.shape[1])
+    block = min(int(block_rows), data.shape[0])
+    for _ in range(int(iters)):
+        codes = rq_encode(data, cbs, beam=beam)
+        cbs = _rq_solve_codebooks_jit(
+            data, codes.astype(jnp.int32), k, block, float(ridge)
+        )
+    return cbs
+
+
 @jax.jit
 def _rq_decode_jit(codes: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
     def body(acc, inp):
@@ -183,7 +285,10 @@ class ResidualQuantizer(Quantizer):
     """Additive residual quantizer: ``S`` stages × ``k`` full-d centroids.
 
     ``ResidualQuantizer(training_data, num_stages, num_centroids, ...)``
-    trains; pass ``codebooks=[S, k, d]`` to restore.
+    trains; pass ``codebooks=[S, k, d]`` to restore. ``joint_iters > 0``
+    follows the stage-wise init with that many LSQ-style alternating
+    refinement rounds (:func:`rq_refine_joint`) — lower MSE at the cost of
+    ``joint_iters`` beam encodes + least-squares solves.
     """
 
     def __init__(
@@ -195,6 +300,8 @@ class ResidualQuantizer(Quantizer):
         seed: int = 42,
         *,
         codebooks=None,
+        joint_iters: int = 0,
+        beam: int = 4,
     ):
         if codebooks is not None:
             cbs = jnp.asarray(codebooks, jnp.float32)
@@ -216,6 +323,11 @@ class ResidualQuantizer(Quantizer):
                 training_data, num_stages, num_centroids,
                 max_iters=max_iters, seed=seed,
             )
+            if int(joint_iters) > 0:
+                self._cbs = rq_refine_joint(
+                    training_data, self._cbs,
+                    iters=int(joint_iters), beam=int(beam),
+                )
 
     @property
     def codebooks(self) -> jnp.ndarray:

@@ -139,6 +139,7 @@ def _assign_codes(
     tiles = padded.reshape(-1, block_rows, d)
 
     def one(tile):
+        tile = tile.astype(jnp.float32)  # upcast per-tile (half corpora)
         scores = _block_scores(tile, centroids, cc)
         codes = jnp.argmin(scores, axis=-1).astype(jnp.int32)
         xx = jnp.sum(tile * tile, axis=-1)
@@ -158,8 +159,11 @@ def assign(
     encode-time Distance (src/core/vector.rs:352-363 via Vector::distance2).
     Returns ``(codes [n] int32, sq_dists [n] f32)``. On TPU this runs the
     fused Pallas distance+argmin kernel by default (identical codes).
+    f16/bf16 data stays half-width in HBM; tiles upcast to f32 in compute.
     """
-    data = jnp.asarray(data, jnp.float32)
+    data = jnp.asarray(data)
+    if data.dtype not in (jnp.float16, jnp.bfloat16):
+        data = data.astype(jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

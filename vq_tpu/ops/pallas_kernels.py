@@ -12,10 +12,14 @@ reference's two hot loops:
 * PQ encode (reference src/pq.rs:177-196, per-subspace linear scan over
   centroids through the hsdlib C FFI) -> :func:`pq_encode_fused`.
 
-Tie-breaking: ``jnp.argmin`` keeps the lowest index, matching the
-reference's strict ``<`` scans (src/core/vector.rs:352-363,
-src/pq.rs:183-191); the k-tiled merge in the assignment kernel preserves
-that by merging tiles with strict ``<`` on the running minimum.
+Tie-breaking: every kernel argmin goes through :func:`_int_argmin` mode
+``"int2"`` (orderable-int key min + lowest-index-among-minima), which is
+both faster than Mosaic's variadic argmin and the only lowering that
+matches the reference's strict ``<`` scans exactly on ties
+(src/core/vector.rs:352-363, src/pq.rs:183-191) — Mosaic's native argmin
+was measured breaking exact ties to a non-lowest index. The k-tiled merge
+in the assignment kernels preserves lowest-index with strict ``<`` on the
+running minimum.
 
 All kernels compute scores as ``||c||^2 - 2 x.c^T`` in f32 (the ``||x||^2``
 term is argmin-invariant); inertia adds the ``||x||^2`` term back at the
@@ -39,6 +43,7 @@ __all__ = [
     "lloyd_accumulate_fused",
     "pq_lloyd_accumulate_fused",
     "adc_lookup_fused",
+    "ivf_probe_adc_fused",
 ]
 
 
@@ -126,9 +131,10 @@ def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total
     Scores stream through VMEM; the running (min, argmin) merge keeps the
     lowest index on ties via strict ``<``.
     """
-    x = x_ref[:]  # [TN, d]
+    x = x_ref[:].astype(jnp.float32)  # [TN, d]; upcast half corpora per-tile
     tn = x.shape[0]
     num_k_tiles = k_total // k_tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (tn, k_tile), 1)
 
     run_min = jnp.full((tn,), jnp.inf, jnp.float32)
     run_idx = jnp.zeros((tn,), jnp.int32)
@@ -139,9 +145,9 @@ def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total
             x, c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PRECISION,
         )  # [TN, TK] on the MXU
-        scores = cc[None, :] - 2.0 * xc
-        tile_idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
-        tile_min = jnp.min(scores, axis=-1)
+        # int2: integer-key argmin — faster than Mosaic's variadic reduce
+        # AND the only lowering that honors lowest-index ties exactly.
+        tile_min, tile_idx = _int_argmin(cc[None, :] - 2.0 * xc, col, "int2")
         better = tile_min < run_min  # strict: earlier tile wins ties
         run_idx = jnp.where(better, tile_idx + t * k_tile, run_idx)
         run_min = jnp.where(better, tile_min, run_min)
@@ -202,9 +208,13 @@ def assign_fused(
     """Fused distance+argmin assignment (squared-L2, lowest-index ties).
 
     Drop-in for :func:`vq_tpu.ops.kmeans.assign` on TPU. ``interpret=True``
-    runs the Pallas interpreter (CPU testing).
+    runs the Pallas interpreter (CPU testing). bf16 data stays half-width
+    in HBM and upcasts per-tile in VMEM (f16 upcasts here — Mosaic has no
+    IEEE-f16 path; the XLA fallback keeps f16 resident).
     """
-    data = jnp.asarray(data, jnp.float32)
+    data = jnp.asarray(data)
+    if data.dtype != jnp.bfloat16:
+        data = data.astype(jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
     block_rows = min(block_rows, _round_up(data.shape[0], 8))
     return _assign_fused_jit(data, centroids, int(block_rows), bool(interpret))
@@ -227,7 +237,9 @@ def _pq_encode_kernel(
     tn = x_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
     for i in range(m):
-        xs = x_ref[:, pl.ds(i * s, s)]  # [TN, s]
+        # Half-width (f16/bf16) corpora upcast per-tile here in VMEM; the
+        # HBM-resident array stays half (the Vector<f16> analog).
+        xs = x_ref[:, pl.ds(i * s, s)].astype(jnp.float32)  # [TN, s]
         cbi = cb_ref[i]  # [k, s]
         xc = jax.lax.dot_general(
             xs, cbi, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -325,6 +337,7 @@ def _pq_encode_fused_jit(
         return codes[:n]
 
     if precision == "bf16x3":
+        xp = xp.astype(jnp.float32)  # hi/lo split in-kernel needs f32
         cbh = cbp.astype(jnp.bfloat16)
         cbl = (cbp - cbh.astype(jnp.float32)).astype(jnp.bfloat16)
         cb_spec = pl.BlockSpec((m, k_pad, s), lambda i: (0, 0, 0),
@@ -360,7 +373,7 @@ def _pq_encode_fused_jit(
 
 def pq_encode_fused(
     x, codebooks, block_rows: int = 1024, interpret: bool = False,
-    precision=_PRECISION, argmin_mode: str = "reduce",
+    precision=_PRECISION, argmin_mode: str = "int2",
 ) -> jnp.ndarray:
     """Fused PQ encode: all m subspaces' distance+argmin in one kernel pass.
 
@@ -370,13 +383,23 @@ def pq_encode_fused(
 
     ``precision`` controls the MXU matmul: HIGHEST (default) is bit-compatible
     with the XLA/CPU f32 paths; lower settings trade near-tie argmin fidelity
-    for pass count. ``argmin_mode`` selects the VPU argmin lowering
-    (see :func:`_int_argmin`; ``"int2"`` is exact, ``"int1"`` packs the index
-    into the key's low bits and may flip codes at near-ties). ``block_rows``
+    for pass count. ``argmin_mode`` selects the VPU argmin lowering (see
+    :func:`_int_argmin`). The default ``"int2"`` is measured ~12% faster
+    than the variadic reduce at the 1M x 128 8x256 bench config AND is the
+    only mode bit-exact vs XLA's lowest-index tie contract on TPU —
+    Mosaic's native argmin was caught breaking exact ties to a non-lowest
+    index (7 / 8M codes at 1M scale). ``"int1"`` packs the index into the
+    key's low bits (single reduce, fastest) and may flip codes at
+    near-ties (~1.4e-4 observed). ``block_rows``
     is capped at 2048 — larger tiles overflow the ~16 MB VMEM budget (scores
     + codebooks + unrolled temporaries).
     """
-    x = jnp.asarray(x, jnp.float32)
+    x = jnp.asarray(x)
+    # bf16 is the TPU-native half format and stays half in HBM; Mosaic has
+    # no IEEE-f16 path (verified: remote compile fails), so f16 upcasts at
+    # this boundary (the XLA fallback keeps f16 resident instead).
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
     cb = jnp.asarray(codebooks, jnp.float32)
     block_rows = min(block_rows, _round_up(x.shape[0], 8), 2048)
     return _pq_encode_fused_jit(
@@ -423,7 +446,9 @@ def _pq_lloyd_acc_kernel(
             preferred_element_type=jnp.float32, precision=_PRECISION,
         )
         scores = cc_ref[i][None, :] - 2.0 * xc  # [TN, k]
-        idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        # int2 integer-key argmin: faster than the variadic reduce and the
+        # only Mosaic lowering exact on lowest-index ties (see _int_argmin).
+        smin, idx = _int_argmin(scores, col, "int2")
         onehot = (idx[:, None] == col).astype(jnp.float32) * valid[:, None]
         sums_ref[i] += jax.lax.dot_general(
             onehot, xs, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -434,9 +459,7 @@ def _pq_lloyd_acc_kernel(
             preferred_element_type=jnp.float32, precision=_PRECISION,
         )[0]
         xx = jnp.sum(xs * xs, axis=-1)
-        contrib = (
-            jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0) * valid
-        )[:, None]
+        contrib = (jnp.maximum(smin + xx, 0.0) * valid)[:, None]
         inertia_ref[:, :] += jax.lax.dot_general(
             ones_row, contrib, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PRECISION,
@@ -570,6 +593,112 @@ def adc_lookup_fused(
 
 
 # ---------------------------------------------------------------------------
+# Fused IVF probe ADC: per-(query, probe) tables [QP, m, k] x probed lists'
+# codes (selected by scalar-prefetched list ids) -> distances [QP, cap]
+# ---------------------------------------------------------------------------
+
+
+_IVF_PAIRS_PER_STEP = 8  # output sublane alignment (Mosaic: 8-row blocks)
+_IVF_CAP_TILE = 512  # lane-dim tile of the list axis (bounds VMEM)
+
+
+def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile):
+    """8 (query, probe-slot) pairs x one cap tile per grid step.
+
+    The scalar-prefetched ``probe_ref`` drives 8 codes BlockSpecs (one per
+    pair slot), so each probed list's ``[cap_tile, m]`` codes are DMA'd
+    straight into VMEM — the XLA formulation instead materializes a
+    ``[Q, nprobe, cap, m]`` gather plus per-subspace ``take_along_axis``
+    lane gathers in HBM, which is what made IVF search 20x slower than a
+    flat scan in round 1 (docs/performance.md). The table lookup is m
+    one-hot row-matvecs ``[1, kk] x [kk, cap_tile]`` accumulated in VMEM;
+    the second grid axis walks cap tiles so the one-hot intermediate stays
+    ~``kk x 512`` (bucket capacities can reach tens of thousands under
+    skew — one-shot ``[kk, cap]`` would blow VMEM and Mosaic compile time).
+    """
+    del probe_ref  # consumed by the BlockSpec index maps
+    codes_refs, out_ref = refs[:_IVF_PAIRS_PER_STEP], refs[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (kk, cap_tile), 0)
+    for j in range(_IVF_PAIRS_PER_STEP):
+        acc = jnp.zeros((1, cap_tile), jnp.float32)
+        for i in range(m):
+            codes_i = codes_refs[j][0, :, i]  # [cap_tile] i32
+            onehot = (row == codes_i[None, :]).astype(jnp.float32)
+            acc += jax.lax.dot_general(
+                tab_ref[j, i][None, :], onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PRECISION,
+            )  # [1, cap_tile]
+        out_ref[j, :] = acc[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
+    qp, m, kk = tables.shape
+    nlist, cap, _ = bucket_codes.shape
+    kk_pad = _round_up(kk, 128)
+    cap_tile = min(_IVF_CAP_TILE, _round_up(cap, 128))
+    cap_pad = _round_up(cap, cap_tile)
+    P = _IVF_PAIRS_PER_STEP
+    qp_pad = _round_up(qp, P)
+    tab = jnp.pad(
+        tables, ((0, qp_pad - qp), (0, 0), (0, kk_pad - kk))
+    )
+    probe_flat = jnp.pad(
+        probe.reshape(-1).astype(jnp.int32), (0, qp_pad - qp)
+    )  # padded pairs probe list 0; their rows are sliced off below
+    # Padded rows get code kk (>= any real code) -> they match no one-hot
+    # row, accumulating 0; the caller masks them via ids anyway.
+    codes = jnp.pad(
+        bucket_codes.astype(jnp.int32),
+        ((0, 0), (0, cap_pad - cap), (0, 0)),
+        constant_values=kk_pad,
+    )
+
+    def codes_spec(j):
+        return pl.BlockSpec(
+            (1, cap_tile, m), lambda i, c, pr, j=j: (pr[i * P + j], c, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp_pad // P, cap_pad // cap_tile),
+        in_specs=[
+            pl.BlockSpec((P, m, kk_pad), lambda i, c, pr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[codes_spec(j) for j in range(P)],
+        ],
+        out_specs=pl.BlockSpec((P, cap_tile), lambda i, c, pr: (i, c),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _ivf_probe_kernel, m=m, kk=kk_pad, cap_tile=cap_tile
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qp_pad, cap_pad), jnp.float32),
+        interpret=interpret,
+    )(probe_flat, tab, *([codes] * P))
+    return out[:qp, :cap]
+
+
+def ivf_probe_adc_fused(
+    tables, probe, bucket_codes, interpret: bool = False
+) -> jnp.ndarray:
+    """ADC distances for probed IVF lists without the big HBM gather.
+
+    ``tables``: ``[QP, m, kk]`` f32 per-(query, probe-slot) lookup tables;
+    ``probe``: ``[QP]`` int list ids; ``bucket_codes``: ``[nlist, cap, m]``
+    integer codes. Returns ``[QP, cap]`` distances (padded slots accumulate
+    0 — mask with bucket ids outside).
+    """
+    tables = jnp.asarray(tables, jnp.float32)
+    probe = jnp.asarray(probe)
+    return _ivf_probe_adc_jit(tables, probe, bucket_codes, bool(interpret))
+
+
+# ---------------------------------------------------------------------------
 # Fused Lloyd iteration accumulate:
 #   data [n, d] x centroids [k, d] -> sums [k, d], counts [k], inertia []
 # ---------------------------------------------------------------------------
@@ -603,6 +732,7 @@ def _lloyd_acc_kernel(
     run_min = jnp.full((tn,), jnp.inf, jnp.float32)
     run_idx = jnp.zeros((tn,), jnp.int32)
     num_k_tiles = k_total // k_tile
+    tile_col = jax.lax.broadcasted_iota(jnp.int32, (tn, k_tile), 1)
     for t in range(num_k_tiles):
         c = c_ref[pl.ds(t * k_tile, k_tile), :]
         cc = cc_ref[0, pl.ds(t * k_tile, k_tile)]
@@ -610,9 +740,10 @@ def _lloyd_acc_kernel(
             x, c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PRECISION,
         )
-        scores = cc[None, :] - 2.0 * xc
-        tile_idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
-        tile_min = jnp.min(scores, axis=-1)
+        # int2 integer-key argmin (see _int_argmin): faster + tie-exact.
+        tile_min, tile_idx = _int_argmin(
+            cc[None, :] - 2.0 * xc, tile_col, "int2"
+        )
         better = tile_min < run_min
         run_idx = jnp.where(better, tile_idx + t * k_tile, run_idx)
         run_min = jnp.where(better, tile_min, run_min)

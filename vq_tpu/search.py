@@ -53,8 +53,14 @@ class PQIndex:
         return self.pq.num_subspaces * itemsize
 
     def add(self, vectors) -> None:
-        """Encode and append a batch of raw vectors."""
-        x = jnp.asarray(vectors, jnp.float32)
+        """Encode and append a batch of raw vectors.
+
+        f16/bf16 batches stay half-width: encode upcasts per-tile and a
+        kept corpus is stored half (rerank upcasts candidates only).
+        """
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
         if x.ndim == 1:
             x = x[None, :]
         if x.shape[1] != self.pq.dim:
