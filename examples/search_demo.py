@@ -76,6 +76,16 @@ def main() -> None:
     rows.append(("IVFPQIndex (nprobe=16)", 8, recall(ids_i), None))
     rows.append(("IVFPQIndex (+rerank 500)", 8, recall(ids_irr), None))
 
+    # Rebalance: split any skew-inflated lists (probe cost tracks the
+    # LARGEST list) and re-search — recall holds, padded cap shrinks.
+    before = ivf.bucket_stats()["cap"]
+    ivf.rebalance(target_max=2 * n // 256)
+    ids_rb, _ = ivf.search(queries, k=10, nprobe=16)
+    rows.append((
+        f"IVFPQIndex (rebalanced, cap {before}->"
+        f"{ivf.bucket_stats()['cap']})", 8, recall(ids_rb), None,
+    ))
+
     print(f"corpus: {n} x {d}, {n_queries} queries, exact 10-NN ground truth")
     print(f"{'index':<28} {'bytes/vec':>9} {'recall@10':>10}")
     for name, bpv, r, _t in rows:

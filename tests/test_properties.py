@@ -231,3 +231,71 @@ def test_perdim_sq_roundtrip_bounded(x, levels):
     span = np.asarray(q.maxs) - np.asarray(q.mins)
     bound = steps / 2 + span * 1e-5 + 1e-6
     assert np.all(np.abs(rec - x) <= bound[None, :])
+
+
+# --- round-2 primitives ------------------------------------------------------
+
+
+@common
+@given(
+    arrays(
+        np.float32, (12, 20),
+        elements=st.floats(-1e6, 1e6, allow_nan=False, width=32),
+    )
+)
+def test_int_argmin_int2_matches_variadic(scores):
+    """int2 integer-key argmin == jnp.min/argmin on any finite scores
+    (including negatives, zeros, denormal-ish magnitudes, exact ties)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.pallas_kernels import _int_argmin
+
+    s = jnp.asarray(scores)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mv_r, idx_r = _int_argmin(s, col, "reduce")
+    mv_2, idx_2 = _int_argmin(s, col, "int2")
+    np.testing.assert_array_equal(np.asarray(idx_2), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(mv_2), np.asarray(mv_r))
+
+
+@common
+@given(
+    arrays(
+        np.float32, (40, 8),
+        elements=st.floats(0, 1, allow_nan=False, width=32),
+    ),
+    st.integers(0, 2**31 - 1),
+)
+def test_kpp_device_seeds_are_data_rows(data, seed):
+    from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+    seeds = np.asarray(kmeans_plusplus_init_device(data, 4, seed=seed))
+    rows = {tuple(r) for r in data.round(6).tolist()}
+    assert all(tuple(s) in rows for s in seeds.round(6).tolist())
+
+
+@common
+@given(st.integers(0, 2**31 - 1))
+def test_rq_joint_solve_never_worse_for_fixed_codes(seed):
+    """The least-squares codebook update is optimal for fixed codes, so it
+    can never increase reconstruction MSE under those codes."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.rq import (
+        _rq_solve_codebooks_jit,
+        rq_decode,
+        rq_encode,
+        rq_train,
+    )
+
+    rng = np.random.default_rng(seed)
+    data = rng.normal(0, 1, (120, 8)).astype(np.float32)
+    cbs = rq_train(data, 2, 4, max_iters=3, seed=seed % 1000)
+    codes = rq_encode(data, cbs).astype(np.int32)
+    before = float(np.mean((np.asarray(rq_decode(codes, cbs)) - data) ** 2))
+    cbs2 = _rq_solve_codebooks_jit(
+        jnp.asarray(data), jnp.asarray(codes), 4, 64
+    )
+    after = float(np.mean((np.asarray(rq_decode(codes, cbs2)) - data) ** 2))
+    assert after <= before * (1 + 1e-4)

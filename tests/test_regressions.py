@@ -209,3 +209,22 @@ def test_pq_encode_dispatches_fused_on_tpu(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     pq_encode(data, cb, "manhattan")
     assert not calls
+
+
+def test_int_argmin_negative_zero_tie():
+    # Round-2 regression: the orderable-int key ordered -0.0 below +0.0,
+    # so int2 picked a later -0.0 over an earlier +0.0 — but IEEE compares
+    # them equal and equal scores must resolve to the LOWEST index
+    # (reference strict-< scan). Keys for -0.0 are canonicalized to +0.0.
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.pallas_kernels import _int_argmin
+
+    scores = np.array(
+        [[0.0, -0.0, 1.0], [-0.0, 0.0, 2.0], [5.0, -0.0, 0.0]], np.float32
+    )
+    s = jnp.asarray(scores)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    _, idx = _int_argmin(s, col, "int2")
+    assert np.asarray(idx).tolist() == [0, 0, 1]

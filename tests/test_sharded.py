@@ -101,3 +101,46 @@ class TestShardedLloyd:
         mesh = make_mesh(n_devices=1)
         res = sharded_lloyd(data, k=8, max_iters=10, seed=0, mesh=mesh)
         assert res.centroids.shape == (8, 16)
+
+
+class TestShardedIVFSearch:
+    def test_matches_single_device(self):
+        # List-sharded IVF search over the 8-device mesh must return the
+        # same ids as the single-device search.
+        import jax
+
+        from vq_tpu.ivf import IVFPQIndex
+        from vq_tpu.parallel.ivf import sharded_ivf_search
+
+        rng = np.random.default_rng(41)
+        centers = rng.normal(0, 3.0, (20, 24)).astype(np.float32)
+        which = rng.integers(0, 20, 4000)
+        data = (centers[which] + rng.normal(0, 0.2, (4000, 24))).astype(
+            np.float32
+        )
+        idx = IVFPQIndex.train(
+            data[:1500], nlist=20, num_subspaces=4, num_centroids=16,
+            max_iters=6,
+        )
+        idx.add(data)
+        queries = data[:11]
+        ids_1, dist_1 = idx.search(queries, k=7, nprobe=5)
+        ids_s, dist_s = sharded_ivf_search(idx, queries, k=7, nprobe=5)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(dist_s), np.asarray(dist_1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_nlist_not_divisible_by_devices(self):
+        from vq_tpu.ivf import IVFPQIndex
+        from vq_tpu.parallel.ivf import sharded_ivf_search
+
+        rng = np.random.default_rng(43)
+        data = rng.random((900, 16), dtype=np.float32)
+        idx = IVFPQIndex.train(
+            data, nlist=13, num_subspaces=4, num_centroids=8, max_iters=4,
+        )  # 13 lists over 8 devices -> padded to 16
+        idx.add(data)
+        ids_1, _ = idx.search(data[:5], k=4, nprobe=13)
+        ids_s, _ = sharded_ivf_search(idx, data[:5], k=4, nprobe=13)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))

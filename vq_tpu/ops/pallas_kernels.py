@@ -77,7 +77,11 @@ def _orderable_key(scores):
     (src/pq.rs:187, src/core/vector.rs:352-363).
     """
     b = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    return jnp.where(b < 0, b ^ jnp.int32(0x7FFFFFFF), b)
+    key = jnp.where(b < 0, b ^ jnp.int32(0x7FFFFFFF), b)
+    # -0.0 (bits 0x80000000) keys to -1, one below +0.0's key — but IEEE
+    # compares them EQUAL, and equal scores must resolve to the lowest
+    # index. Canonicalize -0.0 onto +0.0's key.
+    return jnp.where(key == jnp.int32(-1), jnp.int32(0), key)
 
 
 def _key_to_f32(key):

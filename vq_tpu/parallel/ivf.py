@@ -1,0 +1,161 @@
+"""Multi-device IVF-PQ search — inverted lists sharded across the mesh.
+
+Serving a corpus too large for one chip's HBM means sharding the bucket
+structure itself. The TPU-native layout: shard the ``nlist`` axis of
+``bucket_codes [nlist, cap, m]`` / ``bucket_ids [nlist, cap]`` over the
+mesh's data axis; the coarse centroids, codebooks, and queries replicate
+(all KB-scale). Per query:
+
+1. **Coarse scan + probe selection** — replicated: every device computes
+   the same ``[Q, nprobe]`` probe set (one small matmul, no collective).
+2. **Local probe** — each device scans only the probed lists that live in
+   its shard (others are masked to +inf) with the same table-lookup math
+   as the single-device path, producing a local top-``k``.
+3. **Merge** — one ``all_gather`` of the ``[Q, k]`` local winners
+   (k * Q * 8 bytes — tiny, rides ICI) and a final top-k.
+
+Communication is O(devices * Q * k), independent of corpus size — the
+accumulate-then-reduce structure of the sharded trainer applied to
+serving. Reference has no distributed anything (SURVEY.md §2.3); this is
+north-star capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vq_tpu.errors import DimensionMismatch
+from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+__all__ = ["sharded_ivf_search", "shard_buckets"]
+
+
+def shard_buckets(bucket_codes, bucket_ids, mesh: Optional[Mesh] = None):
+    """Place padded-dense buckets list-sharded on the mesh's data axis.
+
+    Pads ``nlist`` up to a multiple of the axis size (pad lists are empty:
+    ids −1). Returns ``(bucket_codes, bucket_ids, mesh)``.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.shape[DATA_AXIS]
+    codes = jnp.asarray(bucket_codes)
+    ids = jnp.asarray(bucket_ids)
+    nlist = codes.shape[0]
+    pad = (-nlist) % ndev
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
+    spec = NamedSharding(mesh, P(DATA_AXIS))
+    return (
+        jax.device_put(codes, spec),
+        jax.device_put(ids, spec),
+        mesh,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "mesh"),
+)
+def _sharded_ivf_search_jit(
+    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, k: int, mesh: Mesh
+):
+    Q, d = q.shape
+    m, kk, s = cb.shape
+    nlist = coarse.shape[0]
+    nlist_pad = bucket_ids.shape[0]
+    ndev = mesh.shape[DATA_AXIS]
+    shard_lists = nlist_pad // ndev
+
+    # Replicated coarse scan -> global probe set (same on every device).
+    cc = jnp.sum(coarse * coarse, axis=-1)
+    qc = jax.lax.dot_general(
+        q, coarse, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    _, probe = jax.lax.top_k(-(cc[None, :] - 2.0 * qc), nprobe)  # [Q, np]
+
+    qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)
+    qres = qres.reshape(Q, nprobe, m, s)
+    cbcb = jnp.sum(cb * cb, axis=-1)
+    rc = jnp.einsum(
+        "plms,mks->plmk", qres, cb,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rr = jnp.sum(qres * qres, axis=-1)
+    tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
+
+    def local(codes_shard, ids_shard, probe, tables):
+        # codes_shard: [shard_lists, cap, m]; list l is global id
+        # base + l where base = axis_index * shard_lists.
+        base = jax.lax.axis_index(DATA_AXIS) * shard_lists
+        local_probe = probe - base  # [Q, np]; out-of-shard -> clamp + mask
+        in_shard = (local_probe >= 0) & (local_probe < shard_lists)
+        lp = jnp.clip(local_probe, 0, shard_lists - 1)
+        codes = jnp.take(codes_shard, lp, axis=0)  # [Q, np, cap, m]
+        ids = jnp.take(ids_shard, lp, axis=0)  # [Q, np, cap]
+        dist = jnp.zeros(codes.shape[:3], jnp.float32)
+        for i in range(m):
+            dist = dist + jnp.take_along_axis(
+                tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
+            )
+        valid = in_shard[:, :, None] & (ids >= 0)
+        dist = jnp.where(valid, dist, jnp.inf)
+        ids = jnp.where(valid, ids, -1)
+        neg, pos = jax.lax.top_k(-dist.reshape(Q, -1), k)
+        found = jnp.take_along_axis(ids.reshape(Q, -1), pos, axis=1)
+        # Merge: gather every device's [Q, k] winners and re-top-k.
+        all_d = jax.lax.all_gather(-neg, DATA_AXIS)  # [D, Q, k]
+        all_i = jax.lax.all_gather(found, DATA_AXIS)
+        cat_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, -1)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, -1)
+        neg2, pos2 = jax.lax.top_k(-cat_d, k)
+        return jnp.take_along_axis(cat_i, pos2, axis=1), -neg2
+
+    ids, dist = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(bucket_codes, bucket_ids, probe, tables)
+    ids = jnp.where(jnp.isinf(dist), -1, ids)
+    return ids, dist
+
+
+def sharded_ivf_search(
+    index,
+    queries,
+    k: int = 10,
+    *,
+    nprobe: int = 8,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Search an :class:`~vq_tpu.ivf.IVFPQIndex` with its inverted lists
+    sharded over the mesh — O(devices · Q · k) communication, identical
+    results to the single-device search.
+
+    Ids of −1 pad out queries with fewer than ``k`` probed candidates.
+    """
+    bucket_codes, bucket_ids = index._build_buckets()
+    bucket_codes, bucket_ids, mesh = shard_buckets(
+        bucket_codes, bucket_ids, mesh
+    )
+    q = jnp.asarray(queries, jnp.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    if q.shape[1] != index.pq.dim:
+        raise DimensionMismatch(expected=index.pq.dim, found=q.shape[1])
+    nprobe = min(int(nprobe), index.nlist)
+    pool = nprobe * int(bucket_ids.shape[1])
+    return _sharded_ivf_search_jit(
+        q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids,
+        nprobe, min(int(k), pool), mesh,
+    )
