@@ -31,6 +31,11 @@ def main(argv=None) -> None:
     results = []
     for n in args.sizes:
         data = generate_synthetic_data(n, args.dim, args.seed)
+        if not args.cold:
+            # Warm the min/max reduction compile + readback (the SQ "train")
+            # so train_ms is the steady-state cost, not the per-shape
+            # compile (~800 ms through the tunnel).
+            float(data.min()), float(data.max())
         with Timer() as t_train:
             q = ScalarQuantizer(float(data.min()), float(data.max()), args.levels)
         if not args.cold:

@@ -38,6 +38,10 @@ def main(argv=None) -> None:
         # a device-generated sample of the same distribution (uploading the
         # host corpus through a TPU tunnel would dominate the timing).
         data = generate_synthetic_data(n, args.dim, args.seed, device=False)
+        if not args.cold:
+            # Warm the per-shape build compiles so train_ms is the
+            # steady-state tree-build cost.
+            TSVQ(data, max_depth=args.max_depth, distance=args.distance)
         with Timer() as t_train:
             q = TSVQ(data, max_depth=args.max_depth, distance=args.distance)
         dev_data = generate_synthetic_data(n, args.dim, args.seed + 1)
