@@ -240,12 +240,18 @@ def test_perdim_sq_roundtrip_bounded(x, levels):
 @given(
     arrays(
         np.float32, (12, 20),
-        elements=st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        # allow_subnormal=False: XLA's float min flushes denormals to zero
+        # (FTZ) while the bitcast key path preserves them exactly — the
+        # int2 min VALUE is more precise there, so the comparison only
+        # holds for normal floats (argmin indices agree either way).
+        elements=st.floats(
+            -1e6, 1e6, allow_nan=False, allow_subnormal=False, width=32
+        ),
     )
 )
 def test_int_argmin_int2_matches_variadic(scores):
-    """int2 integer-key argmin == jnp.min/argmin on any finite scores
-    (including negatives, zeros, denormal-ish magnitudes, exact ties)."""
+    """int2 integer-key argmin == jnp.min/argmin on finite normal scores
+    (including negatives, +/-0.0, exact ties)."""
     import jax
     import jax.numpy as jnp
 

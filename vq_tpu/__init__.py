@@ -49,6 +49,11 @@ from vq_tpu.ops.kmeans import (
     lloyd,
     lloyd_batched,
 )
+from vq_tpu.ops.kmeans_anisotropic import (
+    anisotropic_assign,
+    anisotropic_eta,
+    lloyd_anisotropic,
+)
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
 from vq_tpu.search import BinaryIndex, PQIndex
@@ -108,6 +113,9 @@ __all__ = [
     "lloyd_stepped",
     "lloyd_minibatch",
     "kmeans_plusplus_init_device",
+    "lloyd_anisotropic",
+    "anisotropic_assign",
+    "anisotropic_eta",
     "PQIndex",
     "BinaryIndex",
     "IVFPQIndex",
