@@ -49,6 +49,13 @@ from vq_tpu.ops.kmeans import (
     lloyd,
     lloyd_batched,
 )
+from vq_tpu.models.pq_anisotropic import (
+    AnisotropicProductQuantizer,
+    mips_adc_search,
+    pq_encode_anisotropic,
+    pq_refine_anisotropic,
+    pq_train_anisotropic,
+)
 from vq_tpu.ops.kmeans_anisotropic import (
     anisotropic_assign,
     anisotropic_eta,
@@ -85,6 +92,11 @@ __all__ = [
     "ScalarQuantizer",
     "PerDimScalarQuantizer",
     "ProductQuantizer",
+    "AnisotropicProductQuantizer",
+    "pq_train_anisotropic",
+    "pq_encode_anisotropic",
+    "pq_refine_anisotropic",
+    "mips_adc_search",
     "OPQQuantizer",
     "opq_train",
     "ResidualQuantizer",

@@ -117,6 +117,17 @@ def save(path: str, quantizer) -> str:
                 "codebooks": np.asarray(quantizer.codebooks),
             },
         )
+    from vq_tpu.models.pq_anisotropic import AnisotropicProductQuantizer
+
+    if isinstance(quantizer, AnisotropicProductQuantizer):
+        # Checked before the plain-PQ branch: it subclasses ProductQuantizer
+        # and would otherwise round-trip without its eta.
+        return _to_npz(
+            path,
+            "pq_aniso",
+            {"eta": quantizer.eta},
+            {"codebooks": np.asarray(quantizer.codebooks)},
+        )
     if isinstance(quantizer, ProductQuantizer):
         return _to_npz(
             path,
@@ -166,6 +177,12 @@ def load(path: str):
     if kind == "pq":
         return ProductQuantizer(
             distance=config["distance"], codebooks=arrays["codebooks"]
+        )
+    if kind == "pq_aniso":
+        from vq_tpu.models.pq_anisotropic import AnisotropicProductQuantizer
+
+        return AnisotropicProductQuantizer(
+            codebooks=arrays["codebooks"], eta=config["eta"]
         )
     if kind == "opq":
         from vq_tpu.models.opq import OPQQuantizer
