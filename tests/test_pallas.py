@@ -244,3 +244,31 @@ def test_int_argmin_exact_ties_and_negatives(rng):
     mv_2, idx_2 = _int_argmin(s, col, "int2")
     np.testing.assert_array_equal(np.asarray(idx_2), np.asarray(idx_r))
     np.testing.assert_array_equal(np.asarray(mv_2), np.asarray(mv_r))
+
+
+def test_ivf_probe_u8_codes_boundary(rng):
+    """u8 bucket codes feed the probe kernel at stored width. With k = 256
+    every u8 value is a valid code — there is no room for an out-of-range
+    sentinel, so out-of-cap lanes are masked by position instead. Code 255
+    must resolve to table column 255, and results must match the i32 path."""
+    from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
+
+    qp, m, kk, nlist, cap = 5, 4, 256, 6, 37  # cap deliberately unaligned
+    tables = rng.normal(0, 1, (qp, m, kk)).astype(np.float32)
+    codes_u8 = rng.integers(0, 256, (nlist, cap, m)).astype(np.uint8)
+    codes_u8[:, 0, :] = 255  # boundary code in every list's first slot
+    probe = rng.integers(0, nlist, (qp,)).astype(np.int32)
+
+    d_u8 = np.asarray(
+        ivf_probe_adc_fused(tables, probe, jnp.asarray(codes_u8),
+                            interpret=True)
+    )
+    d_i32 = np.asarray(
+        ivf_probe_adc_fused(tables, probe,
+                            jnp.asarray(codes_u8.astype(np.int32)),
+                            interpret=True)
+    )
+    np.testing.assert_allclose(d_u8, d_i32, rtol=1e-6)
+    want0 = tables[np.arange(qp), :, 255].sum(axis=1)  # slot 0: all-255 codes
+    np.testing.assert_allclose(d_u8[:, 0], want0, rtol=1e-5)
+    assert d_u8.shape == (qp, cap)

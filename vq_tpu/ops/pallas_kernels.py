@@ -606,7 +606,7 @@ _IVF_PAIRS_PER_STEP = 8  # output sublane alignment (Mosaic: 8-row blocks)
 _IVF_CAP_TILE = 512  # lane-dim tile of the list axis (bounds VMEM)
 
 
-def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile):
+def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile, cap):
     """8 (query, probe-slot) pairs x one cap tile per grid step.
 
     The scalar-prefetched ``probe_ref`` drives 8 codes BlockSpecs (one per
@@ -619,21 +619,30 @@ def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile):
     the second grid axis walks cap tiles so the one-hot intermediate stays
     ~``kk x 512`` (bucket capacities can reach tens of thousands under
     skew — one-shot ``[kk, cap]`` would blow VMEM and Mosaic compile time).
+
+    Codes load at their stored width (u8 when k <= 256, upcast in VMEM),
+    so the DMA reads a quarter of the bytes the old i32 path did. Lanes
+    past the true ``cap`` are masked to 0 by position (a stored-width array
+    can't hold an out-of-range sentinel when k == 256).
     """
     del probe_ref  # consumed by the BlockSpec index maps
     codes_refs, out_ref = refs[:_IVF_PAIRS_PER_STEP], refs[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (kk, cap_tile), 0)
+    pos = pl.program_id(1) * cap_tile + jax.lax.broadcasted_iota(
+        jnp.int32, (1, cap_tile), 1
+    )
+    lane_valid = pos < cap  # [1, cap_tile]
     for j in range(_IVF_PAIRS_PER_STEP):
         acc = jnp.zeros((1, cap_tile), jnp.float32)
         for i in range(m):
-            codes_i = codes_refs[j][0, :, i]  # [cap_tile] i32
+            codes_i = codes_refs[j][0, :, i].astype(jnp.int32)  # [cap_tile]
             onehot = (row == codes_i[None, :]).astype(jnp.float32)
             acc += jax.lax.dot_general(
                 tab_ref[j, i][None, :], onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_PRECISION,
             )  # [1, cap_tile]
-        out_ref[j, :] = acc[0]
+        out_ref[j, :] = jnp.where(lane_valid, acc, 0.0)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -651,12 +660,13 @@ def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     probe_flat = jnp.pad(
         probe.reshape(-1).astype(jnp.int32), (0, qp_pad - qp)
     )  # padded pairs probe list 0; their rows are sliced off below
-    # Padded rows get code kk (>= any real code) -> they match no one-hot
-    # row, accumulating 0; the caller masks them via ids anyway.
+    # u8 codes stay u8 all the way into VMEM (1/4 the probe DMA bytes);
+    # anything else (or kk > 256) runs as i32. Cap padding is zeros — the
+    # kernel masks out-of-cap lanes by position.
+    if bucket_codes.dtype != jnp.uint8 or kk > 256:
+        bucket_codes = bucket_codes.astype(jnp.int32)
     codes = jnp.pad(
-        bucket_codes.astype(jnp.int32),
-        ((0, 0), (0, cap_pad - cap), (0, 0)),
-        constant_values=kk_pad,
+        bucket_codes, ((0, 0), (0, cap_pad - cap), (0, 0))
     )
 
     def codes_spec(j):
@@ -678,7 +688,7 @@ def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     )
     out = pl.pallas_call(
         functools.partial(
-            _ivf_probe_kernel, m=m, kk=kk_pad, cap_tile=cap_tile
+            _ivf_probe_kernel, m=m, kk=kk_pad, cap_tile=cap_tile, cap=cap
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qp_pad, cap_pad), jnp.float32),
