@@ -17,6 +17,19 @@ PQ codes per list), built TPU-first:
 Everything heavy is jitted; `add` is append-only with lazy bucket
 (re)building.
 
+* **MIPS** (``metric="dot"``): probes lists by max ``q.c``, scores
+  candidates by decomposed inner product (per-query dot tables through the
+  same fused probe kernel, negated; plus a ``q.c_probe`` offset for
+  residual-coded indexes), and returns descending scores with ``-inf``
+  padding. Train with ``metric="dot"`` to get score-aware (anisotropic)
+  codebooks — the ScaNN-style pipeline at IVF scale. Caveat measured on
+  isotropic (structureless) data: coarse lists capture little of the
+  score variance, so probing needs a large ``nprobe`` and top-1-ish
+  precision needs ``keep_corpus=True`` + ``rerank`` (full-probe recall
+  exactly matches the full-scan-over-reconstructions ceiling — the
+  machinery loses nothing; the codes and the partition are the limits,
+  as for any IVF-MIPS system).
+
 **When to prefer the flat index on TPU:** the flat ADC scan is O(n) pure
 MXU work (3122 QPS at 1M rows); the fused Pallas probe (round 2:
 scalar-prefetch DMA of probed lists into VMEM, no HBM mega-gather) is
@@ -36,7 +49,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidData
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
 from vq_tpu.models.pq import ProductQuantizer, pq_train
 from vq_tpu.ops.kmeans import lloyd
 from vq_tpu.utils.serialize import _from_npz, _to_npz
@@ -45,41 +63,73 @@ __all__ = ["IVFPQIndex"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "use_pallas", "interpret", "metric", "by_residual"
+    ),
 )
 def _ivf_search_jit(
     q: jnp.ndarray,  # [Q, d]
     coarse: jnp.ndarray,  # [nlist, d]
     cb: jnp.ndarray,  # [m, kk, s]
-    bucket_codes: jnp.ndarray,  # [nlist, cap, m] int32
+    bucket_codes: jnp.ndarray,  # [nlist, cap, m] u8/int32
     bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
     nprobe: int,
     k: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    metric: str = "l2",
+    by_residual: bool = True,
 ):
+    """Probe + ADC + merge. Internally everything is "smaller is better":
+    for ``metric="dot"`` the tables are negated scores, so the same probe
+    kernel, inf-masking, and top-k machinery serve both metrics; the caller
+    negates back."""
     Q, d = q.shape
     m, kk, s = cb.shape
 
-    # Coarse scan: squared-L2 on the MXU.
+    # Coarse scan on the MXU. L2 probes by min ||q-c||^2; dot probes by
+    # max q.c (the standard MIPS-IVF heuristic).
     cc = jnp.sum(coarse * coarse, axis=-1)
     qc = jax.lax.dot_general(
         q, coarse, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    coarse_scores = cc[None, :] - 2.0 * qc  # [Q, nlist] (+||q||^2, argmin-inv)
+    if metric == "dot":
+        coarse_scores = -qc
+    else:
+        coarse_scores = cc[None, :] - 2.0 * qc  # (+||q||^2, argmin-inv)
     _, probe = jax.lax.top_k(-coarse_scores, nprobe)  # [Q, nprobe]
 
-    # Residual tables: r = q - coarse[probe]; table[q,l,i,j] = ||r_i - cb_ij||^2.
-    qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)  # [Q, np, d]
-    qres = qres.reshape(Q, nprobe, m, s)
-    cbcb = jnp.sum(cb * cb, axis=-1)  # [m, kk]
-    rc = jnp.einsum(
-        "plms,mks->plmk", qres, cb,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )  # [Q, np, m, kk]
-    rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
-    tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
+    if metric == "dot":
+        # Score decomposes: q.x~ = [q.c_probe +] sum_i q_i.cb_i[code_i].
+        # Tables are per-query only (no residual adjustment) — negated, and
+        # the q.c offset is added back after the bucket scan.
+        qs = q.reshape(Q, m, s)
+        t = jnp.einsum(
+            "qms,mks->qmk", qs, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, m, kk]
+        tables = jnp.broadcast_to(-t[:, None], (Q, nprobe, m, kk))
+    else:
+        # L2 tables from the residual r = q - c_probe when codes are
+        # residual-coded, from q itself otherwise (a non-residual index
+        # must NOT subtract the coarse centroid — its codes reconstruct
+        # the raw vectors).
+        if by_residual:
+            qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)
+        else:
+            qres = jnp.broadcast_to(q[:, None, :], (Q, nprobe, d))
+        qres = qres.reshape(Q, nprobe, m, s)  # [Q, np, m, s]
+        cbcb = jnp.sum(cb * cb, axis=-1)  # [m, kk]
+        rc = jnp.einsum(
+            "plms,mks->plmk", qres, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, np, m, kk]
+        rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
+        tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q,np,m,kk]
 
     ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap] (row gather)
     if use_pallas:
@@ -104,6 +154,10 @@ def _ivf_search_jit(
             dist = dist + jnp.take_along_axis(
                 tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
             )
+    if metric == "dot" and by_residual:
+        # Per-probed-list offset: score += q.c_probe (negated convention).
+        qc_probe = jnp.take_along_axis(qc, probe, axis=1)  # [Q, np]
+        dist = dist - qc_probe[..., None]
     dist = jnp.where(ids >= 0, dist, jnp.inf)
 
     flat_dist = dist.reshape(Q, -1)
@@ -129,13 +183,23 @@ class IVFPQIndex:
         by_residual: bool = True,
         keep_corpus: bool = False,
         max_list_size: Optional[int] = None,
+        metric: str = "l2",
     ):
         """``max_list_size`` caps the padded bucket capacity: lists longer
         than the cap keep only their first ``max_list_size`` entries in the
         probe structure (overflow entries are reported by
         :meth:`bucket_stats` and still retrievable via rerank when the
         corpus is kept). Bounds memory to ``nlist * cap * m`` under
-        adversarial skew."""
+        adversarial skew.
+
+        ``metric="dot"`` makes :meth:`search` a maximum-inner-product
+        search (descending scores, ``-inf`` padding); pass an
+        :class:`~vq_tpu.models.pq_anisotropic.AnisotropicProductQuantizer`
+        as ``pq`` (or use :meth:`train` with ``metric="dot"``) for
+        score-aware codes."""
+        if metric not in ("l2", "dot"):
+            raise InvalidParameter("metric", "must be 'l2' or 'dot'")
+        self.metric = metric
         self.coarse = jnp.asarray(coarse_centroids, jnp.float32)  # [nlist, d]
         self.pq = pq
         self.by_residual = bool(by_residual)
@@ -163,15 +227,29 @@ class IVFPQIndex:
         *,
         max_iters: int = 10,
         seed: int = 42,
-        by_residual: bool = True,
+        by_residual: Optional[bool] = None,
         keep_corpus: bool = False,
+        metric: str = "l2",
+        anisotropic_threshold: float = 0.2,
+        refine_iters: int = 5,
     ) -> "IVFPQIndex":
         """Fit the coarse quantizer and the (residual) PQ codebooks.
 
         The coarse quantizer seeds with k-means++ — balanced lists directly
         bound the padded bucket capacity (memory and search cost both scale
         with the largest list).
+
+        With ``metric="dot"`` the index defaults to ``by_residual=False``
+        and fits an anisotropic (score-aware) PQ on the raw vectors — the
+        parallel-error weighting needs each datapoint's own direction, so
+        non-residual coding is where it applies exactly. ``by_residual``
+        may still be forced True (plain PQ on residuals + score offsets at
+        search time).
         """
+        if metric not in ("l2", "dot"):
+            raise InvalidParameter("metric", "must be 'l2' or 'dot'")
+        if by_residual is None:
+            by_residual = metric == "l2"
         x = jnp.asarray(training_data, jnp.float32)
         res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
         coarse = res.centroids
@@ -180,13 +258,29 @@ class IVFPQIndex:
             train_vecs = x - jnp.take(coarse, assign, axis=0)
         else:
             train_vecs = x
-        cb = pq_train(
-            train_vecs, num_subspaces, num_centroids,
-            max_iters=max_iters, seed=seed + 1,
-        )
-        pq = ProductQuantizer(codebooks=cb, distance="squared_euclidean")
+        if metric == "dot" and not by_residual:
+            from vq_tpu.models.pq_anisotropic import (
+                AnisotropicProductQuantizer,
+                pq_train_anisotropic,
+            )
+
+            cb = pq_train_anisotropic(
+                train_vecs, num_subspaces, num_centroids,
+                max_iters=max_iters, seed=seed + 1,
+                threshold=anisotropic_threshold, refine_iters=refine_iters,
+            )
+            pq = AnisotropicProductQuantizer(
+                codebooks=cb, threshold=anisotropic_threshold
+            )
+        else:
+            cb = pq_train(
+                train_vecs, num_subspaces, num_centroids,
+                max_iters=max_iters, seed=seed + 1,
+            )
+            pq = ProductQuantizer(codebooks=cb, distance="squared_euclidean")
         return cls(
-            coarse, pq, by_residual=by_residual, keep_corpus=keep_corpus
+            coarse, pq, by_residual=by_residual, keep_corpus=keep_corpus,
+            metric=metric,
         )
 
     @property
@@ -442,13 +536,15 @@ class IVFPQIndex:
         self, queries, k: int = 10, *, nprobe: int = 8, rerank: int = 0,
         use_pallas: Optional[bool] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Top-k (ids, squared-L2 distances). ``nprobe`` lists per query.
+        """Top-k ``(ids, values)``. ``nprobe`` lists per query.
 
-        Ids of −1 mean fewer than k candidates existed in the probed lists.
-        With ``rerank=R`` and ``keep_corpus=True``, a top-R shortlist is
-        re-scored exactly. On TPU the probe step runs the fused Pallas
-        kernel (scalar-prefetch DMA of probed lists into VMEM) — identical
-        returned ids to the XLA path.
+        For ``metric="l2"`` values are squared-L2 distances, ascending; for
+        ``metric="dot"`` values are inner-product scores, descending (pad
+        value ``-inf``). Ids of −1 mean fewer than k candidates existed in
+        the probed lists. With ``rerank=R`` and ``keep_corpus=True``, a
+        top-R shortlist is re-scored exactly under the index metric. On TPU
+        the probe step runs the fused Pallas kernel (scalar-prefetch DMA of
+        probed lists into VMEM) — identical returned ids to the XLA path.
         """
         bucket_codes, bucket_ids = self._build_buckets()
         q = jnp.asarray(queries, jnp.float32)
@@ -467,7 +563,9 @@ class IVFPQIndex:
         ids, dist = _ivf_search_jit(
             q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
             nprobe, min(fetch, pool), bool(use_pallas),
+            metric=self.metric, by_residual=self.by_residual,
         )
+        # Internal convention is smaller-is-better (dot scores negated).
         if rerank:
             if self._corpus is None:
                 raise InvalidData(
@@ -475,7 +573,12 @@ class IVFPQIndex:
                 )
             safe = jnp.maximum(ids, 0)
             cand = jnp.take(self._corpus, safe, axis=0)  # [Q, R, d]
-            exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
+            if self.metric == "dot":
+                exact = -jnp.sum(
+                    cand.astype(jnp.float32) * q[:, None, :], axis=-1
+                )
+            else:
+                exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
             exact = jnp.where(ids >= 0, exact, jnp.inf)
             neg_top, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
             ids, dist = jnp.take_along_axis(ids, pos, axis=1), -neg_top
@@ -486,6 +589,8 @@ class IVFPQIndex:
             pad = k - ids.shape[1]
             ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        if self.metric == "dot":
+            dist = -dist  # back to descending scores; pads become -inf
         return ids, dist
 
     # -- persistence --------------------------------------------------------
@@ -505,31 +610,41 @@ class IVFPQIndex:
         }
         if self.keep_corpus and self._corpus is not None:
             arrays["corpus"] = np.asarray(self._corpus)
-        return _to_npz(
-            path,
-            "ivfpq_index",
-            {
-                "by_residual": self.by_residual,
-                "keep_corpus": self.keep_corpus,
-                "max_list_size": self.max_list_size,
-            },
-            arrays,
-        )
+        config = {
+            "by_residual": self.by_residual,
+            "keep_corpus": self.keep_corpus,
+            "max_list_size": self.max_list_size,
+            "metric": self.metric,
+        }
+        eta = getattr(self.pq, "eta", None)
+        if eta is not None:
+            config["pq_eta"] = float(eta)  # anisotropic PQ round-trips
+        return _to_npz(path, "ivfpq_index", config, arrays)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
         kind, config, arrays = _from_npz(path)
         if kind != "ivfpq_index":
             raise InvalidData(f"expected an ivfpq_index checkpoint, got {kind!r}")
-        pq = ProductQuantizer(
-            codebooks=arrays["codebooks"], distance="squared_euclidean"
-        )
+        if config.get("pq_eta") is not None:
+            from vq_tpu.models.pq_anisotropic import (
+                AnisotropicProductQuantizer,
+            )
+
+            pq = AnisotropicProductQuantizer(
+                codebooks=arrays["codebooks"], eta=config["pq_eta"]
+            )
+        else:
+            pq = ProductQuantizer(
+                codebooks=arrays["codebooks"], distance="squared_euclidean"
+            )
         idx = cls(
             arrays["coarse"], pq,
             by_residual=config["by_residual"],
             keep_corpus=config["keep_corpus"],
-            # .get: round-1 checkpoints predate the field (were uncapped).
+            # .get: round-1/2 checkpoints predate these fields.
             max_list_size=config.get("max_list_size"),
+            metric=config.get("metric", "l2"),
         )
         if arrays["flat_codes"].shape[0]:
             idx._flat_codes = arrays["flat_codes"]
@@ -542,5 +657,5 @@ class IVFPQIndex:
         return (
             f"IVFPQIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
             f"m={self.pq.num_subspaces}, k={self.pq.num_centroids}, "
-            f"residual={self.by_residual})"
+            f"residual={self.by_residual}, metric={self.metric!r})"
         )

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vq_tpu.errors import DimensionMismatch
+from vq_tpu.errors import DimensionMismatch, InvalidParameter
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 __all__ = ["sharded_ivf_search", "shard_buckets"]
@@ -144,6 +144,14 @@ def sharded_ivf_search(
 
     Ids of −1 pad out queries with fewer than ``k`` probed candidates.
     """
+    if getattr(index, "metric", "l2") != "l2" or not index.by_residual:
+        # The sharded path bakes in residual-L2 tables; refuse loudly
+        # rather than return wrong values for dot / non-residual indexes.
+        raise InvalidParameter(
+            "index",
+            "sharded_ivf_search currently supports residual-coded L2 "
+            "indexes only",
+        )
     bucket_codes, bucket_ids = index._build_buckets()
     bucket_codes, bucket_ids, mesh = shard_buckets(
         bucket_codes, bucket_ids, mesh
