@@ -167,13 +167,25 @@ def test_metric_validation(clustered):
         )
 
 
-def test_sharded_search_rejects_mips_index(clustered):
+@pytest.mark.parametrize(
+    "metric,by_residual", [("dot", False), ("dot", True), ("l2", False)]
+)
+def test_sharded_search_matches_single_device(clustered, metric, by_residual):
+    """List-sharded search must return the same ids/values as the
+    single-device path for every metric/coding combination (8-device
+    virtual mesh)."""
     from vq_tpu.parallel import sharded_ivf_search
 
     idx = IVFPQIndex.train(
-        clustered, nlist=4, num_subspaces=4, num_centroids=8,
-        max_iters=3, metric="dot",
+        clustered, nlist=10, num_subspaces=4, num_centroids=16,
+        max_iters=4, metric=metric, by_residual=by_residual,
     )
-    idx.add(clustered[:100])
-    with pytest.raises(InvalidParameter):
-        sharded_ivf_search(idx, clustered[:2], k=3)
+    idx.add(clustered)
+    rng = np.random.default_rng(6)
+    q = rng.normal(0, 1, (7, 24)).astype(np.float32)
+    ids_1, val_1 = idx.search(q, k=6, nprobe=5, use_pallas=False)
+    ids_s, val_s = sharded_ivf_search(idx, q, k=6, nprobe=5)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+    np.testing.assert_allclose(
+        np.asarray(val_s), np.asarray(val_1), rtol=1e-5, atol=1e-5
+    )

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vq_tpu.errors import DimensionMismatch, InvalidParameter
+from vq_tpu.errors import DimensionMismatch
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 __all__ = ["sharded_ivf_search", "shard_buckets"]
@@ -60,11 +60,15 @@ def shard_buckets(bucket_codes, bucket_ids, mesh: Optional[Mesh] = None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "mesh"),
+    jax.jit, static_argnames=("nprobe", "k", "mesh", "metric", "by_residual"),
 )
 def _sharded_ivf_search_jit(
-    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, k: int, mesh: Mesh
+    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, k: int, mesh: Mesh,
+    metric: str = "l2", by_residual: bool = True,
 ):
+    """Internally smaller-is-better, like the single-device jit: dot tables
+    are negated (plus a replicated ``q.c_probe`` offset for residual-coded
+    indexes); the caller negates the merged result back to scores."""
     Q, d = q.shape
     m, kk, s = cb.shape
     nlist = coarse.shape[0]
@@ -79,20 +83,41 @@ def _sharded_ivf_search_jit(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    _, probe = jax.lax.top_k(-(cc[None, :] - 2.0 * qc), nprobe)  # [Q, np]
+    if metric == "dot":
+        coarse_scores = -qc
+    else:
+        coarse_scores = cc[None, :] - 2.0 * qc
+    _, probe = jax.lax.top_k(-coarse_scores, nprobe)  # [Q, np]
 
-    qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)
-    qres = qres.reshape(Q, nprobe, m, s)
-    cbcb = jnp.sum(cb * cb, axis=-1)
-    rc = jnp.einsum(
-        "plms,mks->plmk", qres, cb,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    rr = jnp.sum(qres * qres, axis=-1)
-    tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q, np, m, kk]
+    if metric == "dot":
+        qs = q.reshape(Q, m, s)
+        t = jnp.einsum(
+            "qms,mks->qmk", qs, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tables = jnp.broadcast_to(-t[:, None], (Q, nprobe, m, kk))
+        offset = (
+            -jnp.take_along_axis(qc, probe, axis=1)
+            if by_residual else jnp.zeros((Q, nprobe), jnp.float32)
+        )
+    else:
+        if by_residual:
+            qres = q[:, None, :] - jnp.take(coarse, probe, axis=0)
+        else:
+            qres = jnp.broadcast_to(q[:, None, :], (Q, nprobe, d))
+        qres = qres.reshape(Q, nprobe, m, s)
+        cbcb = jnp.sum(cb * cb, axis=-1)
+        rc = jnp.einsum(
+            "plms,mks->plmk", qres, cb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rr = jnp.sum(qres * qres, axis=-1)
+        tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q,np,m,kk]
+        offset = jnp.zeros((Q, nprobe), jnp.float32)
 
-    def local(codes_shard, ids_shard, probe, tables):
+    def local(codes_shard, ids_shard, probe, tables, offset):
         # codes_shard: [shard_lists, cap, m]; list l is global id
         # base + l where base = axis_index * shard_lists.
         base = jax.lax.axis_index(DATA_AXIS) * shard_lists
@@ -101,7 +126,9 @@ def _sharded_ivf_search_jit(
         lp = jnp.clip(local_probe, 0, shard_lists - 1)
         codes = jnp.take(codes_shard, lp, axis=0)  # [Q, np, cap, m]
         ids = jnp.take(ids_shard, lp, axis=0)  # [Q, np, cap]
-        dist = jnp.zeros(codes.shape[:3], jnp.float32)
+        dist = jnp.broadcast_to(
+            offset[:, :, None], codes.shape[:3]
+        ).astype(jnp.float32)
         for i in range(m):
             dist = dist + jnp.take_along_axis(
                 tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
@@ -122,10 +149,10 @@ def _sharded_ivf_search_jit(
     ids, dist = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(bucket_codes, bucket_ids, probe, tables)
+    )(bucket_codes, bucket_ids, probe, tables, offset)
     ids = jnp.where(jnp.isinf(dist), -1, ids)
     return ids, dist
 
@@ -143,15 +170,10 @@ def sharded_ivf_search(
     results to the single-device search.
 
     Ids of −1 pad out queries with fewer than ``k`` probed candidates.
+    For a ``metric="dot"`` index the returned values are inner-product
+    scores, descending, padded with ``-inf`` — same contract as
+    :meth:`IVFPQIndex.search`.
     """
-    if getattr(index, "metric", "l2") != "l2" or not index.by_residual:
-        # The sharded path bakes in residual-L2 tables; refuse loudly
-        # rather than return wrong values for dot / non-residual indexes.
-        raise InvalidParameter(
-            "index",
-            "sharded_ivf_search currently supports residual-coded L2 "
-            "indexes only",
-        )
     bucket_codes, bucket_ids = index._build_buckets()
     bucket_codes, bucket_ids, mesh = shard_buckets(
         bucket_codes, bucket_ids, mesh
@@ -163,7 +185,12 @@ def sharded_ivf_search(
         raise DimensionMismatch(expected=index.pq.dim, found=q.shape[1])
     nprobe = min(int(nprobe), index.nlist)
     pool = nprobe * int(bucket_ids.shape[1])
-    return _sharded_ivf_search_jit(
+    metric = getattr(index, "metric", "l2")
+    ids, dist = _sharded_ivf_search_jit(
         q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids,
         nprobe, min(int(k), pool), mesh,
+        metric=metric, by_residual=index.by_residual,
     )
+    if metric == "dot":
+        dist = -dist  # back to descending scores; pads become -inf
+    return ids, dist
