@@ -1,11 +1,16 @@
-"""Index layer: PQIndex and BinaryIndex add/search/save/load."""
+"""Index layer: PQIndex, BinaryIndex, and SQIndex add/search/save/load."""
 
 import numpy as np
 import pytest
 
 from vq_tpu import ProductQuantizer
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidData
-from vq_tpu.search import BinaryIndex, PQIndex
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
+from vq_tpu.search import BinaryIndex, PQIndex, SQIndex
 
 
 @pytest.fixture(scope="module")
@@ -112,6 +117,123 @@ class TestBinaryIndex:
         p = pidx.save(str(tmp_path / "x"))
         with pytest.raises(InvalidData):
             BinaryIndex.load(p)
+
+
+class TestSQIndex:
+    def _decoded_bruteforce(self, idx, queries, metric, k):
+        """Exact top-k against the decoded (dequantized) corpus."""
+        import jax.numpy as jnp
+
+        from vq_tpu.ops.distance import Metric, pairwise
+
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        if metric == "dot":
+            s = queries @ y.T
+            ids = np.argsort(-s, kind="stable", axis=1)[:, :k]
+            return ids, np.take_along_axis(s, ids, axis=1)
+        d = np.asarray(pairwise(jnp.asarray(queries), jnp.asarray(y), Metric(metric)))
+        ids = np.argsort(d, kind="stable", axis=1)[:, :k]
+        return ids, np.take_along_axis(d, ids, axis=1)
+
+    def test_add_search(self, corpus):
+        idx = SQIndex.from_data(corpus)
+        assert idx.ntotal == 3000
+        assert idx.code_bytes_per_vector == 32  # one u8 per dimension
+        ids, dist = idx.search(corpus[:10], k=5)
+        ids, dist = np.asarray(ids), np.asarray(dist)
+        assert ids.shape == (10, 5)
+        assert (np.diff(dist, axis=1) >= -1e-6).all()
+        # asymmetric scan distances are EXACT decoded-corpus distances
+        gt_ids, gt_d = self._decoded_bruteforce(
+            idx, corpus[:10], "squared_euclidean", 5
+        )
+        np.testing.assert_array_equal(ids, gt_ids)
+        np.testing.assert_allclose(dist, gt_d, atol=1e-4)
+
+    @pytest.mark.parametrize(
+        "metric", ["squared_euclidean", "euclidean", "cosine", "dot"]
+    )
+    def test_scan_matches_decoded_bruteforce(self, corpus, metric):
+        idx = SQIndex.from_data(corpus, metric=metric)
+        queries = corpus[50:60] + 0.01
+        ids, vals = idx.search(queries, k=7)
+        gt_ids, gt_vals = self._decoded_bruteforce(idx, queries, metric, 7)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(vals), gt_vals, atol=1e-3)
+
+    def test_dot_scores_descend(self, corpus):
+        idx = SQIndex.from_data(corpus, metric="dot")
+        _, s = idx.search(corpus[:6], k=8)
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_sq8_top1_recall_vs_raw(self, corpus):
+        # 8-bit/dim codes should preserve almost every exact-NN answer.
+        idx = SQIndex.from_data(corpus)
+        queries = corpus[:64] + np.float32(0.003)
+        ids, _ = idx.search(queries, k=1)
+        recall = (np.asarray(ids)[:, 0] == exact_top1(queries, corpus)).mean()
+        assert recall >= 0.95
+
+    def test_chunked_scan_matches_unchunked(self, corpus):
+        idx = SQIndex.from_data(corpus)
+        a_i, a_d = idx.search(corpus[:8], k=6, chunk=256)  # 12 blocks, padded
+        b_i, b_d = idx.search(corpus[:8], k=6)
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_allclose(np.asarray(a_d), np.asarray(b_d), atol=1e-5)
+
+    def test_incremental_add(self, corpus):
+        whole = SQIndex.from_data(corpus)
+        parts = SQIndex(whole.sq)
+        parts.add(corpus[:1000])
+        parts.add(corpus[1000:])
+        assert parts.ntotal == 3000
+        a, _ = whole.search(corpus[:5], k=4)
+        b, _ = parts.search(corpus[:5], k=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rerank_finds_exact_nn(self, corpus):
+        idx = SQIndex.from_data(corpus, keep_corpus=True)
+        ids, dist = idx.search(corpus[100:110], k=1, rerank=50)
+        np.testing.assert_array_equal(
+            np.asarray(ids)[:, 0], np.arange(100, 110)
+        )
+        assert np.asarray(dist).max() < 5e-3
+
+    def test_rerank_requires_corpus(self, corpus):
+        idx = SQIndex.from_data(corpus)
+        with pytest.raises(InvalidData):
+            idx.search(corpus[:2], rerank=10)
+
+    def test_manhattan_rejected(self, corpus):
+        with pytest.raises(InvalidParameter):
+            SQIndex.from_data(corpus, metric="manhattan")
+
+    def test_save_load(self, corpus, tmp_path):
+        idx = SQIndex.from_data(corpus, metric="cosine", keep_corpus=True)
+        p = idx.save(str(tmp_path / "sqidx"))
+        idx2 = SQIndex.load(p)
+        assert idx2.ntotal == 3000 and idx2.metric == "cosine"
+        a, _ = idx.search(corpus[:5], k=3, rerank=20)
+        b, _ = idx2.search(corpus[:5], k=3, rerank=20)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_wrong_kind_load(self, corpus, tmp_path):
+        idx = SQIndex.from_data(corpus[:50])
+        p = idx.save(str(tmp_path / "y"))
+        with pytest.raises(InvalidData):
+            PQIndex.load(p)
+
+    def test_empty_and_dim_checks(self, corpus):
+        from vq_tpu.models.sq import PerDimScalarQuantizer
+
+        empty = SQIndex(PerDimScalarQuantizer.from_data(corpus))
+        with pytest.raises(EmptyInput):
+            empty.search(corpus[:2])
+        with pytest.raises(DimensionMismatch):
+            empty.add(np.zeros((2, 16), np.float32))
+        full = SQIndex.from_data(corpus[:50])
+        with pytest.raises(DimensionMismatch):
+            full.search(np.zeros((2, 16), np.float32))
 
 
 def test_binary_index_rerank_without_corpus_raises():

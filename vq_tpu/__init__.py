@@ -63,7 +63,7 @@ from vq_tpu.ops.kmeans_anisotropic import (
 )
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
-from vq_tpu.search import BinaryIndex, PQIndex
+from vq_tpu.search import BinaryIndex, PQIndex, SQIndex
 
 __version__ = "0.1.0"
 
@@ -130,6 +130,7 @@ __all__ = [
     "anisotropic_eta",
     "PQIndex",
     "BinaryIndex",
+    "SQIndex",
     "IVFPQIndex",
     "pq_train",
     "pq_encode",

@@ -8,25 +8,37 @@ standard memory-resident index types its quantizers imply:
   raw corpus is kept). 16 bytes/vector at the 8x256 config.
 * :class:`BinaryIndex` — packed sign bits + Hamming scan via popcount.
   4 bytes/vector at 128-d (+ optional exact rerank).
+* :class:`SQIndex` — per-dimension scalar-quantized rows + asymmetric
+  distance scan (the faiss ``IndexScalarQuantizer`` analog). d bytes/vector
+  (75% smaller than f32) at full dimensionality — higher recall than PQ at
+  4x the code size.
 
-Both are append-only, batch-first, and jit-backed; ``save``/``load``
+All are append-only, batch-first, and jit-backed; ``save``/``load``
 round-trip through the same single-file `.npz` scheme as the quantizers.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidData
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
 from vq_tpu.models.bq import BinaryQuantizer, hamming_distance
 from vq_tpu.models.pq import ProductQuantizer
+from vq_tpu.models.sq import PerDimScalarQuantizer
+from vq_tpu.ops.distance import COSINE_NORM_EPS, Metric
 from vq_tpu.utils.serialize import _from_npz, _to_npz
 
-__all__ = ["PQIndex", "BinaryIndex"]
+__all__ = ["PQIndex", "BinaryIndex", "SQIndex"]
 
 
 class PQIndex:
@@ -250,3 +262,284 @@ class BinaryIndex:
 
     def __repr__(self) -> str:
         return f"BinaryIndex(ntotal={self.ntotal}, dim={self.dim})"
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+def _sq_scan_jit(
+    q: jnp.ndarray,  # [Q, d] raw queries (f32)
+    lo: jnp.ndarray,  # [d]
+    step: jnp.ndarray,  # [d]
+    code_chunks: jnp.ndarray,  # [nc, chunk, d] u8 corpus codes, padded
+    row_sqn_chunks: jnp.ndarray,  # [nc, chunk] ||decode(row)||^2
+    nvalid: jnp.ndarray,  # [] real row count
+    metric: str,
+    fetch: int,
+):
+    """Blockwise asymmetric scan over scalar-quantized rows.
+
+    Every decoded row is the affine map ``y = lo + c * step``, so
+    ``q . y = q . lo + (q * step) . c`` — one ``[Q, d] x [d, chunk]`` MXU
+    matmul per block recovers exact decoded-corpus distances for every
+    decomposable metric (sq-L2 / L2 / cosine / dot) without materializing
+    the f32 corpus. Working set is one ``[Q, chunk]`` block; blocks merge
+    through a running top-``fetch`` exactly like the PQ ADC scan.
+    """
+    Q = q.shape[0]
+    chunk = code_chunks.shape[1]
+    qs = q * step[None, :]  # [Q, d]
+    qlo = q @ lo  # [Q]
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+    qn = jnp.sqrt(qn2)
+
+    def body(carry, inp):
+        best_d, best_i = carry  # [Q, fetch]
+        chunk_codes, row_sqn, cidx = inp  # [chunk, d] u8, [chunk], []
+        c = chunk_codes.astype(jnp.float32)
+        qdoty = qlo[:, None] + jax.lax.dot_general(
+            qs, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, chunk]
+        if metric in ("squared_euclidean", "euclidean"):
+            d = jnp.maximum(qn2[:, None] - 2.0 * qdoty + row_sqn[None, :], 0.0)
+            if metric == "euclidean":
+                d = jnp.sqrt(d)
+        elif metric == "cosine":
+            rn = jnp.sqrt(jnp.maximum(row_sqn, 0.0))
+            denom = jnp.maximum(qn[:, None] * rn[None, :], COSINE_NORM_EPS)
+            d = jnp.clip(1.0 - qdoty / denom, 0.0, 1.0)
+            degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                rn[None, :] < COSINE_NORM_EPS
+            )
+            d = jnp.where(degenerate, 1.0, d)
+        else:  # dot: minimize the negated score
+            d = -qdoty
+        gidx = cidx * chunk + jnp.arange(chunk)
+        d = jnp.where((gidx < nvalid)[None, :], d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init,
+        (code_chunks, row_sqn_chunks, jnp.arange(code_chunks.shape[0])),
+    )
+    return best_i, best_d
+
+
+_SQ_METRICS = ("squared_euclidean", "euclidean", "cosine", "dot")
+
+
+class SQIndex:
+    """Flat asymmetric-distance index over scalar-quantized rows.
+
+    The faiss ``IndexScalarQuantizer`` analog, absent from the reference
+    (whose SQ — /root/reference/src/sq.rs — only round-trips values).
+    Rows are stored as ``[n, d]`` u8 codes (75% smaller than f32) plus one
+    precomputed f32 squared norm per row; queries stay full-precision, so
+    search distances equal exact distances to the *decoded* corpus — the
+    same asymmetric-distance idea as PQ's ADC, at full dimensionality.
+
+    Supported metrics decompose onto a single MXU matmul per scanned block
+    (``q . y = q . lo + (q * step) . c``): ``squared_euclidean`` (default),
+    ``euclidean``, ``cosine``, and ``dot`` (maximum-inner-product; returns
+    descending scores). Manhattan does not decompose and is rejected.
+
+    ``keep_corpus=True`` retains raw rows for exact reranking, matching
+    :class:`PQIndex` semantics.
+    """
+
+    def __init__(
+        self,
+        quantizer: PerDimScalarQuantizer,
+        *,
+        metric: str = "squared_euclidean",
+        keep_corpus: bool = False,
+    ):
+        if not isinstance(quantizer, PerDimScalarQuantizer):
+            raise InvalidParameter(
+                "quantizer",
+                "SQIndex requires a PerDimScalarQuantizer (use "
+                "PerDimScalarQuantizer.from_data or SQIndex.from_data)",
+            )
+        m = metric.value if isinstance(metric, Metric) else str(metric)
+        if m not in _SQ_METRICS:
+            raise InvalidParameter(
+                "metric",
+                "must be one of 'squared_euclidean', 'euclidean', "
+                "'cosine', 'dot' (manhattan does not decompose onto the "
+                "asymmetric scan)",
+            )
+        self.sq = quantizer
+        self.metric = m
+        self.keep_corpus = keep_corpus
+        self._codes: Optional[jnp.ndarray] = None  # [n, d] u8
+        self._row_sqn: Optional[jnp.ndarray] = None  # [n] f32
+        self._corpus: Optional[jnp.ndarray] = None  # [n, d] if kept
+
+    @classmethod
+    def from_data(
+        cls,
+        data,
+        levels: int = 256,
+        *,
+        metric: str = "squared_euclidean",
+        keep_corpus: bool = False,
+    ) -> "SQIndex":
+        """Fit per-dimension ranges from ``data``, build, and add it."""
+        idx = cls(
+            PerDimScalarQuantizer.from_data(data, levels),
+            metric=metric,
+            keep_corpus=keep_corpus,
+        )
+        idx.add(data)
+        return idx
+
+    @property
+    def dim(self) -> int:
+        return self.sq.dim
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._codes is None else int(self._codes.shape[0])
+
+    @property
+    def code_bytes_per_vector(self) -> int:
+        return self.dim  # u8 per dimension (+4 for the cached row norm)
+
+    def add(self, vectors) -> None:
+        """Quantize and append a batch of raw vectors."""
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        codes = self.sq.quantize(x.astype(jnp.float32))
+        y = self.sq.dequantize(codes)
+        row_sqn = jnp.sum(y * y, axis=-1)
+        if self._codes is None:
+            self._codes, self._row_sqn = codes, row_sqn
+        else:
+            self._codes = jnp.concatenate([self._codes, codes], axis=0)
+            self._row_sqn = jnp.concatenate([self._row_sqn, row_sqn], axis=0)
+        if self.keep_corpus:
+            self._corpus = (
+                x if self._corpus is None
+                else jnp.concatenate([self._corpus, x], axis=0)
+            )
+
+    def search(
+        self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k ids + values for each query row.
+
+        Values are distances (ascending) for L2-family/cosine metrics and
+        inner-product scores (descending) for ``dot``. With ``rerank=R``
+        and a kept corpus, a top-R shortlist is re-scored exactly.
+        """
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if rerank and self._corpus is None:
+            raise InvalidData(
+                "rerank requires keep_corpus=True at index construction"
+            )
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        n = self.ntotal
+        k = min(int(k), n)
+        fetch = min(max(k, int(rerank)), n)
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.dim
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        ids, d = _sq_scan_jit(
+            q, self.sq.mins, self.sq.steps, code_chunks, sqn_chunks,
+            jnp.int32(n), self.metric, int(fetch),
+        )
+        if rerank:
+            cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
+            if self.metric == "dot":
+                exact = jnp.einsum("qd,qrd->qr", q, cand)
+                neg, pos = jax.lax.top_k(exact, k)
+                return jnp.take_along_axis(ids, pos, axis=1), neg
+            from vq_tpu.ops.distance import _PAIRWISE
+
+            exact = jax.vmap(
+                lambda qv, cv: _PAIRWISE[Metric(self.metric)](qv[None, :], cv)[0]
+            )(q, cand)
+            neg_top, pos = jax.lax.top_k(-exact, k)
+            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
+        if self.metric == "dot":
+            return ids[:, :k], -d[:, :k]
+        return ids[:, :k], d[:, :k]
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Decoded (approximate) vectors for stored ids."""
+        if self._codes is None:
+            raise EmptyInput("index is empty")
+        ids = jnp.asarray(ids, jnp.int32)
+        return self.sq.dequantize(jnp.take(self._codes, ids, axis=0))
+
+    def save(self, path: str) -> str:
+        arrays = {
+            "mins": np.asarray(self.sq.mins),
+            "maxs": np.asarray(self.sq.maxs),
+            "codes": np.asarray(
+                self._codes if self._codes is not None
+                else np.zeros((0, self.dim), np.uint8)
+            ),
+            "row_sqn": np.asarray(
+                self._row_sqn if self._row_sqn is not None
+                else np.zeros((0,), np.float32)
+            ),
+        }
+        if self.keep_corpus and self._corpus is not None:
+            arrays["corpus"] = np.asarray(self._corpus)
+        return _to_npz(
+            path,
+            "sq_index",
+            {
+                "levels": self.sq.levels,
+                "metric": self.metric,
+                "keep_corpus": bool(self.keep_corpus),
+            },
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SQIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "sq_index":
+            raise InvalidData(f"expected a sq_index checkpoint, got {kind!r}")
+        sq = PerDimScalarQuantizer(
+            arrays["mins"], arrays["maxs"], config["levels"]
+        )
+        idx = cls(
+            sq, metric=config["metric"], keep_corpus=config["keep_corpus"]
+        )
+        if arrays["codes"].shape[0]:
+            idx._codes = jnp.asarray(arrays["codes"])
+            idx._row_sqn = jnp.asarray(arrays["row_sqn"])
+        if "corpus" in arrays:
+            idx._corpus = jnp.asarray(arrays["corpus"])
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"SQIndex(ntotal={self.ntotal}, dim={self.dim}, "
+            f"levels={self.sq.levels}, metric={self.metric!r})"
+        )
