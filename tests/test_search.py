@@ -236,6 +236,78 @@ class TestSQIndex:
             full.search(np.zeros((2, 16), np.float32))
 
 
+class TestPackedPQIndex:
+    """Sub-byte packed code storage (the faiss nbits<8 IndexPQ analog)."""
+
+    @pytest.fixture(scope="class")
+    def pq16(self, corpus):
+        return ProductQuantizer(corpus, 8, 16, max_iters=6)
+
+    def test_roundtrip_all_widths(self, rng):
+        from vq_tpu.ops.packing import pack_codes, unpack_codes
+
+        for nbits in (1, 2, 4, 8):
+            for m in (1, 3, 8, 17):
+                codes = rng.integers(0, 1 << nbits, size=(13, m)).astype(
+                    np.uint8
+                )
+                packed = np.asarray(pack_codes(codes, nbits))
+                assert packed.shape == (13, -(-m * nbits // 8))
+                back = np.asarray(unpack_codes(packed, nbits, m))
+                np.testing.assert_array_equal(back, codes)
+
+    def test_auto_packs_at_k16(self, corpus, pq16):
+        idx = PQIndex(pq16)
+        idx.add(corpus)
+        assert idx.pack_bits == 4
+        assert idx.code_bytes_per_vector == 4  # 8 subspaces x 4 bits
+        assert idx._codes.shape == (3000, 4)
+
+    def test_packed_search_matches_unpacked(self, corpus, pq16):
+        packed = PQIndex(pq16)
+        plain = PQIndex(pq16, packed=False)
+        packed.add(corpus)
+        plain.add(corpus)
+        assert plain.code_bytes_per_vector == 8
+        ia, da = packed.search(corpus[:12], k=6)
+        ib, db = plain.search(corpus[:12], k=6)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-5)
+
+    def test_packed_chunked_scan_matches(self, corpus, pq16):
+        idx = PQIndex(pq16)
+        idx.add(corpus)
+        ia, _ = pq16.adc_search(
+            corpus[:6], idx._codes, k=5, chunk=512, pack_bits=4
+        )
+        plain = PQIndex(pq16, packed=False)
+        plain.add(corpus)
+        ib, _ = pq16.adc_search(corpus[:6], plain._codes, k=5, chunk=512)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_reconstruct_and_save_load(self, corpus, pq16, tmp_path):
+        idx = PQIndex(pq16, keep_corpus=True)
+        idx.add(corpus[:400])
+        plain = PQIndex(pq16, packed=False)
+        plain.add(corpus[:400])
+        np.testing.assert_array_equal(
+            np.asarray(idx.reconstruct([0, 17, 399])),
+            np.asarray(plain.reconstruct([0, 17, 399])),
+        )
+        p = idx.save(str(tmp_path / "pidx"))
+        idx2 = PQIndex.load(p)
+        assert idx2.pack_bits == 4
+        a, _ = idx.search(corpus[:5], k=3, rerank=20)
+        b, _ = idx2.search(corpus[:5], k=3, rerank=20)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_packed_requires_small_k(self, corpus, pq):
+        # pq fixture has k=32 -> needs >4 bits
+        with pytest.raises(InvalidParameter):
+            PQIndex(pq, packed=True)
+        assert PQIndex(pq).pack_bits == 8  # auto keeps u8
+
+
 def test_binary_index_rerank_without_corpus_raises():
     # Round-2 regression (VERDICT r1 #9): BinaryIndex.search silently fell
     # back to Hamming when rerank was requested without a kept corpus;

@@ -63,6 +63,7 @@ from vq_tpu.ops.kmeans_anisotropic import (
 )
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
+from vq_tpu.ops.packing import pack_codes, unpack_codes
 from vq_tpu.search import BinaryIndex, PQIndex, SQIndex
 
 __version__ = "0.1.0"
@@ -131,6 +132,8 @@ __all__ = [
     "PQIndex",
     "BinaryIndex",
     "SQIndex",
+    "pack_codes",
+    "unpack_codes",
     "IVFPQIndex",
     "pq_train",
     "pq_encode",

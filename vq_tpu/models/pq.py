@@ -179,28 +179,38 @@ def _adc_lookup_jit(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "fetch", "pack_bits")
+)
 def _adc_search_chunked_jit(
     tables: jnp.ndarray,  # [Q, m, k]
     cb_sqn: jnp.ndarray,  # [m, k] per-centroid squared norms (cosine only)
     qn: jnp.ndarray,  # [Q] query norms (cosine only)
-    code_chunks: jnp.ndarray,  # [nc, chunk, m] padded corpus codes
+    code_chunks: jnp.ndarray,  # [nc, chunk, m] codes ([nc, chunk, B] packed)
     nvalid: jnp.ndarray,  # [] number of real rows
     metric: Metric,
     fetch: int,
+    pack_bits: int = 8,
 ):
     """Blockwise ADC scan with a running top-``fetch`` merge.
 
     Working set is one ``[Q, chunk]`` distance block; the merge is a
     ``top_k`` over ``[Q, fetch + chunk]`` per block. Avoids materializing
-    the full ``[Q, n]`` matrix (512 MB HBM at Q=128, n=1M).
+    the full ``[Q, n]`` matrix (512 MB HBM at Q=128, n=1M). With
+    ``pack_bits < 8`` the corpus stays sub-byte-packed in HBM and each
+    block is unpacked on the VPU (shift/mask, fused into the scan body).
     """
     Q = tables.shape[0]
+    m = tables.shape[1]
     chunk = code_chunks.shape[1]
 
     def body(carry, inp):
         best_d, best_i = carry  # [Q, fetch]
-        chunk_codes, cidx = inp  # [chunk, m], []
+        chunk_codes, cidx = inp  # [chunk, m] (or [chunk, B] packed), []
+        if pack_bits < 8:
+            from vq_tpu.ops.packing import _unpack_jit
+
+            chunk_codes = _unpack_jit(chunk_codes, pack_bits, m)
         acc = _adc_lookup_jit(tables, chunk_codes)  # [Q, chunk]
         if metric == Metric.EUCLIDEAN:
             d = jnp.sqrt(jnp.maximum(acc, 0.0))
@@ -506,13 +516,20 @@ class ProductQuantizer(Quantizer):
             raise DimensionMismatch(expected=self.dim, found=q2d.shape[1])
         return _adc_tables_jit(q2d, self._codebooks, self._metric)
 
-    def adc_distances(self, queries, codes) -> jnp.ndarray:
+    def adc_distances(self, queries, codes, *, pack_bits: int = 8) -> jnp.ndarray:
         """Asymmetric distances ``[Q, n]`` between raw queries and encoded
-        corpus ``codes [n, m]``, without decoding the corpus."""
+        corpus ``codes [n, m]``, without decoding the corpus. With
+        ``pack_bits < 8``, ``codes`` is the sub-byte-packed layout from
+        :func:`vq_tpu.ops.packing.pack_codes`."""
         q2d, _ = as_batch_f32(queries)
-        codes = jnp.asarray(codes).astype(jnp.int32)
+        codes = jnp.asarray(codes)
         if codes.ndim == 1:
             codes = codes[None, :]
+        if pack_bits < 8:
+            from vq_tpu.ops.packing import unpack_codes
+
+            codes = unpack_codes(codes, pack_bits, self.num_subspaces)
+        codes = codes.astype(jnp.int32)
         tables = self.adc_tables(q2d)
         acc = _adc_lookup_best(tables, codes)
         if self._metric == Metric.EUCLIDEAN:
@@ -536,7 +553,7 @@ class ProductQuantizer(Quantizer):
         return acc
 
     def adc_search(self, queries, codes, k: int = 10, *, rerank: int = 0,
-                   corpus=None, chunk: int = 262_144):
+                   corpus=None, chunk: int = 262_144, pack_bits: int = 8):
         """Top-k nearest codes for each query by asymmetric distance.
 
         Returns ``(indices [Q, k], distances [Q, k])`` sorted ascending.
@@ -557,10 +574,11 @@ class ProductQuantizer(Quantizer):
         if n > int(chunk) and fetch < n:
             d = None
             ids, dist = self._adc_search_chunked(
-                queries, codes_arr, min(fetch, n), int(chunk)
+                queries, codes_arr, min(fetch, n), int(chunk),
+                pack_bits=int(pack_bits),
             )
         else:
-            d = self.adc_distances(queries, codes)
+            d = self.adc_distances(queries, codes, pack_bits=int(pack_bits))
             ids = dist = None
         if d is None and not rerank:
             return ids[:, :k], dist[:, :k]
@@ -596,22 +614,31 @@ class ProductQuantizer(Quantizer):
         neg_top, idx = jax.lax.top_k(-d, k)
         return idx, -neg_top
 
-    def _adc_search_chunked(self, queries, codes, fetch: int, chunk: int):
+    def _adc_search_chunked(
+        self, queries, codes, fetch: int, chunk: int, *, pack_bits: int = 8
+    ):
         """Driver for :func:`_adc_search_chunked_jit`: builds tables and
-        the padded ``[nc, chunk, m]`` code blocks."""
+        the padded ``[nc, chunk, m]`` code blocks (``[nc, chunk, B]`` when
+        the corpus is sub-byte-packed — blocks unpack in the scan body)."""
         q2d, _ = as_batch_f32(queries)
         if q2d.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=q2d.shape[1])
         tables = _adc_tables_jit(q2d, self._codebooks, self._metric)
-        codes = jnp.asarray(codes).astype(jnp.int32)
-        n, m = codes.shape
+        codes = jnp.asarray(codes)
+        codes = (
+            codes.astype(jnp.uint8) if pack_bits < 8
+            else codes.astype(jnp.int32)
+        )
+        n, width = codes.shape
         pad = (-n) % chunk
-        code_chunks = jnp.pad(codes, ((0, pad), (0, 0))).reshape(-1, chunk, m)
+        code_chunks = jnp.pad(codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, width
+        )
         cb_sqn = jnp.sum(self._codebooks * self._codebooks, axis=-1)
         qn = jnp.sqrt(jnp.sum(q2d * q2d, axis=-1))
         return _adc_search_chunked_jit(
             tables, cb_sqn, qn, code_chunks, jnp.int32(n), self._metric,
-            int(fetch),
+            int(fetch), int(pack_bits),
         )
 
     def __repr__(self) -> str:

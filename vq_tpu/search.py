@@ -47,12 +47,34 @@ class PQIndex:
     ``keep_corpus=True`` retains the raw vectors (on device) to enable
     exact reranking: ``search(..., rerank=R)`` re-scores a top-R ADC
     shortlist with exact distances under the quantizer's metric.
+
+    ``packed=True`` stores codes sub-byte-packed (the faiss ``nbits < 8``
+    analog): at k <= 16 each code takes 4 bits, so an m x 16 config costs
+    m/2 bytes per vector instead of m. Blocks unpack on the VPU inside the
+    scan (shift/mask — fused, no unpacked corpus copy). ``packed=None``
+    (default) packs automatically whenever k <= 16.
     """
 
-    def __init__(self, quantizer: ProductQuantizer, *, keep_corpus: bool = False):
+    def __init__(
+        self,
+        quantizer: ProductQuantizer,
+        *,
+        keep_corpus: bool = False,
+        packed: Optional[bool] = None,
+    ):
+        from vq_tpu.ops.packing import bits_for
+
         self.pq = quantizer
         self.keep_corpus = keep_corpus
-        self._codes: Optional[jnp.ndarray] = None  # [n, m]
+        min_bits = bits_for(quantizer.num_centroids)
+        if packed is None:
+            packed = min_bits < 8
+        if packed and min_bits >= 8:
+            raise InvalidParameter(
+                "packed", "sub-byte packing requires k <= 16 centroids"
+            )
+        self.pack_bits = min_bits if packed else 8
+        self._codes: Optional[jnp.ndarray] = None  # [n, m] ([n, B] packed)
         self._corpus: Optional[jnp.ndarray] = None  # [n, d] if kept
 
     @property
@@ -61,6 +83,8 @@ class PQIndex:
 
     @property
     def code_bytes_per_vector(self) -> int:
+        if self.pack_bits < 8:
+            return -(-self.pq.num_subspaces * self.pack_bits // 8)
         itemsize = 1 if self.pq.num_centroids <= 256 else 4
         return self.pq.num_subspaces * itemsize
 
@@ -78,6 +102,10 @@ class PQIndex:
         if x.shape[1] != self.pq.dim:
             raise DimensionMismatch(expected=self.pq.dim, found=x.shape[1])
         codes = self.pq.encode(x)
+        if self.pack_bits < 8:
+            from vq_tpu.ops.packing import pack_codes
+
+            codes = pack_codes(codes, self.pack_bits)
         self._codes = (
             codes if self._codes is None
             else jnp.concatenate([self._codes, codes], axis=0)
@@ -100,7 +128,8 @@ class PQIndex:
             )
         k = min(k, self.ntotal)
         return self.pq.adc_search(
-            queries, self._codes, k=k, rerank=rerank, corpus=self._corpus
+            queries, self._codes, k=k, rerank=rerank, corpus=self._corpus,
+            pack_bits=self.pack_bits,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -108,14 +137,22 @@ class PQIndex:
         if self._codes is None:
             raise EmptyInput("index is empty")
         ids = jnp.asarray(ids, jnp.int32)
-        return self.pq.decode(jnp.take(self._codes, ids, axis=0))
+        rows = jnp.take(self._codes, ids, axis=0)
+        if self.pack_bits < 8:
+            from vq_tpu.ops.packing import unpack_codes
+
+            rows = unpack_codes(rows, self.pack_bits, self.pq.num_subspaces)
+        return self.pq.decode(rows)
 
     def save(self, path: str) -> str:
+        width = self.code_bytes_per_vector if self.pack_bits < 8 else (
+            self.pq.num_subspaces
+        )
         arrays = {
             "codebooks": np.asarray(self.pq.codebooks),
             "codes": np.asarray(
                 self._codes if self._codes is not None
-                else np.zeros((0, self.pq.num_subspaces), np.uint8)
+                else np.zeros((0, width), np.uint8)
             ),
         }
         if self.keep_corpus and self._corpus is not None:
@@ -126,6 +163,7 @@ class PQIndex:
             {
                 "distance": self.pq.distance_metric,
                 "keep_corpus": bool(self.keep_corpus),
+                "pack_bits": int(self.pack_bits),
             },
             arrays,
         )
@@ -138,7 +176,13 @@ class PQIndex:
         pq = ProductQuantizer(
             codebooks=arrays["codebooks"], distance=config["distance"]
         )
-        idx = cls(pq, keep_corpus=config["keep_corpus"])
+        # Pre-packing checkpoints (round 1/2) carry no pack_bits: unpacked.
+        pack_bits = int(config.get("pack_bits", 8))
+        idx = cls(
+            pq,
+            keep_corpus=config["keep_corpus"],
+            packed=pack_bits < 8,
+        )
         if arrays["codes"].shape[0]:
             idx._codes = jnp.asarray(arrays["codes"])
         if "corpus" in arrays:
@@ -148,7 +192,8 @@ class PQIndex:
     def __repr__(self) -> str:
         return (
             f"PQIndex(ntotal={self.ntotal}, m={self.pq.num_subspaces}, "
-            f"k={self.pq.num_centroids}, metric={self.pq.distance_metric!r})"
+            f"k={self.pq.num_centroids}, metric={self.pq.distance_metric!r}, "
+            f"pack_bits={self.pack_bits})"
         )
 
 
