@@ -144,3 +144,75 @@ class TestShardedIVFSearch:
         ids_1, _ = idx.search(data[:5], k=4, nprobe=13)
         ids_s, _ = sharded_ivf_search(idx, data[:5], k=4, nprobe=13)
         np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+
+
+class TestShardedFlatSearch:
+    """Row-sharded flat serving must reproduce the single-device scans."""
+
+    def test_pq_matches_single_device(self):
+        from vq_tpu import ProductQuantizer
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import PQIndex
+
+        rng = np.random.default_rng(51)
+        data = rng.random((3000, 32), dtype=np.float32)
+        pq = ProductQuantizer(data, 4, 32, max_iters=5)
+        idx = PQIndex(pq)
+        idx.add(data)
+        q = data[:9] + 0.01
+        ids_1, d_1 = idx.search(q, k=6)
+        ids_s, d_s = sharded_flat_search(idx, q, k=6, chunk=256)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(d_s), np.asarray(d_1), atol=1e-5
+        )
+
+    def test_packed_pq_matches(self):
+        from vq_tpu import ProductQuantizer
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import PQIndex
+
+        rng = np.random.default_rng(52)
+        data = rng.random((1500, 16), dtype=np.float32)
+        pq = ProductQuantizer(data, 4, 16, max_iters=5)
+        idx = PQIndex(pq)  # auto-packed at 4 bits
+        idx.add(data)
+        assert idx.pack_bits == 4
+        ids_1, _ = idx.search(data[:7], k=5)
+        ids_s, _ = sharded_flat_search(idx, data[:7], k=5, chunk=128)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+
+    @pytest.mark.parametrize(
+        "metric", ["squared_euclidean", "cosine", "dot"]
+    )
+    def test_sq_matches_single_device(self, metric):
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import SQIndex
+
+        rng = np.random.default_rng(53)
+        data = rng.normal(0, 1, (2000, 24)).astype(np.float32)
+        idx = SQIndex.from_data(data, metric=metric)
+        q = data[:8] + np.float32(0.02)
+        ids_1, v_1 = idx.search(q, k=6)
+        ids_s, v_s = sharded_flat_search(idx, q, k=6, chunk=333)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(v_s), np.asarray(v_1), atol=1e-4
+        )
+
+    def test_small_corpus_pads_with_minus_one(self):
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import SQIndex
+
+        rng = np.random.default_rng(54)
+        data = rng.random((3, 8), dtype=np.float32)
+        idx = SQIndex.from_data(data)
+        ids, d = sharded_flat_search(idx, data[:2], k=3)
+        assert np.asarray(ids).shape == (2, 3)
+        assert set(np.asarray(ids)[0]) == {0, 1, 2}
+
+    def test_rejects_unknown_index(self):
+        from vq_tpu.parallel import sharded_flat_search
+
+        with pytest.raises(InvalidParameter):
+            sharded_flat_search(object(), np.zeros((1, 4), np.float32))

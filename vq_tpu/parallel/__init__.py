@@ -5,6 +5,7 @@ from vq_tpu.parallel.data import (
     sharded_synthetic_corpus,
 )
 from vq_tpu.parallel.encode import sharded_pq_encode, sharded_quantize
+from vq_tpu.parallel.flat import sharded_flat_search
 from vq_tpu.parallel.ivf import shard_buckets, sharded_ivf_search
 from vq_tpu.parallel.kmeans import (
     ShardedKMeansResult,
@@ -35,5 +36,6 @@ __all__ = [
     "sharded_pq_encode",
     "sharded_quantize",
     "sharded_ivf_search",
+    "sharded_flat_search",
     "shard_buckets",
 ]

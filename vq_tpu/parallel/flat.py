@@ -1,0 +1,196 @@
+"""Multi-device flat search — index rows sharded across the mesh.
+
+The flat indexes (:class:`~vq_tpu.search.PQIndex`,
+:class:`~vq_tpu.search.SQIndex`) scan their whole corpus per query; when
+the corpus outgrows one chip's HBM — or one chip's scan rate — the
+TPU-native layout shards the **row axis** of the stored codes over the
+mesh's data axis while queries and lookup tables (KB-scale) replicate:
+
+1. **Local scan** — each device runs the exact single-device blockwise
+   scan jit over its row shard (same math, same tie behavior), producing a
+   local top-``k`` in shard-local coordinates.
+2. **Merge** — one ``all_gather`` of the ``[Q, k]`` local winners (tiny,
+   rides ICI) and a final top-k, after offsetting local ids to global.
+
+Communication is O(devices * Q * k), independent of corpus size — the
+same accumulate-then-reduce shape as the sharded trainer and the sharded
+IVF search. The reference has no distributed anything (SURVEY.md §2.3);
+this is north-star capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
+from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+__all__ = ["sharded_flat_search"]
+
+
+def _shard_layout(n: int, ndev: int, chunk: int):
+    """Rows-per-device and padded totals for a row-sharded corpus."""
+    shard = -(-n // ndev)
+    chunk_eff = min(int(chunk), shard)
+    shard_pad = -(-shard // chunk_eff) * chunk_eff
+    return shard_pad, chunk_eff
+
+
+def _merge_topk(local_ids, local_d, k: int):
+    """all_gather each device's [Q, k] winners and re-top-k (ascending)."""
+    Q = local_ids.shape[0]
+    all_d = jax.lax.all_gather(local_d, DATA_AXIS)  # [D, Q, k]
+    all_i = jax.lax.all_gather(local_ids, DATA_AXIS)
+    cat_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, -1)
+    cat_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, -1)
+    neg, pos = jax.lax.top_k(-cat_d, k)
+    return jnp.take_along_axis(cat_i, pos, axis=1), -neg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "metric", "pack_bits", "chunk"),
+)
+def _sharded_pq_search_jit(
+    tables, cb_sqn, qn, codes, nvalid, k: int, mesh: Mesh, metric,
+    pack_bits: int, chunk: int,
+):
+    from vq_tpu.models.pq import _adc_search_chunked_jit
+
+    shard_pad = codes.shape[0] // mesh.shape[DATA_AXIS]
+
+    def local(codes_shard):
+        base = jax.lax.axis_index(DATA_AXIS) * shard_pad
+        local_n = jnp.clip(nvalid - base, 0, shard_pad)
+        chunks = codes_shard.reshape(-1, chunk, codes_shard.shape[1])
+        ids, d = _adc_search_chunked_jit(
+            tables, cb_sqn, qn, chunks, local_n, metric, k, pack_bits
+        )
+        gids = jnp.where(ids >= 0, base + ids, -1)
+        return _merge_topk(gids, d, k)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(codes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "metric", "chunk")
+)
+def _sharded_sq_search_jit(
+    q, lo, step, codes, row_sqn, nvalid, k: int, mesh: Mesh, metric: str,
+    chunk: int,
+):
+    from vq_tpu.search import _sq_scan_jit
+
+    shard_pad = codes.shape[0] // mesh.shape[DATA_AXIS]
+
+    def local(codes_shard, sqn_shard):
+        base = jax.lax.axis_index(DATA_AXIS) * shard_pad
+        local_n = jnp.clip(nvalid - base, 0, shard_pad)
+        code_chunks = codes_shard.reshape(-1, chunk, codes_shard.shape[1])
+        sqn_chunks = sqn_shard.reshape(-1, chunk)
+        ids, d = _sq_scan_jit(
+            q, lo, step, code_chunks, sqn_chunks, local_n, metric, k
+        )
+        gids = jnp.where(ids >= 0, base + ids, -1)
+        return _merge_topk(gids, d, k)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(codes, row_sqn)
+
+
+def sharded_flat_search(
+    index,
+    queries,
+    k: int = 10,
+    *,
+    mesh: Optional[Mesh] = None,
+    chunk: int = 262_144,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Search a flat index with its rows sharded over the mesh.
+
+    Accepts a :class:`~vq_tpu.search.PQIndex` (packed or not) or a
+    :class:`~vq_tpu.search.SQIndex`; returns the same ``(ids, values)``
+    contract as the index's own ``search`` — ascending distances, or
+    descending scores for a ``metric="dot"`` SQIndex — with identical
+    results to the single-device scan. Ids of −1 pad out corpora smaller
+    than ``k``. Exact rerank is a single-device post-step (gathering raw
+    rows across shards would defeat the sharding); run
+    ``index.search(..., rerank=R)`` when the corpus fits one device.
+    """
+    from vq_tpu.models.base import as_batch_f32
+    from vq_tpu.search import PQIndex, SQIndex
+
+    if not isinstance(index, (PQIndex, SQIndex)):
+        raise InvalidParameter(
+            "index", "sharded_flat_search supports PQIndex and SQIndex"
+        )
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.shape[DATA_AXIS]
+    n = index.ntotal
+    if n == 0:
+        raise EmptyInput("index is empty — add() vectors first")
+    k = min(int(k), n)
+    row_spec = NamedSharding(mesh, P(DATA_AXIS))
+
+    if isinstance(index, PQIndex):
+        from vq_tpu.models.pq import _adc_tables_jit
+
+        q2d, _ = as_batch_f32(queries)
+        if q2d.shape[1] != index.pq.dim:
+            raise DimensionMismatch(expected=index.pq.dim, found=q2d.shape[1])
+        tables = _adc_tables_jit(
+            q2d, index.pq.codebooks, index.pq._metric
+        )
+        cb = index.pq.codebooks
+        cb_sqn = jnp.sum(cb * cb, axis=-1)
+        qn = jnp.sqrt(jnp.sum(q2d * q2d, axis=-1))
+        shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
+        codes = index._codes
+        codes = (
+            codes.astype(jnp.uint8) if index.pack_bits < 8
+            else codes.astype(jnp.int32)
+        )
+        pad = ndev * shard_pad - n
+        codes = jax.device_put(
+            jnp.pad(codes, ((0, pad), (0, 0))), row_spec
+        )
+        return _sharded_pq_search_jit(
+            tables, cb_sqn, qn, codes, jnp.int32(n), k, mesh,
+            index.pq._metric, int(index.pack_bits), chunk_eff,
+        )
+
+    q2d, _ = as_batch_f32(queries)
+    if q2d.shape[1] != index.dim:
+        raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
+    shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
+    pad = ndev * shard_pad - n
+    codes = jax.device_put(
+        jnp.pad(index._codes, ((0, pad), (0, 0))), row_spec
+    )
+    row_sqn = jax.device_put(
+        jnp.pad(index._row_sqn, (0, pad)), row_spec
+    )
+    ids, d = _sharded_sq_search_jit(
+        q2d, index.sq.mins, index.sq.steps, codes, row_sqn,
+        jnp.int32(n), k, mesh, index.metric, chunk_eff,
+    )
+    if index.metric == "dot":
+        return ids, -d
+    return ids, d
