@@ -317,3 +317,154 @@ def test_binary_index_rerank_without_corpus_raises():
     idx.add(rng.normal(0, 1, (100, 32)).astype(np.float32))
     with pytest.raises(InvalidData):
         idx.search(rng.normal(0, 1, (4, 32)).astype(np.float32), k=3, rerank=10)
+
+
+class TestRQIndex:
+    """Flat ADC over additive codes (faiss IndexResidualQuantizer analog)."""
+
+    @pytest.fixture(scope="class")
+    def rq(self, corpus):
+        from vq_tpu.models.rq import ResidualQuantizer
+
+        return ResidualQuantizer(corpus, 4, 32, max_iters=8)
+
+    def _decoded_bruteforce(self, idx, queries, metric, k):
+        """Exact top-k against the decoded (dequantized) corpus."""
+        import jax.numpy as jnp
+
+        from vq_tpu.ops.distance import Metric, pairwise
+
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        if metric == "dot":
+            s = queries @ y.T
+            ids = np.argsort(-s, kind="stable", axis=1)[:, :k]
+            return ids, np.take_along_axis(s, ids, axis=1)
+        d = np.asarray(
+            pairwise(jnp.asarray(queries), jnp.asarray(y), Metric(metric))
+        )
+        ids = np.argsort(d, kind="stable", axis=1)[:, :k]
+        return ids, np.take_along_axis(d, ids, axis=1)
+
+    def test_add_search(self, corpus, rq):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq)
+        idx.add(corpus[:2000])
+        idx.add(corpus[2000:])
+        assert idx.ntotal == 3000
+        assert idx.code_bytes_per_vector == 4  # one u8 per stage
+        ids, dist = idx.search(corpus[:10], k=5)
+        ids, dist = np.asarray(ids), np.asarray(dist)
+        assert ids.shape == (10, 5)
+        assert (np.diff(dist, axis=1) >= -1e-6).all()
+        # asymmetric scan distances are EXACT decoded-corpus distances
+        gt_ids, gt_d = self._decoded_bruteforce(
+            idx, corpus[:10], "squared_euclidean", 5
+        )
+        np.testing.assert_array_equal(ids, gt_ids)
+        np.testing.assert_allclose(dist, gt_d, atol=1e-4)
+
+    @pytest.mark.parametrize(
+        "metric", ["squared_euclidean", "euclidean", "cosine", "dot"]
+    )
+    def test_scan_matches_decoded_bruteforce(self, corpus, rq, metric):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq, metric=metric)
+        idx.add(corpus)
+        queries = corpus[50:60] + 0.01
+        ids, vals = idx.search(queries, k=7)
+        gt_ids, gt_vals = self._decoded_bruteforce(idx, queries, metric, 7)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(vals), gt_vals, atol=1e-3)
+
+    def test_chunked_scan_matches_unchunked(self, corpus, rq):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq)
+        idx.add(corpus)
+        a_i, a_d = idx.search(corpus[:8], k=6, chunk=256)  # padded blocks
+        b_i, b_d = idx.search(corpus[:8], k=6)
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_allclose(
+            np.asarray(a_d), np.asarray(b_d), atol=1e-5
+        )
+
+    def test_beam_add_lowers_distance(self, corpus, rq):
+        # Beam-encoded codes reconstruct at least as well as greedy on
+        # average -> mean top-1 self-distance should not increase.
+        from vq_tpu.search import RQIndex
+
+        greedy = RQIndex(rq)
+        greedy.add(corpus[:500])
+        beam = RQIndex(rq, beam=4)
+        beam.add(corpus[:500])
+        _, dg = greedy.search(corpus[:500], k=1)
+        _, db = beam.search(corpus[:500], k=1)
+        assert np.asarray(db).mean() <= np.asarray(dg).mean() + 1e-6
+
+    def test_rerank_finds_exact_nn(self, corpus, rq):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq, keep_corpus=True)
+        idx.add(corpus)
+        ids, dist = idx.search(corpus[100:110], k=1, rerank=50)
+        np.testing.assert_array_equal(
+            np.asarray(ids)[:, 0], np.arange(100, 110)
+        )
+        assert np.asarray(dist).max() < 5e-3
+
+    def test_rerank_requires_corpus(self, corpus, rq):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq)
+        idx.add(corpus[:100])
+        with pytest.raises(InvalidData):
+            idx.search(corpus[:2], rerank=10)
+
+    def test_manhattan_rejected(self, rq):
+        from vq_tpu.search import RQIndex
+
+        with pytest.raises(InvalidParameter):
+            RQIndex(rq, metric="manhattan")
+
+    def test_save_load(self, corpus, rq, tmp_path):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq, metric="cosine", keep_corpus=True, beam=2)
+        idx.add(corpus)
+        p = idx.save(str(tmp_path / "rqidx"))
+        idx2 = RQIndex.load(p)
+        assert idx2.ntotal == 3000 and idx2.metric == "cosine"
+        assert idx2.beam == 2
+        a, _ = idx.search(corpus[:5], k=3, rerank=20)
+        b, _ = idx2.search(corpus[:5], k=3, rerank=20)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_wrong_kind_load(self, corpus, rq, tmp_path):
+        from vq_tpu.search import RQIndex
+
+        idx = RQIndex(rq)
+        idx.add(corpus[:50])
+        p = idx.save(str(tmp_path / "z"))
+        with pytest.raises(InvalidData):
+            SQIndex.load(p)
+
+    def test_empty_and_dim_checks(self, corpus, rq):
+        from vq_tpu.search import RQIndex
+
+        empty = RQIndex(rq)
+        with pytest.raises(EmptyInput):
+            empty.search(corpus[:2])
+        with pytest.raises(DimensionMismatch):
+            empty.add(np.zeros((2, 16), np.float32))
+        full = RQIndex(rq)
+        full.add(corpus[:50])
+        with pytest.raises(DimensionMismatch):
+            full.search(np.zeros((2, 16), np.float32))
+
+    def test_requires_rq(self, pq):
+        from vq_tpu.search import RQIndex
+
+        with pytest.raises(InvalidParameter):
+            RQIndex(pq)

@@ -216,3 +216,20 @@ class TestShardedFlatSearch:
 
         with pytest.raises(InvalidParameter):
             sharded_flat_search(object(), np.zeros((1, 4), np.float32))
+
+    def test_rq_matches_single_device(self):
+        from vq_tpu.models.rq import ResidualQuantizer
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import RQIndex
+
+        rng = np.random.default_rng(55)
+        data = rng.random((2500, 24), dtype=np.float32)
+        idx = RQIndex(ResidualQuantizer(data, 3, 16, max_iters=5))
+        idx.add(data)
+        q = data[:8] + 0.01
+        ids_1, d_1 = idx.search(q, k=6)
+        ids_s, d_s = sharded_flat_search(idx, q, k=6, chunk=200)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(d_s), np.asarray(d_1), atol=1e-5
+        )

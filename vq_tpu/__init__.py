@@ -64,7 +64,7 @@ from vq_tpu.ops.kmeans_anisotropic import (
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
 from vq_tpu.ops.packing import pack_codes, unpack_codes
-from vq_tpu.search import BinaryIndex, PQIndex, SQIndex
+from vq_tpu.search import BinaryIndex, PQIndex, RQIndex, SQIndex
 
 __version__ = "0.1.0"
 
@@ -132,6 +132,7 @@ __all__ = [
     "PQIndex",
     "BinaryIndex",
     "SQIndex",
+    "RQIndex",
     "pack_codes",
     "unpack_codes",
     "IVFPQIndex",

@@ -1,7 +1,8 @@
 """Multi-device flat search — index rows sharded across the mesh.
 
 The flat indexes (:class:`~vq_tpu.search.PQIndex`,
-:class:`~vq_tpu.search.SQIndex`) scan their whole corpus per query; when
+:class:`~vq_tpu.search.SQIndex`, :class:`~vq_tpu.search.RQIndex`) scan
+their whole corpus per query; when
 the corpus outgrows one chip's HBM — or one chip's scan rate — the
 TPU-native layout shards the **row axis** of the stored codes over the
 mesh's data axis while queries and lookup tables (KB-scale) replicate:
@@ -86,6 +87,37 @@ def _sharded_pq_search_jit(
 @functools.partial(
     jax.jit, static_argnames=("k", "mesh", "metric", "chunk")
 )
+def _sharded_rq_search_jit(
+    tables, qn2, codes, row_sqn, nvalid, k: int, mesh: Mesh, metric: str,
+    chunk: int,
+):
+    from vq_tpu.search import _rq_scan_jit
+
+    shard_pad = codes.shape[0] // mesh.shape[DATA_AXIS]
+
+    def local(codes_shard, sqn_shard):
+        base = jax.lax.axis_index(DATA_AXIS) * shard_pad
+        local_n = jnp.clip(nvalid - base, 0, shard_pad)
+        code_chunks = codes_shard.reshape(-1, chunk, codes_shard.shape[1])
+        sqn_chunks = sqn_shard.reshape(-1, chunk)
+        ids, d = _rq_scan_jit(
+            tables, qn2, code_chunks, sqn_chunks, local_n, metric, k
+        )
+        gids = jnp.where(ids >= 0, base + ids, -1)
+        return _merge_topk(gids, d, k)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(codes, row_sqn)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "metric", "chunk")
+)
 def _sharded_sq_search_jit(
     q, lo, step, codes, row_sqn, nvalid, k: int, mesh: Mesh, metric: str,
     chunk: int,
@@ -124,8 +156,9 @@ def sharded_flat_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a flat index with its rows sharded over the mesh.
 
-    Accepts a :class:`~vq_tpu.search.PQIndex` (packed or not) or a
-    :class:`~vq_tpu.search.SQIndex`; returns the same ``(ids, values)``
+    Accepts a :class:`~vq_tpu.search.PQIndex` (packed or not), a
+    :class:`~vq_tpu.search.SQIndex`, or a
+    :class:`~vq_tpu.search.RQIndex`; returns the same ``(ids, values)``
     contract as the index's own ``search`` — ascending distances, or
     descending scores for a ``metric="dot"`` SQIndex — with identical
     results to the single-device scan. Ids of −1 pad out corpora smaller
@@ -134,11 +167,12 @@ def sharded_flat_search(
     ``index.search(..., rerank=R)`` when the corpus fits one device.
     """
     from vq_tpu.models.base import as_batch_f32
-    from vq_tpu.search import PQIndex, SQIndex
+    from vq_tpu.search import PQIndex, RQIndex, SQIndex
 
-    if not isinstance(index, (PQIndex, SQIndex)):
+    if not isinstance(index, (PQIndex, RQIndex, SQIndex)):
         raise InvalidParameter(
-            "index", "sharded_flat_search supports PQIndex and SQIndex"
+            "index",
+            "sharded_flat_search supports PQIndex, RQIndex, and SQIndex",
         )
     if mesh is None:
         mesh = make_mesh()
@@ -187,10 +221,20 @@ def sharded_flat_search(
     row_sqn = jax.device_put(
         jnp.pad(index._row_sqn, (0, pad)), row_spec
     )
-    ids, d = _sharded_sq_search_jit(
-        q2d, index.sq.mins, index.sq.steps, codes, row_sqn,
-        jnp.int32(n), k, mesh, index.metric, chunk_eff,
-    )
+    if isinstance(index, RQIndex):
+        from vq_tpu.search import _rq_tables_jit
+
+        tables = _rq_tables_jit(q2d, index.rq.codebooks, index.metric)
+        qn2 = jnp.sum(q2d * q2d, axis=-1)
+        ids, d = _sharded_rq_search_jit(
+            tables, qn2, codes, row_sqn,
+            jnp.int32(n), k, mesh, index.metric, chunk_eff,
+        )
+    else:
+        ids, d = _sharded_sq_search_jit(
+            q2d, index.sq.mins, index.sq.steps, codes, row_sqn,
+            jnp.int32(n), k, mesh, index.metric, chunk_eff,
+        )
     if index.metric == "dot":
         return ids, -d
     return ids, d

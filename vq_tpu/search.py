@@ -12,6 +12,10 @@ standard memory-resident index types its quantizers imply:
   distance scan (the faiss ``IndexScalarQuantizer`` analog). d bytes/vector
   (75% smaller than f32) at full dimensionality — higher recall than PQ at
   4x the code size.
+* :class:`RQIndex` — additive residual-quantizer codes + asymmetric ADC
+  scan with stored row norms (the faiss ``IndexResidualQuantizer``
+  analog). S bytes/vector; better reconstruction than PQ at equal bytes
+  on data without coordinate-aligned structure.
 
 All are append-only, batch-first, and jit-backed; ``save``/``load``
 round-trip through the same single-file `.npz` scheme as the quantizers.
@@ -34,11 +38,12 @@ from vq_tpu.errors import (
 )
 from vq_tpu.models.bq import BinaryQuantizer, hamming_distance
 from vq_tpu.models.pq import ProductQuantizer
+from vq_tpu.models.rq import ResidualQuantizer
 from vq_tpu.models.sq import PerDimScalarQuantizer
 from vq_tpu.ops.distance import COSINE_NORM_EPS, Metric
 from vq_tpu.utils.serialize import _from_npz, _to_npz
 
-__all__ = ["PQIndex", "BinaryIndex", "SQIndex"]
+__all__ = ["PQIndex", "BinaryIndex", "SQIndex", "RQIndex"]
 
 
 class PQIndex:
@@ -587,4 +592,285 @@ class SQIndex:
         return (
             f"SQIndex(ntotal={self.ntotal}, dim={self.dim}, "
             f"levels={self.sq.levels}, metric={self.metric!r})"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+def _rq_scan_jit(
+    tables: jnp.ndarray,  # [Q, S, k] per-stage dot tables q . C_s[j]
+    qn2: jnp.ndarray,  # [Q] query squared norms
+    code_chunks: jnp.ndarray,  # [nc, chunk, S] corpus codes, padded
+    row_sqn_chunks: jnp.ndarray,  # [nc, chunk] ||decode(row)||^2
+    nvalid: jnp.ndarray,  # [] real row count
+    metric: str,
+    fetch: int,
+):
+    """Blockwise ADC scan over additive (residual-quantizer) codes.
+
+    An additive reconstruction is ``y = sum_s C_s[c_s]``, so
+    ``q . y = sum_s T_s[c_s]`` with per-stage dot tables — the identical
+    table-sum shape as PQ's ADC (reused: ``m`` one-hot MXU matmuls per
+    block, no gathers). Unlike PQ, ``||y||^2`` carries cross-stage terms
+    the tables can't see, so each row's exact decoded squared norm is
+    precomputed at ``add`` time and streamed alongside the codes — the
+    same trick faiss's ``IndexResidualQuantizer`` uses (stored norms).
+    Every decomposable metric (sq-L2 / L2 / cosine / dot) then reduces to
+    ``q . y`` + per-row norms; distances equal exact distances to the
+    decoded corpus.
+    """
+    from vq_tpu.models.pq import _adc_lookup_jit
+
+    Q = tables.shape[0]
+    chunk = code_chunks.shape[1]
+    qn = jnp.sqrt(qn2)
+
+    def body(carry, inp):
+        best_d, best_i = carry  # [Q, fetch]
+        chunk_codes, row_sqn, cidx = inp  # [chunk, S], [chunk], []
+        qdoty = _adc_lookup_jit(
+            tables, chunk_codes.astype(jnp.int32)
+        )  # [Q, chunk]
+        if metric in ("squared_euclidean", "euclidean"):
+            d = jnp.maximum(
+                qn2[:, None] - 2.0 * qdoty + row_sqn[None, :], 0.0
+            )
+            if metric == "euclidean":
+                d = jnp.sqrt(d)
+        elif metric == "cosine":
+            rn = jnp.sqrt(jnp.maximum(row_sqn, 0.0))
+            denom = jnp.maximum(qn[:, None] * rn[None, :], COSINE_NORM_EPS)
+            d = jnp.clip(1.0 - qdoty / denom, 0.0, 1.0)
+            degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                rn[None, :] < COSINE_NORM_EPS
+            )
+            d = jnp.where(degenerate, 1.0, d)
+        else:  # dot: minimize the negated score
+            d = -qdoty
+        gidx = cidx * chunk + jnp.arange(chunk)
+        d = jnp.where((gidx < nvalid)[None, :], d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init,
+        (code_chunks, row_sqn_chunks, jnp.arange(code_chunks.shape[0])),
+    )
+    return best_i, best_d
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _rq_tables_jit(q: jnp.ndarray, cbs: jnp.ndarray, metric: str):
+    """Per-stage dot tables ``T[q, s, j] = q . C_s[j]`` — [Q, S, k]."""
+    del metric  # every supported metric builds from the same dot tables
+    return jnp.einsum(
+        "qd,skd->qsk", q, cbs,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class RQIndex:
+    """Flat asymmetric-distance index over additive (RQ) codes.
+
+    The faiss ``IndexResidualQuantizer`` analog — no counterpart exists in
+    the reference (which has no additive quantizer at all). Rows are
+    stored as ``[n, S]`` stage codes (S bytes/vector at k <= 256) plus one
+    exact decoded squared norm per row (additive codes have cross-stage
+    norm terms PQ-style tables can't express). Search distances equal
+    exact distances to the decoded corpus under ``squared_euclidean``
+    (default), ``euclidean``, ``cosine``, or ``dot`` (maximum inner
+    product; descending scores).
+
+    At equal byte budgets RQ codes reconstruct better than PQ on data
+    without coordinate-aligned structure, making this the accuracy play at
+    small code sizes; the scan cost is identical to :class:`PQIndex`
+    (same one-hot table-sum kernel shape, ``S`` vs ``m`` stages).
+
+    ``beam`` controls encode quality at :meth:`add` time (beam-search over
+    stage combinations; 1 = greedy). ``keep_corpus=True`` retains raw rows
+    for exact reranking, matching :class:`PQIndex` semantics.
+    """
+
+    def __init__(
+        self,
+        quantizer: ResidualQuantizer,
+        *,
+        metric: str = "squared_euclidean",
+        keep_corpus: bool = False,
+        beam: int = 1,
+    ):
+        if not isinstance(quantizer, ResidualQuantizer):
+            raise InvalidParameter(
+                "quantizer", "RQIndex requires a ResidualQuantizer"
+            )
+        m = metric.value if isinstance(metric, Metric) else str(metric)
+        if m not in _SQ_METRICS:
+            raise InvalidParameter(
+                "metric",
+                "must be one of 'squared_euclidean', 'euclidean', "
+                "'cosine', 'dot' (manhattan does not decompose onto the "
+                "asymmetric scan)",
+            )
+        if int(beam) < 1:
+            raise InvalidParameter("beam", "must be >= 1")
+        self.rq = quantizer
+        self.metric = m
+        self.keep_corpus = keep_corpus
+        self.beam = int(beam)
+        self._codes: Optional[jnp.ndarray] = None  # [n, S] u8/i32
+        self._row_sqn: Optional[jnp.ndarray] = None  # [n] f32
+        self._corpus: Optional[jnp.ndarray] = None  # [n, d] if kept
+
+    @property
+    def dim(self) -> int:
+        return self.rq.dim
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._codes is None else int(self._codes.shape[0])
+
+    @property
+    def code_bytes_per_vector(self) -> int:
+        itemsize = 1 if self.rq.num_centroids <= 256 else 4
+        return self.rq.num_stages * itemsize  # +4 for the cached row norm
+
+    def add(self, vectors) -> None:
+        """Encode (greedy or beam) and append a batch of raw vectors."""
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        codes = self.rq.encode(x.astype(jnp.float32), beam=self.beam)
+        y = self.rq.decode(codes)
+        row_sqn = jnp.sum(y * y, axis=-1)
+        if self._codes is None:
+            self._codes, self._row_sqn = codes, row_sqn
+        else:
+            self._codes = jnp.concatenate([self._codes, codes], axis=0)
+            self._row_sqn = jnp.concatenate([self._row_sqn, row_sqn], axis=0)
+        if self.keep_corpus:
+            self._corpus = (
+                x if self._corpus is None
+                else jnp.concatenate([self._corpus, x], axis=0)
+            )
+
+    def search(
+        self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k ids + values for each query row.
+
+        Values are distances (ascending) for L2-family/cosine metrics and
+        inner-product scores (descending) for ``dot``. With ``rerank=R``
+        and a kept corpus, a top-R shortlist is re-scored exactly.
+        """
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if rerank and self._corpus is None:
+            raise InvalidData(
+                "rerank requires keep_corpus=True at index construction"
+            )
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        n = self.ntotal
+        k = min(int(k), n)
+        fetch = min(max(k, int(rerank)), n)
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.rq.num_stages
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        tables = _rq_tables_jit(q, self.rq.codebooks, self.metric)
+        qn2 = jnp.sum(q * q, axis=-1)
+        ids, d = _rq_scan_jit(
+            tables, qn2, code_chunks, sqn_chunks, jnp.int32(n),
+            self.metric, int(fetch),
+        )
+        if rerank:
+            cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
+            if self.metric == "dot":
+                exact = jnp.einsum("qd,qrd->qr", q, cand)
+                neg, pos = jax.lax.top_k(exact, k)
+                return jnp.take_along_axis(ids, pos, axis=1), neg
+            from vq_tpu.ops.distance import _PAIRWISE
+
+            exact = jax.vmap(
+                lambda qv, cv: _PAIRWISE[Metric(self.metric)](qv[None, :], cv)[0]
+            )(q, cand)
+            neg_top, pos = jax.lax.top_k(-exact, k)
+            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
+        if self.metric == "dot":
+            return ids[:, :k], -d[:, :k]
+        return ids[:, :k], d[:, :k]
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Decoded (approximate) vectors for stored ids."""
+        if self._codes is None:
+            raise EmptyInput("index is empty")
+        ids = jnp.asarray(ids, jnp.int32)
+        return self.rq.decode(jnp.take(self._codes, ids, axis=0))
+
+    def save(self, path: str) -> str:
+        arrays = {
+            "codebooks": np.asarray(self.rq.codebooks),
+            "codes": np.asarray(
+                self._codes if self._codes is not None
+                else np.zeros((0, self.rq.num_stages), np.uint8)
+            ),
+            "row_sqn": np.asarray(
+                self._row_sqn if self._row_sqn is not None
+                else np.zeros((0,), np.float32)
+            ),
+        }
+        if self.keep_corpus and self._corpus is not None:
+            arrays["corpus"] = np.asarray(self._corpus)
+        return _to_npz(
+            path,
+            "rq_index",
+            {
+                "metric": self.metric,
+                "keep_corpus": bool(self.keep_corpus),
+                "beam": self.beam,
+            },
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "RQIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "rq_index":
+            raise InvalidData(f"expected an rq_index checkpoint, got {kind!r}")
+        rq = ResidualQuantizer(codebooks=arrays["codebooks"])
+        idx = cls(
+            rq,
+            metric=config["metric"],
+            keep_corpus=config["keep_corpus"],
+            beam=config.get("beam", 1),
+        )
+        if arrays["codes"].shape[0]:
+            idx._codes = jnp.asarray(arrays["codes"])
+            idx._row_sqn = jnp.asarray(arrays["row_sqn"])
+        if "corpus" in arrays:
+            idx._corpus = jnp.asarray(arrays["corpus"])
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"RQIndex(ntotal={self.ntotal}, stages={self.rq.num_stages}, "
+            f"k={self.rq.num_centroids}, metric={self.metric!r}, "
+            f"beam={self.beam})"
         )
