@@ -1,0 +1,228 @@
+"""IVF-Flat and IVF-SQ indexes: probe correctness, coding, persistence.
+
+Ground truth throughout: full-probe (nprobe=nlist) search must equal the
+exact brute-force scan over what the index stores (raw rows for Flat,
+decoded rows for SQ) — the partition then only affects WHICH candidates
+are seen, never their scores.
+"""
+
+import numpy as np
+import pytest
+
+from vq_tpu import IVFFlatIndex, IVFSQIndex
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(rng):
+    return rng.normal(0, 1, (4000, 32)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus[:12] + np.float32(0.01)
+
+
+def brute_l2(q, y, k):
+    d = np.sum((y[None] - q[:, None]) ** 2, axis=-1)
+    ids = np.argsort(d, kind="stable", axis=1)[:, :k]
+    return ids, np.take_along_axis(d, ids, axis=1)
+
+
+def brute_dot(q, y, k):
+    s = q @ y.T
+    ids = np.argsort(-s, kind="stable", axis=1)[:, :k]
+    return ids, np.take_along_axis(s, ids, axis=1)
+
+
+class TestIVFFlat:
+    def test_full_probe_is_exact(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=3)
+        idx.add(corpus)
+        ids, d = idx.search(queries, k=7, nprobe=16)
+        gt_ids, gt_d = brute_l2(queries, corpus, 7)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(d), gt_d, atol=1e-3)
+
+    def test_partial_probe_recall(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=3)
+        idx.add(corpus)
+        ids, _ = idx.search(queries, k=1, nprobe=4)
+        gt_ids, _ = brute_l2(queries, corpus, 1)
+        recall = (np.asarray(ids)[:, 0] == gt_ids[:, 0]).mean()
+        assert recall >= 0.9  # near-duplicate queries probe the right list
+
+    def test_dot_metric(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=3, metric="dot")
+        idx.add(corpus)
+        ids, s = idx.search(queries, k=5, nprobe=16)
+        gt_ids, gt_s = brute_dot(queries, corpus, 5)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(s), gt_s, atol=1e-3)
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_bf16_storage(self, corpus, queries):
+        idx = IVFFlatIndex.train(
+            corpus, nlist=16, seed=3, store_dtype="bfloat16"
+        )
+        idx.add(corpus)
+        assert idx._flat_rows.dtype == np.dtype("bfloat16") or (
+            str(idx._flat_rows.dtype) == "bfloat16"
+        )
+        ids, _ = idx.search(queries, k=1, nprobe=16)
+        gt_ids, _ = brute_l2(queries, corpus, 1)
+        # bf16 rounding may flip exact ties but near-duplicate top-1 holds
+        assert (np.asarray(ids)[:, 0] == gt_ids[:, 0]).mean() >= 0.9
+
+    def test_incremental_add_and_stats(self, corpus):
+        idx = IVFFlatIndex.train(corpus, nlist=8, seed=1)
+        idx.add(corpus[:1000])
+        idx.add(corpus[1000:])
+        assert idx.ntotal == 4000
+        st = idx.bucket_stats()
+        assert st["ntotal"] == 4000 and st["overflow_dropped"] == 0
+
+    def test_max_list_size_drops_overflow(self, corpus):
+        idx = IVFFlatIndex.train(
+            corpus, nlist=8, seed=1, max_list_size=100
+        )
+        idx.add(corpus)
+        st = idx.bucket_stats()
+        assert st["cap"] <= 104
+        assert st["overflow_dropped"] > 0
+
+    def test_pads_when_pool_short(self, corpus):
+        idx = IVFFlatIndex.train(corpus[:64], nlist=8, seed=1)
+        idx.add(corpus[:20])
+        ids, d = idx.search(corpus[:3], k=19, nprobe=1)
+        ids = np.asarray(ids)
+        assert ids.shape == (3, 19)
+        assert (ids[:, -1] == -1).all()  # one probed list < 19 entries
+
+    def test_save_load(self, corpus, queries, tmp_path):
+        idx = IVFFlatIndex.train(
+            corpus, nlist=8, seed=1, store_dtype="bfloat16"
+        )
+        idx.add(corpus)
+        p = idx.save(str(tmp_path / "ivfflat"))
+        idx2 = IVFFlatIndex.load(p)
+        assert idx2.ntotal == idx.ntotal
+        a_i, a_d = idx.search(queries, k=5, nprobe=4)
+        b_i, b_d = idx2.search(queries, k=5, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_allclose(np.asarray(a_d), np.asarray(b_d))
+
+    def test_reconstruct(self, corpus):
+        idx = IVFFlatIndex.train(corpus, nlist=8, seed=1)
+        idx.add(corpus)
+        np.testing.assert_allclose(
+            np.asarray(idx.reconstruct([5, 17])), corpus[[5, 17]]
+        )
+
+    def test_errors(self, corpus):
+        idx = IVFFlatIndex.train(corpus, nlist=8, seed=1)
+        with pytest.raises(EmptyInput):
+            idx.search(corpus[:2])
+        with pytest.raises(DimensionMismatch):
+            idx.add(np.zeros((2, 16), np.float32))
+        with pytest.raises(InvalidParameter):
+            IVFFlatIndex.train(corpus, nlist=8, store_dtype="int8")
+        with pytest.raises(InvalidParameter):
+            IVFFlatIndex.train(corpus, nlist=8, metric="cosine")
+
+
+class TestIVFSQ:
+    def test_full_probe_matches_decoded_bruteforce(self, corpus, queries):
+        idx = IVFSQIndex.train(corpus, nlist=16, seed=3)
+        idx.add(corpus)
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        ids, d = idx.search(queries, k=7, nprobe=16)
+        gt_ids, gt_d = brute_l2(queries, y, 7)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(d), gt_d, atol=1e-3)
+
+    def test_non_residual_matches_decoded_bruteforce(self, corpus, queries):
+        idx = IVFSQIndex.train(corpus, nlist=16, seed=3, by_residual=False)
+        idx.add(corpus)
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        ids, d = idx.search(queries, k=7, nprobe=16)
+        gt_ids, gt_d = brute_l2(queries, y, 7)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(d), gt_d, atol=1e-3)
+
+    @pytest.mark.parametrize("by_residual", [True, False])
+    def test_dot_matches_decoded_bruteforce(
+        self, corpus, queries, by_residual
+    ):
+        idx = IVFSQIndex.train(
+            corpus, nlist=16, seed=3, metric="dot", by_residual=by_residual
+        )
+        idx.add(corpus)
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        ids, s = idx.search(queries, k=5, nprobe=16)
+        gt_ids, gt_s = brute_dot(queries, y, 5)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(s), gt_s, atol=1e-3)
+
+    def test_residual_coding_beats_raw(self, corpus):
+        # Residual ranges are tighter than raw ranges -> lower recon MSE.
+        res = IVFSQIndex.train(corpus, nlist=32, seed=3, levels=16)
+        res.add(corpus)
+        raw = IVFSQIndex.train(
+            corpus, nlist=32, seed=3, levels=16, by_residual=False
+        )
+        raw.add(corpus)
+        ids = np.arange(4000)
+        mse_res = np.mean(
+            (np.asarray(res.reconstruct(ids)) - corpus) ** 2
+        )
+        mse_raw = np.mean(
+            (np.asarray(raw.reconstruct(ids)) - corpus) ** 2
+        )
+        assert mse_res < mse_raw
+
+    def test_sq8_top1_recall(self, corpus, queries):
+        idx = IVFSQIndex.train(corpus, nlist=16, seed=3)
+        idx.add(corpus)
+        ids, _ = idx.search(queries, k=1, nprobe=4)
+        gt_ids, _ = brute_l2(queries, corpus, 1)
+        assert (np.asarray(ids)[:, 0] == gt_ids[:, 0]).mean() >= 0.9
+
+    def test_save_load(self, corpus, queries, tmp_path):
+        idx = IVFSQIndex.train(corpus, nlist=8, seed=1, metric="dot")
+        idx.add(corpus)
+        p = idx.save(str(tmp_path / "ivfsq"))
+        idx2 = IVFSQIndex.load(p)
+        assert idx2.ntotal == idx.ntotal and idx2.metric == "dot"
+        a_i, a_s = idx.search(queries, k=5, nprobe=4)
+        b_i, b_s = idx2.search(queries, k=5, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(b_s))
+
+    def test_wrong_kind_load(self, corpus, tmp_path):
+        idx = IVFSQIndex.train(corpus[:200], nlist=4, seed=1)
+        idx.add(corpus[:200])
+        p = idx.save(str(tmp_path / "x"))
+        with pytest.raises(InvalidData):
+            IVFFlatIndex.load(p)
+
+    def test_errors(self, corpus):
+        from vq_tpu.models.sq import PerDimScalarQuantizer
+
+        idx = IVFSQIndex.train(corpus, nlist=8, seed=1)
+        with pytest.raises(EmptyInput):
+            idx.search(corpus[:2])
+        with pytest.raises(DimensionMismatch):
+            idx.add(np.zeros((2, 16), np.float32))
+        sq16 = PerDimScalarQuantizer.from_data(
+            corpus[:, :16].astype(np.float32)
+        )
+        with pytest.raises(DimensionMismatch):
+            IVFSQIndex(idx.coarse, sq16)
+        with pytest.raises(InvalidParameter):
+            IVFSQIndex(idx.coarse, object())  # type: ignore[arg-type]

@@ -43,6 +43,7 @@ from vq_tpu.models.sq import PerDimScalarQuantizer, ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
 from vq_tpu.ivf import IVFPQIndex
+from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex
 from vq_tpu.ops.kmeans import (
     KMeansResult,
     kmeans_plusplus_init_device,
@@ -136,6 +137,8 @@ __all__ = [
     "pack_codes",
     "unpack_codes",
     "IVFPQIndex",
+    "IVFFlatIndex",
+    "IVFSQIndex",
     "pq_train",
     "pq_encode",
     "pq_decode",

@@ -1,0 +1,644 @@
+"""IVF-Flat and IVF-SQ: inverted-file indexes over raw / scalar-quantized rows.
+
+Together with :class:`~vq_tpu.ivf.IVFPQIndex` these complete the standard
+IVF coding ladder (the faiss ``IndexIVFFlat`` / ``IndexIVFScalarQuantizer``
+/ ``IndexIVFPQ`` family — the reference library has no index layer at all):
+
+* **IVF-Flat** — buckets hold the raw rows (f32, or bf16/f16 for half the
+  HBM); probed distances are exact. The accuracy ceiling, at d·4 (or d·2)
+  bytes/vector.
+* **IVF-SQ** — buckets hold per-dimension SQ8 codes of the residual
+  ``x − coarse_centroid(x)`` (or of ``x`` itself with
+  ``by_residual=False``) plus one exact decoded norm per entry; probed
+  distances are exact distances to the *decoded* rows via the same affine
+  decomposition the flat :class:`~vq_tpu.search.SQIndex` scan uses
+  (``qr·ŷ = qr·lo + (qr*step)·c`` — one MXU matmul per probed rank).
+  d bytes/vector: 4× smaller than IVF-Flat, ~d/m× larger but markedly more
+  accurate than IVF-PQ.
+
+TPU-first structure, shared with IVF-PQ: padded dense buckets (static
+shapes, −1 = pad), coarse scan as one ``[Q, nlist]`` MXU matmul, then a
+``lax.scan`` over probe ranks so the working set per step is one
+``[Q, cap, d]`` block — no ``[Q, nprobe, cap, d]`` mega-gather ever
+materializes. Probed candidates merge through a running top-k exactly like
+the chunked flat scans.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
+from vq_tpu.models.sq import PerDimScalarQuantizer
+from vq_tpu.ops.kmeans import assign, lloyd
+from vq_tpu.utils.serialize import _from_npz, _to_npz
+
+__all__ = ["IVFFlatIndex", "IVFSQIndex"]
+
+_STORE_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def _coarse_probe(q: jnp.ndarray, coarse: jnp.ndarray, nprobe: int, metric: str):
+    """Top-``nprobe`` lists per query: min ||q−c||² for L2, max q·c for dot.
+
+    Returns ``(probe [Q, nprobe] int32, qc [Q, nlist] f32)`` — ``qc`` is
+    reused by dot-metric scoring offsets.
+    """
+    cc = jnp.sum(coarse * coarse, axis=-1)
+    qc = jax.lax.dot_general(
+        q, coarse, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = -qc if metric == "dot" else cc[None, :] - 2.0 * qc
+    _, probe = jax.lax.top_k(-scores, nprobe)
+    return probe, qc
+
+
+def _merge_probe_topk(body, Q: int, nprobe: int, fetch: int, probe_axis_xs):
+    """Running top-``fetch`` merge over probe ranks (smaller-is-better)."""
+
+    def step(carry, xs):
+        best_d, best_i = carry
+        d, ids = body(xs)  # [Q, cap] scores (inf-masked), [Q, cap] ids
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(step, init, probe_axis_xs)
+    return best_i, best_d
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
+def _ivf_flat_search_jit(
+    q: jnp.ndarray,  # [Q, d] f32
+    coarse: jnp.ndarray,  # [nlist, d]
+    bucket_rows: jnp.ndarray,  # [nlist, cap, d] f32/bf16/f16
+    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||stored row||²
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    nprobe: int,
+    k: int,
+    metric: str,
+):
+    Q = q.shape[0]
+    probe, _ = _coarse_probe(q, coarse, nprobe, metric)
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+
+    def body(p_col):  # [Q] list ids at one probe rank
+        rows = jnp.take(bucket_rows, p_col, axis=0).astype(jnp.float32)
+        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
+        qy = jnp.einsum(
+            "qd,qcd->qc", q, rows,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "dot":
+            d = -qy
+        else:
+            d = jnp.maximum(qn2[:, None] - 2.0 * qy + sqn, 0.0)
+        return jnp.where(ids >= 0, d, jnp.inf), ids
+
+    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual")
+)
+def _ivf_sq_search_jit(
+    q: jnp.ndarray,  # [Q, d] f32
+    coarse: jnp.ndarray,  # [nlist, d]
+    lo: jnp.ndarray,  # [d]
+    step: jnp.ndarray,  # [d]
+    bucket_codes: jnp.ndarray,  # [nlist, cap, d] u8
+    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||decoded residual ŷ||²
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    nprobe: int,
+    k: int,
+    metric: str,
+    by_residual: bool,
+):
+    """Probe + asymmetric SQ scan.
+
+    A stored entry decodes to ``y = [c_probe +] ŷ`` with ``ŷ = lo + step·c``.
+    With ``qr = q − c_probe`` (or ``q`` when non-residual):
+
+    * L2: ``||q − y||² = ||qr||² − 2·qr·ŷ + ||ŷ||²`` and
+      ``qr·ŷ = qr·lo + (qr*step)·c`` — one MXU matmul per probe rank.
+    * dot: ``q·y = [q·c_probe] + q·lo + (q*step)·c``.
+
+    Exact decoded-row distances either way (``||ŷ||²`` is stored exact).
+    """
+    Q = q.shape[0]
+    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
+
+    def body(p_col):  # [Q] list ids at one probe rank
+        codes = jnp.take(bucket_codes, p_col, axis=0).astype(jnp.float32)
+        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
+        if metric == "dot":
+            qs = q * step[None, :]
+            qy = (q @ lo)[:, None] + jnp.einsum(
+                "qd,qcd->qc", qs, codes,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if by_residual:
+                qy = qy + jnp.take_along_axis(
+                    qc, p_col[:, None], axis=1
+                )  # + q·c_probe
+            d = -qy
+        else:
+            qr = (
+                q - jnp.take(coarse, p_col, axis=0) if by_residual else q
+            )  # [Q, d]
+            qry = (qr @ lo)[:, None] + jnp.einsum(
+                "qd,qcd->qc", qr * step[None, :], codes,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            qrn2 = jnp.sum(qr * qr, axis=-1)
+            d = jnp.maximum(qrn2[:, None] - 2.0 * qry + sqn, 0.0)
+        return jnp.where(ids >= 0, d, jnp.inf), ids
+
+    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+
+
+def _pack_buckets(
+    lists: np.ndarray,
+    nlist: int,
+    max_list_size: Optional[int],
+    payloads: dict,
+):
+    """Pack flat per-row payload arrays into padded dense buckets.
+
+    ``payloads`` maps name → ``[n, ...]`` array; returns the same names
+    mapped to ``[nlist, cap, ...]`` plus ``"ids" [nlist, cap]`` (−1 pad).
+    Capacity is the largest list rounded up to 8, clipped to
+    ``max_list_size``; overflow entries are dropped from the probe
+    structure (visible via ``bucket_stats``).
+    """
+    counts = np.bincount(lists, minlength=nlist)
+    cap = max(8, int(-(-int(counts.max()) // 8) * 8))
+    if max_list_size is not None:
+        cap = min(cap, max(8, int(-(-int(max_list_size) // 8) * 8)))
+    order = np.argsort(lists, kind="stable")
+    sorted_lists = lists[order]
+    starts = np.searchsorted(sorted_lists, np.arange(nlist))
+    out = {
+        name: np.zeros((nlist, cap) + arr.shape[1:], arr.dtype)
+        for name, arr in payloads.items()
+    }
+    bucket_ids = np.full((nlist, cap), -1, np.int32)
+    for l in range(nlist):
+        c = min(int(counts[l]), cap)
+        if c == 0:
+            continue
+        sl = order[starts[l]: starts[l] + c]
+        for name, arr in payloads.items():
+            out[name][l, :c] = arr[sl]
+        bucket_ids[l, :c] = sl
+    return out, bucket_ids
+
+
+class _IVFScanBase:
+    """Shared plumbing for the raw-row / SQ-row IVF variants: flat
+    append-only storage, lazy bucket packing, occupancy stats, and the
+    coarse-probe search driver. Subclasses define what a per-row payload
+    is and how a probed bucket is scored."""
+
+    def __init__(self, coarse_centroids, *, metric, max_list_size):
+        if metric not in ("l2", "dot"):
+            raise InvalidParameter("metric", "must be 'l2' or 'dot'")
+        self.metric = metric
+        self.coarse = jnp.asarray(coarse_centroids, jnp.float32)
+        if self.coarse.ndim != 2 or self.coarse.shape[0] == 0:
+            raise InvalidParameter(
+                "coarse_centroids", "expected a non-empty [nlist, d] matrix"
+            )
+        self.max_list_size = max_list_size
+        self._flat_lists: Optional[np.ndarray] = None  # [n] i32
+        self._buckets = None
+
+    @property
+    def nlist(self) -> int:
+        return int(self.coarse.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.coarse.shape[1])
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._flat_lists is None else int(self._flat_lists.shape[0])
+
+    def _append_lists(self, lists: np.ndarray) -> None:
+        self._flat_lists = (
+            lists if self._flat_lists is None
+            else np.concatenate([self._flat_lists, lists])
+        )
+        self._buckets = None
+
+    def bucket_stats(self) -> dict:
+        """Occupancy diagnostics (same fields as ``IVFPQIndex``)."""
+        if self._flat_lists is None:
+            return {"ntotal": 0}
+        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        self._build_buckets()
+        cap = int(self._buckets["ids"].shape[1])
+        return {
+            "ntotal": self.ntotal,
+            "nlist": self.nlist,
+            "cap": cap,
+            "min": int(counts.min()),
+            "mean": float(counts.mean()),
+            "max": int(counts.max()),
+            "empty_lists": int((counts == 0).sum()),
+            "overflow_dropped": int(np.maximum(counts - cap, 0).sum()),
+            "padding_waste": float(
+                1.0 - counts.clip(max=cap).sum() / (self.nlist * cap)
+            ),
+        }
+
+    def _check_query(self, queries) -> jnp.ndarray:
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        return q
+
+    def search(
+        self, queries, k: int = 10, *, nprobe: int = 8
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k ``(ids, values)``. Values are squared-L2 distances
+        (ascending, ``inf`` pad) for ``metric="l2"`` and inner-product
+        scores (descending, ``-inf`` pad) for ``metric="dot"``; ids of −1
+        mean fewer than k candidates existed in the probed lists."""
+        if self._flat_lists is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        buckets = self._build_buckets()
+        q = self._check_query(queries)
+        nprobe = min(int(nprobe), self.nlist)
+        pool = nprobe * int(buckets["ids"].shape[1])
+        ids, dist = self._scan(q, buckets, nprobe, min(int(k), pool))
+        ids = jnp.where(jnp.isinf(dist), -1, ids)
+        if ids.shape[1] < k:  # pool smaller than k: pad out the contract
+            pad = k - ids.shape[1]
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            dist = jnp.pad(
+                dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+            )
+        if self.metric == "dot":
+            dist = -dist  # back to descending scores; pads become -inf
+        return ids, dist
+
+
+class IVFFlatIndex(_IVFScanBase):
+    """Inverted-file index over raw rows (the faiss ``IndexIVFFlat``
+    analog): probed distances are exact, storage is d·4 bytes/vector —
+    or half that with ``store_dtype="bfloat16"`` (TPU-native) /
+    ``"float16"``, trading ≤1e-2-relative distance error for HBM.
+    """
+
+    def __init__(
+        self,
+        coarse_centroids,
+        *,
+        metric: str = "l2",
+        store_dtype: str = "float32",
+        max_list_size: Optional[int] = None,
+    ):
+        super().__init__(
+            coarse_centroids, metric=metric, max_list_size=max_list_size
+        )
+        if store_dtype not in _STORE_DTYPES:
+            raise InvalidParameter(
+                "store_dtype",
+                "must be 'float32', 'bfloat16', or 'float16'",
+            )
+        self.store_dtype = store_dtype
+        self._flat_rows: Optional[np.ndarray] = None  # [n, d]
+
+    @classmethod
+    def train(
+        cls,
+        training_data,
+        nlist: int,
+        *,
+        max_iters: int = 10,
+        seed: int = 42,
+        metric: str = "l2",
+        store_dtype: str = "float32",
+        max_list_size: Optional[int] = None,
+    ) -> "IVFFlatIndex":
+        """Fit the coarse partition (k-means++-seeded Lloyd's)."""
+        x = jnp.asarray(training_data, jnp.float32)
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        return cls(
+            res.centroids, metric=metric, store_dtype=store_dtype,
+            max_list_size=max_list_size,
+        )
+
+    def add(self, vectors) -> None:
+        """Coarse-assign and append a batch of raw vectors."""
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        lists = np.asarray(assign(x, self.coarse)[0])
+        rows = np.asarray(x.astype(_STORE_DTYPES[self.store_dtype]))
+        self._flat_rows = (
+            rows if self._flat_rows is None
+            else np.concatenate([self._flat_rows, rows])
+        )
+        self._append_lists(lists)
+
+    def _build_buckets(self) -> dict:
+        if self._buckets is None:
+            # Distances are computed against the STORED rows, so norms come
+            # from the (possibly down-cast) stored values — values returned
+            # by search are exact for what the index holds.
+            rows_f32 = self._flat_rows.astype(np.float32)
+            packed, ids = _pack_buckets(
+                self._flat_lists, self.nlist, self.max_list_size,
+                {
+                    "rows": self._flat_rows,
+                    "sqn": np.sum(rows_f32 * rows_f32, axis=-1),
+                },
+            )
+            self._buckets = {
+                "rows": jnp.asarray(packed["rows"]),
+                "sqn": jnp.asarray(packed["sqn"]),
+                "ids": jnp.asarray(ids),
+            }
+        return self._buckets
+
+    def _scan(self, q, buckets, nprobe, k):
+        return _ivf_flat_search_jit(
+            q, self.coarse, buckets["rows"], buckets["sqn"],
+            buckets["ids"], nprobe, k, self.metric,
+        )
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Stored rows for ids (exact up to ``store_dtype`` rounding)."""
+        if self._flat_rows is None:
+            raise EmptyInput("index is empty")
+        return jnp.asarray(
+            self._flat_rows[np.asarray(ids, np.int64)]
+        ).astype(jnp.float32)
+
+    def save(self, path: str) -> str:
+        return _to_npz(
+            path,
+            "ivfflat_index",
+            {
+                "metric": self.metric,
+                "store_dtype": self.store_dtype,
+                "max_list_size": self.max_list_size,
+            },
+            {
+                "coarse": np.asarray(self.coarse),
+                # npz has no bf16: round-trip raw bits as u16.
+                "rows": (
+                    self._flat_rows.view(np.uint16)
+                    if self._flat_rows is not None
+                    and self.store_dtype == "bfloat16"
+                    else (
+                        self._flat_rows if self._flat_rows is not None
+                        else np.zeros((0, self.dim), np.float32)
+                    )
+                ),
+                "lists": (
+                    self._flat_lists if self._flat_lists is not None
+                    else np.zeros((0,), np.int32)
+                ),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFFlatIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "ivfflat_index":
+            raise InvalidData(
+                f"expected an ivfflat_index checkpoint, got {kind!r}"
+            )
+        idx = cls(
+            arrays["coarse"],
+            metric=config["metric"],
+            store_dtype=config["store_dtype"],
+            max_list_size=config.get("max_list_size"),
+        )
+        if arrays["rows"].shape[0]:
+            rows = arrays["rows"]
+            if config["store_dtype"] == "bfloat16":
+                rows = rows.view(jnp.bfloat16.dtype)
+            idx._flat_rows = rows
+            idx._flat_lists = arrays["lists"]
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"IVFFlatIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
+            f"dim={self.dim}, metric={self.metric!r}, "
+            f"store_dtype={self.store_dtype!r})"
+        )
+
+
+class IVFSQIndex(_IVFScanBase):
+    """Inverted-file index over per-dimension SQ8 codes (the faiss
+    ``IndexIVFScalarQuantizer`` analog): d bytes/vector + one stored
+    norm, exact decoded-row distances. ``by_residual=True`` (default)
+    codes ``x − coarse_centroid(x)`` — tighter per-dim ranges, lower
+    quantization error — and search adds the centroid back analytically.
+    """
+
+    def __init__(
+        self,
+        coarse_centroids,
+        sq: PerDimScalarQuantizer,
+        *,
+        metric: str = "l2",
+        by_residual: bool = True,
+        max_list_size: Optional[int] = None,
+    ):
+        super().__init__(
+            coarse_centroids, metric=metric, max_list_size=max_list_size
+        )
+        if not isinstance(sq, PerDimScalarQuantizer):
+            raise InvalidParameter(
+                "sq", "IVFSQIndex requires a PerDimScalarQuantizer"
+            )
+        if sq.dim != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=sq.dim)
+        self.sq = sq
+        self.by_residual = bool(by_residual)
+        self._flat_codes: Optional[np.ndarray] = None  # [n, d] u8
+        self._flat_sqn: Optional[np.ndarray] = None  # [n] f32
+
+    @classmethod
+    def train(
+        cls,
+        training_data,
+        nlist: int,
+        levels: int = 256,
+        *,
+        max_iters: int = 10,
+        seed: int = 42,
+        metric: str = "l2",
+        by_residual: bool = True,
+        max_list_size: Optional[int] = None,
+    ) -> "IVFSQIndex":
+        """Fit the coarse partition, then per-dimension SQ ranges on the
+        residuals (or the raw vectors when ``by_residual=False``)."""
+        x = jnp.asarray(training_data, jnp.float32)
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        sq_train = (
+            x - jnp.take(res.centroids, res.assignments, axis=0)
+            if by_residual else x
+        )
+        sq = PerDimScalarQuantizer.from_data(sq_train, levels)
+        return cls(
+            res.centroids, sq, metric=metric, by_residual=by_residual,
+            max_list_size=max_list_size,
+        )
+
+    def add(self, vectors) -> None:
+        """Coarse-assign, SQ-encode the residual, and append a batch."""
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        lists_j, _ = assign(x, self.coarse)
+        enc_in = (
+            x - jnp.take(self.coarse, lists_j, axis=0)
+            if self.by_residual else x
+        )
+        codes = self.sq.quantize(enc_in.astype(jnp.float32))
+        y = self.sq.dequantize(codes)
+        sqn = jnp.sum(y * y, axis=-1)
+        codes, sqn = np.asarray(codes), np.asarray(sqn)
+        self._flat_codes = (
+            codes if self._flat_codes is None
+            else np.concatenate([self._flat_codes, codes])
+        )
+        self._flat_sqn = (
+            sqn if self._flat_sqn is None
+            else np.concatenate([self._flat_sqn, sqn])
+        )
+        self._append_lists(np.asarray(lists_j))
+
+    def _build_buckets(self) -> dict:
+        if self._buckets is None:
+            packed, ids = _pack_buckets(
+                self._flat_lists, self.nlist, self.max_list_size,
+                {"codes": self._flat_codes, "sqn": self._flat_sqn},
+            )
+            self._buckets = {
+                "codes": jnp.asarray(packed["codes"]),
+                "sqn": jnp.asarray(packed["sqn"]),
+                "ids": jnp.asarray(ids),
+            }
+        return self._buckets
+
+    def _scan(self, q, buckets, nprobe, k):
+        return _ivf_sq_search_jit(
+            q, self.coarse, self.sq.mins, self.sq.steps,
+            buckets["codes"], buckets["sqn"], buckets["ids"],
+            nprobe, k, self.metric, self.by_residual,
+        )
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Decoded rows for stored ids (residual decode + centroid)."""
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty")
+        ids = np.asarray(ids, np.int64)
+        y = self.sq.dequantize(jnp.asarray(self._flat_codes[ids]))
+        if self.by_residual:
+            y = y + jnp.take(
+                self.coarse, jnp.asarray(self._flat_lists[ids]), axis=0
+            )
+        return y
+
+    def save(self, path: str) -> str:
+        return _to_npz(
+            path,
+            "ivfsq_index",
+            {
+                "metric": self.metric,
+                "by_residual": self.by_residual,
+                "levels": self.sq.levels,
+                "max_list_size": self.max_list_size,
+            },
+            {
+                "coarse": np.asarray(self.coarse),
+                "mins": np.asarray(self.sq.mins),
+                "maxs": np.asarray(self.sq.maxs),
+                "codes": (
+                    self._flat_codes if self._flat_codes is not None
+                    else np.zeros((0, self.dim), np.uint8)
+                ),
+                "sqn": (
+                    self._flat_sqn if self._flat_sqn is not None
+                    else np.zeros((0,), np.float32)
+                ),
+                "lists": (
+                    self._flat_lists if self._flat_lists is not None
+                    else np.zeros((0,), np.int32)
+                ),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFSQIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "ivfsq_index":
+            raise InvalidData(
+                f"expected an ivfsq_index checkpoint, got {kind!r}"
+            )
+        sq = PerDimScalarQuantizer(
+            arrays["mins"], arrays["maxs"], config["levels"]
+        )
+        idx = cls(
+            arrays["coarse"], sq,
+            metric=config["metric"],
+            by_residual=config["by_residual"],
+            max_list_size=config.get("max_list_size"),
+        )
+        if arrays["codes"].shape[0]:
+            idx._flat_codes = arrays["codes"]
+            idx._flat_sqn = arrays["sqn"]
+            idx._flat_lists = arrays["lists"]
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"IVFSQIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
+            f"dim={self.dim}, levels={self.sq.levels}, "
+            f"residual={self.by_residual}, metric={self.metric!r})"
+        )
