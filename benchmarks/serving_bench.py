@@ -1,0 +1,192 @@
+"""Serving-layer benchmark on real TPU at 1M rows: the new index family.
+
+Measures warm QPS (Q=128 query batches) for SQIndex / RQIndex flat scans
+and IVFFlat / IVFSQ probes at 1M x 128, clustered data generated on
+device. Amortized forced-completion timing (data-dependent readbacks,
+difference quotient of two rep counts) per the verify skill — plain
+block_until_ready lies through the tunnel.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/serving_bench.py
+"""
+import gc
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+N, D, NLIST = 1_000_000, 128, 1000
+Q, NPROBE, TOPK = 128, 8, 10
+RUN = set(
+    os.environ.get("SERVING_BENCH_ONLY", "sq,rq,ivfflat,ivfsq").split(",")
+)
+
+print("backend:", jax.default_backend(), flush=True)
+
+kc, kw, kn, kq = jax.random.split(jax.random.PRNGKey(66), 4)
+centers = jax.random.normal(kc, (NLIST, D)) * 2.0
+# Balanced cluster sizes: padded-bucket HBM tracks the LARGEST list, and
+# this bench measures scan rate, not skew handling (rebalance() covers
+# that for IVF-PQ).
+which = jax.random.randint(kw, (N,), 0, NLIST)
+data = (
+    jnp.take(centers, which, axis=0) + 0.15 * jax.random.normal(kn, (N, D))
+).astype(jnp.float32)
+queries = data[:Q] + 0.01 * jax.random.normal(kq, (Q, D), jnp.float32)
+del centers, which
+
+
+@jax.jit
+def probe_sum(x):
+    return jnp.sum(jnp.float32(x[:4, :]))
+
+
+def qps(label, fn, reps=(2, 8)):
+    ids, vals = fn()
+    float(probe_sum(vals))  # warm / compile
+
+    def run(r):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(r)]
+        for o in outs:
+            float(probe_sum(o[1]))
+        return time.perf_counter() - t0
+
+    run(1)
+    r1, r2 = reps
+    t1 = min(run(r1) for _ in range(2))
+    t2 = min(run(r2) for _ in range(2))
+    per = max((t2 - t1) / (r2 - r1), 1e-9)
+    print(
+        f"{label}: {per*1000:.1f} ms / {Q} queries = {Q/per:.0f} QPS",
+        flush=True,
+    )
+    return ids
+
+
+def top1_recall(ids, gt):
+    import numpy as np
+
+    return float((np.asarray(ids)[:, 0] == np.asarray(gt)).mean())
+
+
+# Ground truth top-1 by blockwise exact scan (device).
+@jax.jit
+def exact_top1(q, x):
+    def body(carry, xs):
+        best_d, best_i = carry
+        chunk, cidx = xs
+        d = (
+            jnp.sum(q * q, axis=-1, keepdims=True)
+            - 2.0 * q @ chunk.T
+            + jnp.sum(chunk * chunk, axis=-1)[None, :]
+        )
+        i = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        upd = dmin < best_d
+        return (
+            jnp.where(upd, dmin, best_d),
+            jnp.where(upd, cidx * chunk.shape[0] + i, best_i),
+        ), None
+
+    chunks = x.reshape(-1, 10_000, x.shape[1])
+    (bd, bi), _ = jax.lax.scan(
+        body,
+        (jnp.full((q.shape[0],), jnp.inf), jnp.zeros((q.shape[0],), jnp.int32)),
+        (chunks, jnp.arange(chunks.shape[0])),
+    )
+    return bi
+
+
+t0 = time.perf_counter()
+gt = exact_top1(queries, data)
+float(probe_sum(gt[None, :]))
+print(f"exact top-1 ground truth: {time.perf_counter()-t0:.1f} s", flush=True)
+
+# --- coarse partition (shared) ------------------------------------------
+from vq_tpu.ops.kmeans import lloyd  # noqa: E402
+
+t0 = time.perf_counter()
+res = lloyd(data[:200_000], NLIST, max_iters=8, seed=1, init="kmeans++")
+coarse = res.centroids
+print(f"coarse lloyd k={NLIST}: {time.perf_counter()-t0:.1f} s", flush=True)
+
+# --- SQIndex flat scan ---------------------------------------------------
+from vq_tpu.search import RQIndex, SQIndex  # noqa: E402
+
+if "sq" in RUN:
+    t0 = time.perf_counter()
+    sqidx = SQIndex.from_data(data)
+    print(f"SQIndex build: {time.perf_counter()-t0:.1f} s", flush=True)
+    ids = qps(
+        "SQIndex flat scan (d-byte codes)",
+        lambda: sqidx.search(queries, k=TOPK),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    del sqidx
+    gc.collect()
+
+# --- RQIndex flat scan ---------------------------------------------------
+from vq_tpu.models.rq import ResidualQuantizer  # noqa: E402
+
+if "rq" in RUN:
+    t0 = time.perf_counter()
+    rq = ResidualQuantizer(data[:200_000], 8, 256, max_iters=8, seed=1)
+    rqidx = RQIndex(rq)
+    rqidx.add(data)
+    print(
+        f"RQIndex build (8x256 greedy): {time.perf_counter()-t0:.1f} s",
+        flush=True,
+    )
+    ids = qps(
+        "RQIndex flat scan (8-byte codes)",
+        lambda: rqidx.search(queries, k=TOPK),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    del rqidx, rq
+    gc.collect()
+
+# --- IVF-Flat ------------------------------------------------------------
+from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex  # noqa: E402
+
+if "ivfflat" in RUN:
+    for dtype in ("float32", "bfloat16"):
+        t0 = time.perf_counter()
+        idx = IVFFlatIndex(coarse, store_dtype=dtype)
+        idx.add(data)
+        idx._build_buckets()
+        st = idx.bucket_stats()
+        print(
+            f"IVFFlat[{dtype}] build: {time.perf_counter()-t0:.1f} s, "
+            f"cap={st['cap']} max={st['max']}", flush=True,
+        )
+        ids = qps(
+            f"IVFFlat[{dtype}] nprobe={NPROBE}",
+            lambda idx=idx: idx.search(queries, k=TOPK, nprobe=NPROBE),
+        )
+        print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+        del idx
+        gc.collect()
+
+# --- IVF-SQ --------------------------------------------------------------
+from vq_tpu.models.sq import PerDimScalarQuantizer  # noqa: E402
+from vq_tpu.ops.kmeans import assign  # noqa: E402
+
+if "ivfsq" in RUN:
+    t0 = time.perf_counter()
+    sample = data[:200_000]
+    res_lists, _ = assign(sample, coarse)
+    sq = PerDimScalarQuantizer.from_data(
+        sample - jnp.take(coarse, res_lists, axis=0)
+    )
+    del sample, res_lists
+    idx = IVFSQIndex(coarse, sq)
+    idx.add(data)
+    idx._build_buckets()
+    print(f"IVFSQ build: {time.perf_counter()-t0:.1f} s", flush=True)
+    ids = qps(
+        f"IVFSQ nprobe={NPROBE}",
+        lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+print("done", flush=True)

@@ -468,3 +468,102 @@ class TestRQIndex:
 
         with pytest.raises(InvalidParameter):
             RQIndex(pq)
+
+
+class TestRemoveIds:
+    """faiss remove_ids contract: drop positions, renumber sequentially.
+
+    Ground truth for every index: a fresh index (same quantizer) over the
+    kept rows must return identical search results.
+    """
+
+    def _kept(self, corpus, drop):
+        keep = np.setdiff1d(np.arange(len(corpus)), drop)
+        return corpus[keep]
+
+    def test_pq_index(self, corpus, pq):
+        idx = PQIndex(pq, keep_corpus=True)
+        idx.add(corpus[:500])
+        drop = [0, 7, 499, 7]  # dup is fine
+        assert idx.remove_ids(drop) == 3
+        assert idx.ntotal == 497
+        fresh = PQIndex(pq, keep_corpus=True)
+        fresh.add(self._kept(corpus[:500], drop))
+        a = idx.search(corpus[:6], k=5, rerank=20)
+        b = fresh.search(corpus[:6], k=5, rerank=20)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_sq_index(self, corpus):
+        idx = SQIndex.from_data(corpus[:400])
+        assert idx.remove_ids([1, 2, 3]) == 3
+        fresh = SQIndex(idx.sq)
+        fresh.add(self._kept(corpus[:400], [1, 2, 3]))
+        a, _ = idx.search(corpus[:6], k=5)
+        b, _ = fresh.search(corpus[:6], k=5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rq_index(self, corpus):
+        from vq_tpu.models.rq import ResidualQuantizer
+        from vq_tpu.search import RQIndex
+
+        rq = ResidualQuantizer(corpus[:400], 3, 16, max_iters=5)
+        idx = RQIndex(rq)
+        idx.add(corpus[:400])
+        assert idx.remove_ids(np.arange(100)) == 100
+        fresh = RQIndex(rq)
+        fresh.add(corpus[100:400])
+        a, _ = idx.search(corpus[:6], k=5)
+        b, _ = fresh.search(corpus[:6], k=5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_binary_index(self, corpus):
+        idx = BinaryIndex(32, threshold=0.5)
+        idx.add(corpus[:300])
+        assert idx.remove_ids([5]) == 1
+        fresh = BinaryIndex(32, threshold=0.5)
+        fresh.add(self._kept(corpus[:300], [5]))
+        a, _ = idx.search(corpus[:4], k=6)
+        b, _ = fresh.search(corpus[:4], k=6)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ivf_variants(self, corpus):
+        from vq_tpu import IVFFlatIndex, IVFSQIndex
+
+        drop = np.arange(0, 600, 7)
+        for cls, kw in ((IVFFlatIndex, {}), (IVFSQIndex, {})):
+            idx = cls.train(corpus[:600], nlist=8, seed=2, **kw)
+            idx.add(corpus[:600])
+            assert idx.remove_ids(drop) == len(drop)
+            fresh = (
+                cls(idx.coarse, store_dtype=idx.store_dtype)
+                if cls is IVFFlatIndex
+                else cls(idx.coarse, idx.sq)
+            )
+            fresh.add(self._kept(corpus[:600], drop))
+            a, _ = idx.search(corpus[:5], k=4, nprobe=8)
+            b, _ = fresh.search(corpus[:5], k=4, nprobe=8)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ivfpq(self, corpus):
+        from vq_tpu import IVFPQIndex
+
+        idx = IVFPQIndex.train(corpus[:600], nlist=8, num_subspaces=4,
+                               num_centroids=16, seed=2)
+        idx.add(corpus[:600])
+        drop = [10, 20, 30]
+        assert idx.remove_ids(drop) == 3
+        fresh = IVFPQIndex(idx.coarse, idx.pq, by_residual=idx.by_residual)
+        fresh.add(self._kept(corpus[:600], drop))
+        a, _ = idx.search(corpus[:5], k=4, nprobe=8)
+        b, _ = fresh.search(corpus[:5], k=4, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_errors(self, corpus, pq):
+        idx = PQIndex(pq)
+        with pytest.raises(EmptyInput):
+            idx.remove_ids([0])
+        idx.add(corpus[:10])
+        with pytest.raises(InvalidParameter):
+            idx.remove_ids([10])
+        with pytest.raises(InvalidParameter):
+            idx.remove_ids([-1])

@@ -327,6 +327,23 @@ class IVFPQIndex:
             )
         self._buckets = None  # invalidate
 
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract). Buckets rebuild
+        lazily on the next search."""
+        from vq_tpu.search import _removal_keep_mask
+
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty")
+        mask = np.asarray(_removal_keep_mask(ids, self.ntotal))
+        removed = int(self.ntotal - mask.sum())
+        self._flat_codes = self._flat_codes[mask]
+        self._flat_lists = self._flat_lists[mask]
+        if self._corpus is not None:
+            self._corpus = jnp.asarray(np.asarray(self._corpus)[mask])
+        self._buckets = None
+        return removed
+
     def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pack flat storage into padded dense buckets (host-side, cached)."""
         if self._buckets is not None:

@@ -21,7 +21,9 @@ shapes, −1 = pad), coarse scan as one ``[Q, nlist]`` MXU matmul, then a
 ``lax.scan`` over probe ranks so the working set per step is one
 ``[Q, cap, d]`` block — no ``[Q, nprobe, cap, d]`` mega-gather ever
 materializes. Probed candidates merge through a running top-k exactly like
-the chunked flat scans.
+the chunked flat scans. Storage is device-resident end-to-end (rows,
+codes, and bucket packing — one stable sort + scatter jit): a 1M-row
+corpus never round-trips to the host, only the capacity scalar does.
 """
 
 from __future__ import annotations
@@ -183,8 +185,37 @@ def _ivf_sq_search_jit(
     return _merge_probe_topk(body, Q, nprobe, k, probe.T)
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "cap"))
+def _pack_buckets_jit(lists: jnp.ndarray, payloads: tuple, nlist: int, cap: int):
+    """Scatter flat per-row payload arrays into padded dense buckets.
+
+    Fully device-resident (one stable sort + one scatter per payload) —
+    a 1M×128 IVF-Flat corpus never round-trips to the host, which matters
+    through a ~MB/s PJRT tunnel and is the right layout anyway: the
+    buckets are consumed on device. Entries past ``cap`` within a list
+    land in a sacrificial overflow slot and are dropped. Returns payloads
+    shaped ``[nlist, cap, ...]`` plus ``ids [nlist, cap]`` (−1 = pad).
+    """
+    n = lists.shape[0]
+    order = jnp.argsort(lists, stable=True)
+    sl = jnp.take(lists, order)
+    starts = jnp.searchsorted(sl, jnp.arange(nlist, dtype=sl.dtype))
+    rank = jnp.arange(n) - jnp.take(starts, sl)
+    pos = jnp.where(rank < cap, sl * cap + rank, nlist * cap)
+    out = []
+    for arr in payloads:
+        tail = arr.shape[1:]
+        buf = jnp.zeros((nlist * cap + 1,) + tail, arr.dtype)
+        buf = buf.at[pos].set(jnp.take(arr, order, axis=0))
+        out.append(buf[:-1].reshape((nlist, cap) + tail))
+    ids = jnp.full((nlist * cap + 1,), -1, jnp.int32).at[pos].set(
+        order.astype(jnp.int32)
+    )
+    return tuple(out), ids[:-1].reshape(nlist, cap)
+
+
 def _pack_buckets(
-    lists: np.ndarray,
+    lists: jnp.ndarray,
     nlist: int,
     max_list_size: Optional[int],
     payloads: dict,
@@ -195,29 +226,18 @@ def _pack_buckets(
     mapped to ``[nlist, cap, ...]`` plus ``"ids" [nlist, cap]`` (−1 pad).
     Capacity is the largest list rounded up to 8, clipped to
     ``max_list_size``; overflow entries are dropped from the probe
-    structure (visible via ``bucket_stats``).
+    structure (visible via ``bucket_stats``). Only the capacity scalar
+    reads back to the host; rows stay on device.
     """
-    counts = np.bincount(lists, minlength=nlist)
+    counts = jnp.bincount(lists, length=nlist)
     cap = max(8, int(-(-int(counts.max()) // 8) * 8))
     if max_list_size is not None:
         cap = min(cap, max(8, int(-(-int(max_list_size) // 8) * 8)))
-    order = np.argsort(lists, kind="stable")
-    sorted_lists = lists[order]
-    starts = np.searchsorted(sorted_lists, np.arange(nlist))
-    out = {
-        name: np.zeros((nlist, cap) + arr.shape[1:], arr.dtype)
-        for name, arr in payloads.items()
-    }
-    bucket_ids = np.full((nlist, cap), -1, np.int32)
-    for l in range(nlist):
-        c = min(int(counts[l]), cap)
-        if c == 0:
-            continue
-        sl = order[starts[l]: starts[l] + c]
-        for name, arr in payloads.items():
-            out[name][l, :c] = arr[sl]
-        bucket_ids[l, :c] = sl
-    return out, bucket_ids
+    names = list(payloads)
+    packed, ids = _pack_buckets_jit(
+        jnp.asarray(lists), tuple(payloads[k] for k in names), nlist, cap
+    )
+    return dict(zip(names, packed)), ids
 
 
 class _IVFScanBase:
@@ -236,7 +256,7 @@ class _IVFScanBase:
                 "coarse_centroids", "expected a non-empty [nlist, d] matrix"
             )
         self.max_list_size = max_list_size
-        self._flat_lists: Optional[np.ndarray] = None  # [n] i32
+        self._flat_lists: Optional[jnp.ndarray] = None  # [n] i32 (device)
         self._buckets = None
 
     @property
@@ -251,18 +271,33 @@ class _IVFScanBase:
     def ntotal(self) -> int:
         return 0 if self._flat_lists is None else int(self._flat_lists.shape[0])
 
-    def _append_lists(self, lists: np.ndarray) -> None:
+    def _append_lists(self, lists: jnp.ndarray) -> None:
         self._flat_lists = (
             lists if self._flat_lists is None
-            else np.concatenate([self._flat_lists, lists])
+            else jnp.concatenate([self._flat_lists, lists])
         )
         self._buckets = None
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract). Buckets rebuild
+        lazily on the next search."""
+        from vq_tpu.search import _removal_keep_mask, _compact_rows
+
+        if self._flat_lists is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        (self._flat_lists,) = _compact_rows(mask, self._flat_lists)
+        self._compact_payload(mask)
+        self._buckets = None
+        return removed
 
     def bucket_stats(self) -> dict:
         """Occupancy diagnostics (same fields as ``IVFPQIndex``)."""
         if self._flat_lists is None:
             return {"ntotal": 0}
-        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        counts = jnp.bincount(self._flat_lists, length=self.nlist)
         self._build_buckets()
         cap = int(self._buckets["ids"].shape[1])
         return {
@@ -270,12 +305,15 @@ class _IVFScanBase:
             "nlist": self.nlist,
             "cap": cap,
             "min": int(counts.min()),
-            "mean": float(counts.mean()),
+            "mean": float(jnp.mean(counts.astype(jnp.float32))),
             "max": int(counts.max()),
             "empty_lists": int((counts == 0).sum()),
-            "overflow_dropped": int(np.maximum(counts - cap, 0).sum()),
+            "overflow_dropped": int(
+                jnp.maximum(counts - cap, 0).sum()
+            ),
             "padding_waste": float(
-                1.0 - counts.clip(max=cap).sum() / (self.nlist * cap)
+                1.0
+                - int(jnp.minimum(counts, cap).sum()) / (self.nlist * cap)
             ),
         }
 
@@ -337,7 +375,7 @@ class IVFFlatIndex(_IVFScanBase):
                 "must be 'float32', 'bfloat16', or 'float16'",
             )
         self.store_dtype = store_dtype
-        self._flat_rows: Optional[np.ndarray] = None  # [n, d]
+        self._flat_rows: Optional[jnp.ndarray] = None  # [n, d] (device)
 
     @classmethod
     def train(
@@ -368,31 +406,34 @@ class IVFFlatIndex(_IVFScanBase):
             x = x[None, :]
         if x.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=x.shape[1])
-        lists = np.asarray(assign(x, self.coarse)[0])
-        rows = np.asarray(x.astype(_STORE_DTYPES[self.store_dtype]))
+        lists, _ = assign(x, self.coarse)
+        rows = x.astype(_STORE_DTYPES[self.store_dtype])
         self._flat_rows = (
             rows if self._flat_rows is None
-            else np.concatenate([self._flat_rows, rows])
+            else jnp.concatenate([self._flat_rows, rows])
         )
         self._append_lists(lists)
+
+    def _compact_payload(self, mask) -> None:
+        from vq_tpu.search import _compact_rows
+
+        (self._flat_rows,) = _compact_rows(mask, self._flat_rows)
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
             # Distances are computed against the STORED rows, so norms come
             # from the (possibly down-cast) stored values — values returned
             # by search are exact for what the index holds.
-            rows_f32 = self._flat_rows.astype(np.float32)
+            rows_f32 = self._flat_rows.astype(jnp.float32)
             packed, ids = _pack_buckets(
                 self._flat_lists, self.nlist, self.max_list_size,
                 {
                     "rows": self._flat_rows,
-                    "sqn": np.sum(rows_f32 * rows_f32, axis=-1),
+                    "sqn": jnp.sum(rows_f32 * rows_f32, axis=-1),
                 },
             )
             self._buckets = {
-                "rows": jnp.asarray(packed["rows"]),
-                "sqn": jnp.asarray(packed["sqn"]),
-                "ids": jnp.asarray(ids),
+                "rows": packed["rows"], "sqn": packed["sqn"], "ids": ids,
             }
         return self._buckets
 
@@ -406,11 +447,17 @@ class IVFFlatIndex(_IVFScanBase):
         """Stored rows for ids (exact up to ``store_dtype`` rounding)."""
         if self._flat_rows is None:
             raise EmptyInput("index is empty")
-        return jnp.asarray(
-            self._flat_rows[np.asarray(ids, np.int64)]
+        return jnp.take(
+            self._flat_rows, jnp.asarray(ids, jnp.int32), axis=0
         ).astype(jnp.float32)
 
     def save(self, path: str) -> str:
+        rows = (
+            np.asarray(self._flat_rows) if self._flat_rows is not None
+            else np.zeros((0, self.dim), np.float32)
+        )
+        if self.store_dtype == "bfloat16" and rows.shape[0]:
+            rows = rows.view(np.uint16)  # npz has no bf16: raw bits
         return _to_npz(
             path,
             "ivfflat_index",
@@ -421,18 +468,10 @@ class IVFFlatIndex(_IVFScanBase):
             },
             {
                 "coarse": np.asarray(self.coarse),
-                # npz has no bf16: round-trip raw bits as u16.
-                "rows": (
-                    self._flat_rows.view(np.uint16)
-                    if self._flat_rows is not None
-                    and self.store_dtype == "bfloat16"
-                    else (
-                        self._flat_rows if self._flat_rows is not None
-                        else np.zeros((0, self.dim), np.float32)
-                    )
-                ),
+                "rows": rows,
                 "lists": (
-                    self._flat_lists if self._flat_lists is not None
+                    np.asarray(self._flat_lists)
+                    if self._flat_lists is not None
                     else np.zeros((0,), np.int32)
                 ),
             },
@@ -455,8 +494,8 @@ class IVFFlatIndex(_IVFScanBase):
             rows = arrays["rows"]
             if config["store_dtype"] == "bfloat16":
                 rows = rows.view(jnp.bfloat16.dtype)
-            idx._flat_rows = rows
-            idx._flat_lists = arrays["lists"]
+            idx._flat_rows = jnp.asarray(rows)
+            idx._flat_lists = jnp.asarray(arrays["lists"])
         return idx
 
     def __repr__(self) -> str:
@@ -495,8 +534,8 @@ class IVFSQIndex(_IVFScanBase):
             raise DimensionMismatch(expected=self.dim, found=sq.dim)
         self.sq = sq
         self.by_residual = bool(by_residual)
-        self._flat_codes: Optional[np.ndarray] = None  # [n, d] u8
-        self._flat_sqn: Optional[np.ndarray] = None  # [n] f32
+        self._flat_codes: Optional[jnp.ndarray] = None  # [n, d] u8 (device)
+        self._flat_sqn: Optional[jnp.ndarray] = None  # [n] f32
 
     @classmethod
     def train(
@@ -542,16 +581,22 @@ class IVFSQIndex(_IVFScanBase):
         codes = self.sq.quantize(enc_in.astype(jnp.float32))
         y = self.sq.dequantize(codes)
         sqn = jnp.sum(y * y, axis=-1)
-        codes, sqn = np.asarray(codes), np.asarray(sqn)
         self._flat_codes = (
             codes if self._flat_codes is None
-            else np.concatenate([self._flat_codes, codes])
+            else jnp.concatenate([self._flat_codes, codes])
         )
         self._flat_sqn = (
             sqn if self._flat_sqn is None
-            else np.concatenate([self._flat_sqn, sqn])
+            else jnp.concatenate([self._flat_sqn, sqn])
         )
-        self._append_lists(np.asarray(lists_j))
+        self._append_lists(lists_j)
+
+    def _compact_payload(self, mask) -> None:
+        from vq_tpu.search import _compact_rows
+
+        self._flat_codes, self._flat_sqn = _compact_rows(
+            mask, self._flat_codes, self._flat_sqn
+        )
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
@@ -560,9 +605,7 @@ class IVFSQIndex(_IVFScanBase):
                 {"codes": self._flat_codes, "sqn": self._flat_sqn},
             )
             self._buckets = {
-                "codes": jnp.asarray(packed["codes"]),
-                "sqn": jnp.asarray(packed["sqn"]),
-                "ids": jnp.asarray(ids),
+                "codes": packed["codes"], "sqn": packed["sqn"], "ids": ids,
             }
         return self._buckets
 
@@ -577,11 +620,11 @@ class IVFSQIndex(_IVFScanBase):
         """Decoded rows for stored ids (residual decode + centroid)."""
         if self._flat_codes is None:
             raise EmptyInput("index is empty")
-        ids = np.asarray(ids, np.int64)
-        y = self.sq.dequantize(jnp.asarray(self._flat_codes[ids]))
+        ids = jnp.asarray(ids, jnp.int32)
+        y = self.sq.dequantize(jnp.take(self._flat_codes, ids, axis=0))
         if self.by_residual:
             y = y + jnp.take(
-                self.coarse, jnp.asarray(self._flat_lists[ids]), axis=0
+                self.coarse, jnp.take(self._flat_lists, ids), axis=0
             )
         return y
 
@@ -600,15 +643,18 @@ class IVFSQIndex(_IVFScanBase):
                 "mins": np.asarray(self.sq.mins),
                 "maxs": np.asarray(self.sq.maxs),
                 "codes": (
-                    self._flat_codes if self._flat_codes is not None
+                    np.asarray(self._flat_codes)
+                    if self._flat_codes is not None
                     else np.zeros((0, self.dim), np.uint8)
                 ),
                 "sqn": (
-                    self._flat_sqn if self._flat_sqn is not None
+                    np.asarray(self._flat_sqn)
+                    if self._flat_sqn is not None
                     else np.zeros((0,), np.float32)
                 ),
                 "lists": (
-                    self._flat_lists if self._flat_lists is not None
+                    np.asarray(self._flat_lists)
+                    if self._flat_lists is not None
                     else np.zeros((0,), np.int32)
                 ),
             },
@@ -631,9 +677,9 @@ class IVFSQIndex(_IVFScanBase):
             max_list_size=config.get("max_list_size"),
         )
         if arrays["codes"].shape[0]:
-            idx._flat_codes = arrays["codes"]
-            idx._flat_sqn = arrays["sqn"]
-            idx._flat_lists = arrays["lists"]
+            idx._flat_codes = jnp.asarray(arrays["codes"])
+            idx._flat_sqn = jnp.asarray(arrays["sqn"])
+            idx._flat_lists = jnp.asarray(arrays["lists"])
         return idx
 
     def __repr__(self) -> str:

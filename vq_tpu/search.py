@@ -46,6 +46,27 @@ from vq_tpu.utils.serialize import _from_npz, _to_npz
 __all__ = ["PQIndex", "BinaryIndex", "SQIndex", "RQIndex"]
 
 
+def _removal_keep_mask(ids, ntotal: int) -> jnp.ndarray:
+    """Boolean keep-mask for ``remove_ids``: validates, dedups, and
+    rejects out-of-range positions."""
+    ids = jnp.atleast_1d(jnp.asarray(ids, jnp.int32))
+    if ids.ndim != 1:
+        raise InvalidParameter("ids", "expected a 1-D array of positions")
+    if ids.size and bool((ids < 0).any() | (ids >= ntotal).any()):
+        raise InvalidParameter(
+            "ids", f"positions must be in [0, {ntotal})"
+        )
+    return jnp.ones((ntotal,), bool).at[ids].set(False)
+
+
+def _compact_rows(mask: jnp.ndarray, *arrays):
+    """Drop masked-out rows from each (possibly-None) array."""
+    (keep,) = jnp.nonzero(mask)
+    return tuple(
+        None if a is None else jnp.take(a, keep, axis=0) for a in arrays
+    )
+
+
 class PQIndex:
     """Flat ADC index over PQ codes.
 
@@ -120,6 +141,20 @@ class PQIndex:
                 x if self._corpus is None
                 else jnp.concatenate([self._corpus, x], axis=0)
             )
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position (the faiss ``remove_ids``
+        analog); returns the number removed. Remaining vectors renumber
+        sequentially, so ids from later searches reflect the compacted
+        order — same contract as faiss's flat indexes."""
+        if self._codes is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        self._codes, self._corpus = _compact_rows(
+            mask, self._codes, self._corpus
+        )
+        return removed
 
     def search(
         self, queries, k: int = 10, *, rerank: int = 0
@@ -238,6 +273,18 @@ class BinaryIndex:
                 x if self._corpus is None
                 else jnp.concatenate([self._corpus, x], axis=0)
             )
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract)."""
+        if self._packed is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        self._packed, self._corpus = _compact_rows(
+            mask, self._packed, self._corpus
+        )
+        return removed
 
     def search(
         self, queries, k: int = 10, *, rerank: int = 0
@@ -486,6 +533,18 @@ class SQIndex:
                 x if self._corpus is None
                 else jnp.concatenate([self._corpus, x], axis=0)
             )
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract)."""
+        if self._codes is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        self._codes, self._row_sqn, self._corpus = _compact_rows(
+            mask, self._codes, self._row_sqn, self._corpus
+        )
+        return removed
 
     def search(
         self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
@@ -764,6 +823,18 @@ class RQIndex:
                 x if self._corpus is None
                 else jnp.concatenate([self._corpus, x], axis=0)
             )
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract)."""
+        if self._codes is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        self._codes, self._row_sqn, self._corpus = _compact_rows(
+            mask, self._codes, self._row_sqn, self._corpus
+        )
+        return removed
 
     def search(
         self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
