@@ -149,6 +149,8 @@ if "rq" in RUN:
 # --- IVF-Flat ------------------------------------------------------------
 from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex  # noqa: E402
 
+REBALANCE_MAX = int(os.environ.get("SERVING_BENCH_REBALANCE", "0"))
+
 if "ivfflat" in RUN:
     for dtype in ("float32", "bfloat16"):
         t0 = time.perf_counter()
@@ -165,6 +167,21 @@ if "ivfflat" in RUN:
             lambda idx=idx: idx.search(queries, k=TOPK, nprobe=NPROBE),
         )
         print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+        if REBALANCE_MAX:
+            t0 = time.perf_counter()
+            info = idx.rebalance(target_max=REBALANCE_MAX)
+            st = idx.bucket_stats()
+            print(
+                f"  rebalance({REBALANCE_MAX}): {time.perf_counter()-t0:.1f} s, "
+                f"{info['split']} splits, nlist={info['new_nlist']}, "
+                f"cap={st['cap']}", flush=True,
+            )
+            idx._build_buckets()
+            ids = qps(
+                f"IVFFlat[{dtype}] nprobe={NPROBE} rebalanced",
+                lambda idx=idx: idx.search(queries, k=TOPK, nprobe=NPROBE),
+            )
+            print("  top-1 recall:", top1_recall(ids, gt), flush=True)
         del idx
         gc.collect()
 
@@ -189,4 +206,19 @@ if "ivfsq" in RUN:
         lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
     )
     print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    if REBALANCE_MAX:
+        t0 = time.perf_counter()
+        info = idx.rebalance(target_max=REBALANCE_MAX)
+        st = idx.bucket_stats()
+        print(
+            f"  rebalance({REBALANCE_MAX}): {time.perf_counter()-t0:.1f} s, "
+            f"{info['split']} splits, nlist={info['new_nlist']}, "
+            f"cap={st['cap']}", flush=True,
+        )
+        idx._build_buckets()
+        ids = qps(
+            f"IVFSQ nprobe={NPROBE} rebalanced",
+            lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
+        )
+        print("  top-1 recall:", top1_recall(ids, gt), flush=True)
 print("done", flush=True)

@@ -226,3 +226,65 @@ class TestIVFSQ:
             IVFSQIndex(idx.coarse, sq16)
         with pytest.raises(InvalidParameter):
             IVFSQIndex(idx.coarse, object())  # type: ignore[arg-type]
+
+
+class TestRebalance:
+    """List split/retire rebalancing for the Flat/SQ variants."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, rng):
+        # Zipf-ish cluster sizes around 12 natural centers.
+        centers = rng.normal(0, 4, (12, 24)).astype(np.float32)
+        p = 1.0 / np.arange(1, 13) ** 1.5
+        which = rng.choice(12, size=5000, p=p / p.sum())
+        return (
+            centers[which] + rng.normal(0, 0.2, (5000, 24))
+        ).astype(np.float32)
+
+    def test_flat_rebalance_exact_and_capped(self, skewed):
+        idx = IVFFlatIndex.train(skewed, nlist=12, seed=5, max_list_size=600)
+        idx.add(skewed)
+        assert idx.bucket_stats()["overflow_dropped"] > 0
+        info = idx.rebalance(target_max=600)
+        assert info["split"] > 0
+        st = idx.bucket_stats()
+        assert st["max"] <= 600 and st["overflow_dropped"] == 0
+        # Raw rows are untouched -> full-probe search is still exact.
+        q = skewed[:10] + np.float32(0.01)
+        ids, d = idx.search(q, k=5, nprobe=idx.nlist)
+        gt_ids, gt_d = brute_l2(q, skewed, 5)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(d), gt_d, atol=1e-3)
+
+    def test_sq_rebalance_consistent(self, skewed):
+        idx = IVFSQIndex.train(skewed, nlist=12, seed=5)
+        idx.add(skewed)
+        before = idx.bucket_stats()["max"]
+        info = idx.rebalance(target_max=600)
+        assert info["split"] > 0
+        st = idx.bucket_stats()
+        assert st["max"] <= 600 < before
+        # Codes were re-encoded against the new centroids: full-probe
+        # search must still equal brute force over the decoded rows.
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        q = skewed[:10] + np.float32(0.01)
+        ids, d = idx.search(q, k=5, nprobe=idx.nlist)
+        gt_ids, gt_d = brute_l2(q, y, 5)
+        np.testing.assert_array_equal(np.asarray(ids), gt_ids)
+        np.testing.assert_allclose(np.asarray(d), gt_d, atol=1e-3)
+        # Re-encoding against nearer centroids must not hurt recon MSE.
+        mse = np.mean((y - skewed) ** 2)
+        assert mse < 1e-3
+
+    def test_retire_small_lists(self, skewed):
+        idx = IVFFlatIndex.train(skewed, nlist=12, seed=5)
+        idx.add(skewed)
+        info = idx.rebalance(target_max=5000, min_size=50)
+        st = idx.bucket_stats()
+        assert idx.nlist <= 12
+        assert st["min"] >= 1  # no empty/underfull probe targets left
+
+    def test_empty_raises(self, skewed):
+        idx = IVFFlatIndex.train(skewed, nlist=4, seed=5)
+        with pytest.raises(EmptyInput):
+            idx.rebalance()

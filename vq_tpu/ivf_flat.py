@@ -317,6 +317,126 @@ class _IVFScanBase:
             ),
         }
 
+    def rebalance(
+        self,
+        *,
+        target_max: Optional[int] = None,
+        min_size: int = 0,
+        max_iters: int = 8,
+        seed: int = 0,
+        rounds: int = 3,
+    ) -> dict:
+        """Split overfull lists and retire underfull ones.
+
+        Probe cost and padded-bucket memory both track the LARGEST list
+        (``nlist × cap``), so a skewed partition taxes every query. Same
+        algorithm as :meth:`vq_tpu.ivf.IVFPQIndex.rebalance`: each list
+        longer than ``target_max`` is split by k-means on a fixed-size
+        member subsample (one jit compile per part count), lists smaller
+        than ``min_size`` are retired, and all affected members are
+        reassigned in one global nearest-centroid pass — exact for
+        IVF-Flat (rows are stored raw), adding at most the existing
+        quantization error for IVF-SQ (members reconstruct from their
+        codes before re-encoding against the new centroid). Runs up to
+        ``rounds`` passes; ``target_max`` defaults to ``max_list_size``
+        (or 2× the mean list size).
+        """
+        if self._flat_lists is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        total_split = total_retired = 0
+        for r in range(max(1, int(rounds))):
+            info = self._rebalance_once(
+                target_max=target_max,
+                min_size=min_size if r == 0 else 0,
+                max_iters=max_iters,
+                seed=seed + 1000 * r,
+            )
+            total_split += info["split"]
+            total_retired += info["retired"]
+            if info["split"] == 0 and info["retired"] == 0:
+                break
+        return {
+            "split": total_split,
+            "retired": total_retired,
+            "new_nlist": self.nlist,
+        }
+
+    def _rebalance_once(self, *, target_max, min_size, max_iters, seed) -> dict:
+        lists_np = np.asarray(self._flat_lists)
+        counts = np.bincount(lists_np, minlength=self.nlist)
+        if target_max is None:
+            target_max = self.max_list_size or int(
+                max(8, 2 * max(1.0, counts.mean()))
+            )
+        target_max = int(target_max)
+        split_ids = np.where(counts > target_max)[0]
+        retire_ids = np.where((counts < int(min_size)) & (counts > 0))[0]
+        retire_ids = np.setdiff1d(retire_ids, split_ids)
+        empty_retire = (
+            np.where(counts == 0)[0] if min_size > 0 else np.array([], int)
+        )
+        if not (split_ids.size or retire_ids.size or empty_retire.size):
+            return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+
+        rng = np.random.default_rng(int(seed))
+        lists = lists_np.copy()
+        coarse = np.array(self.coarse)  # mutable host copy
+        keep = np.ones(self.nlist, bool)
+        keep[retire_ids] = False
+        keep[empty_retire] = False
+        extra_centroids = []
+        affected = [np.where(np.isin(lists, split_ids))[0]] if (
+            split_ids.size
+        ) else []
+        # Splits: part centroids from a FIXED-size member subsample so each
+        # distinct part count compiles exactly one lloyd program (remote
+        # TPU compiles cost minutes).
+        for li, l in enumerate(split_ids):
+            rows = np.where(lists == l)[0]
+            parts = int(-(-rows.size // target_max))
+            sub = rows if rows.size <= target_max else rng.choice(
+                rows, target_max, replace=False
+            )
+            res = lloyd(
+                self._member_vectors(np.sort(sub)), parts,
+                max_iters=max_iters, seed=seed + 7 * li, init="kmeans++",
+            )
+            part_c = np.asarray(res.centroids)
+            coarse[l] = part_c[0]  # part 0 reuses slot l
+            if parts > 1:
+                extra_centroids.append(part_c[1:])
+        coarse_full = (
+            np.concatenate([coarse] + extra_centroids, axis=0)
+            if extra_centroids else coarse
+        )
+        for l in retire_ids:
+            affected.append(np.where(lists == l)[0])
+
+        # Compact retired slots out of the id space.
+        keep_full = np.ones(coarse_full.shape[0], bool)
+        keep_full[: self.nlist] = keep
+        remap = np.cumsum(keep_full) - 1  # old id -> new id
+        coarse_new = coarse_full[keep_full]
+        lists = remap[lists]
+
+        # ONE global reassign (+ subclass re-encode) of affected members.
+        if affected:
+            rows = np.unique(np.concatenate(affected))
+            x = self._member_vectors(rows)  # reads PRE-mutation state
+            new_lists, _ = assign(x, jnp.asarray(coarse_new, jnp.float32))
+            new_lists = np.asarray(new_lists)
+            lists[rows] = new_lists
+            self._reencode_rows(rows, x, new_lists, coarse_new)
+
+        self.coarse = jnp.asarray(coarse_new, jnp.float32)
+        self._flat_lists = jnp.asarray(lists)
+        self._buckets = None
+        return {
+            "split": int(split_ids.size),
+            "retired": int(retire_ids.size + empty_retire.size),
+            "new_nlist": self.nlist,
+        }
+
     def _check_query(self, queries) -> jnp.ndarray:
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
@@ -418,6 +538,14 @@ class IVFFlatIndex(_IVFScanBase):
         from vq_tpu.search import _compact_rows
 
         (self._flat_rows,) = _compact_rows(mask, self._flat_rows)
+
+    def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
+        return jnp.take(
+            self._flat_rows, jnp.asarray(rows_idx, jnp.int32), axis=0
+        ).astype(jnp.float32)
+
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
+        pass  # raw rows don't depend on their list assignment
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
@@ -597,6 +725,22 @@ class IVFSQIndex(_IVFScanBase):
         self._flat_codes, self._flat_sqn = _compact_rows(
             mask, self._flat_codes, self._flat_sqn
         )
+
+    def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
+        # Reconstruct from codes + the CURRENT (pre-rebalance) centroid —
+        # adds at most the quantization error already present.
+        return self.reconstruct(rows_idx)
+
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
+        enc_in = (
+            x - jnp.asarray(coarse_new, jnp.float32)[jnp.asarray(new_lists)]
+            if self.by_residual else x
+        )
+        codes = self.sq.quantize(enc_in.astype(jnp.float32))
+        y = self.sq.dequantize(codes)
+        pos = jnp.asarray(rows_idx, jnp.int32)
+        self._flat_codes = self._flat_codes.at[pos].set(codes)
+        self._flat_sqn = self._flat_sqn.at[pos].set(jnp.sum(y * y, axis=-1))
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
