@@ -567,3 +567,163 @@ class TestRemoveIds:
             idx.remove_ids([10])
         with pytest.raises(InvalidParameter):
             idx.remove_ids([-1])
+
+
+class TestFlatIndex:
+    def test_exact_top1(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        idx = FlatIndex.from_data(corpus)
+        queries = corpus[50:60] + 1e-4
+        ids, dist = idx.search(queries, k=3)
+        np.testing.assert_array_equal(
+            np.asarray(ids)[:, 0], exact_top1(np.asarray(queries), corpus)
+        )
+        assert (np.diff(np.asarray(dist), axis=1) >= -1e-6).all()
+
+    def test_matches_numpy_distances(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        queries = corpus[:4] * 1.3 + 0.05
+        for metric in ("squared_euclidean", "euclidean", "manhattan"):
+            idx = FlatIndex.from_data(corpus[:500], metric=metric)
+            ids, dist = idx.search(queries, k=5, chunk=128)
+            diff = corpus[None, :500, :] - np.asarray(queries)[:, None, :]
+            if metric == "manhattan":
+                ref = np.abs(diff).sum(-1)
+            else:
+                ref = (diff**2).sum(-1)
+                if metric == "euclidean":
+                    ref = np.sqrt(ref)
+            order = np.argsort(ref, axis=1, kind="stable")[:, :5]
+            np.testing.assert_array_equal(np.asarray(ids), order)
+            np.testing.assert_allclose(
+                np.asarray(dist),
+                np.take_along_axis(ref, order, axis=1),
+                rtol=2e-4, atol=2e-4,
+            )
+
+    def test_dot_descending_scores(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        idx = FlatIndex.from_data(corpus[:800], metric="dot")
+        q = corpus[:6]
+        ids, scores = idx.search(q, k=4)
+        ref = np.asarray(q) @ corpus[:800].T
+        np.testing.assert_array_equal(
+            np.asarray(ids)[:, 0], np.argmax(ref, axis=1)
+        )
+        assert (np.diff(np.asarray(scores), axis=1) <= 1e-5).all()
+
+    def test_bf16_storage_close_to_f32(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        f32 = FlatIndex.from_data(corpus[:1000])
+        bf16 = FlatIndex.from_data(corpus[:1000], storage="bfloat16")
+        assert bf16.code_bytes_per_vector == corpus.shape[1] * 2
+        q = corpus[200:208]
+        ids32, _ = f32.search(q, k=1)
+        ids16, _ = bf16.search(q, k=1)
+        # self-queries: the nearest row survives bf16 rounding
+        np.testing.assert_array_equal(np.asarray(ids32), np.asarray(ids16))
+
+    def test_range_search_counts_and_hits(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        sub = corpus[:400]
+        idx = FlatIndex.from_data(sub)
+        q = sub[:3]
+        radius = 2.0
+        ids, vals, counts = idx.range_search(q, radius, max_results=500)
+        ref = ((sub[None, :, :] - np.asarray(q)[:, None, :]) ** 2).sum(-1)
+        ref_counts = (ref <= radius).sum(axis=1)
+        np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+        ids_np, vals_np = np.asarray(ids), np.asarray(vals)
+        for row, (i_row, v_row, c) in enumerate(
+            zip(ids_np, vals_np, ref_counts)
+        ):
+            got = i_row[i_row >= 0]
+            assert len(got) == c
+            expected = set(np.nonzero(ref[row] <= radius)[0].tolist())
+            assert set(got.tolist()) == expected
+            assert (v_row[i_row >= 0] <= radius + 1e-5).all()
+
+    def test_range_search_cap_reports_true_count(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        idx = FlatIndex.from_data(corpus[:400])
+        q = corpus[:2]
+        # huge radius: everything is a hit, cap at 16
+        ids, vals, counts = idx.range_search(q, 1e9, max_results=16)
+        assert np.asarray(counts).tolist() == [400, 400]
+        assert np.asarray(ids).shape == (2, 16)
+        assert (np.asarray(ids) >= 0).all()
+
+    def test_range_search_dot_semantics(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        sub = corpus[:300]
+        idx = FlatIndex.from_data(sub, metric="dot")
+        q = corpus[:2]
+        radius = 9.0  # score >= 9 is a hit
+        ids, scores, counts = idx.range_search(q, radius, max_results=400)
+        ref = np.asarray(q) @ sub.T
+        np.testing.assert_array_equal(
+            np.asarray(counts), (ref >= radius).sum(axis=1)
+        )
+        hits = np.asarray(ids) >= 0
+        assert (np.asarray(scores)[hits] >= radius - 1e-5).all()
+
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        from vq_tpu.search import FlatIndex
+
+        for storage in ("float32", "bfloat16", "float16"):
+            idx = FlatIndex.from_data(
+                corpus[:256], metric="cosine", storage=storage
+            )
+            p = idx.save(str(tmp_path / f"flat_{storage}.npz"))
+            idx2 = FlatIndex.load(p)
+            assert idx2.ntotal == 256
+            assert idx2.metric == "cosine"
+            assert idx2.storage == storage
+            ids1, d1 = idx.search(corpus[:5], k=3)
+            ids2, d2 = idx2.search(corpus[:5], k=3)
+            np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+            np.testing.assert_allclose(
+                np.asarray(d1), np.asarray(d2), atol=1e-6
+            )
+
+    def test_remove_ids_renumbers(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        idx = FlatIndex.from_data(corpus[:100])
+        assert idx.remove_ids([0, 5]) == 2
+        assert idx.ntotal == 98
+        ids, _ = idx.search(corpus[1:2], k=1)
+        assert int(np.asarray(ids)[0, 0]) == 0  # old row 1 renumbered
+
+    def test_reconstruct_exact(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        idx = FlatIndex.from_data(corpus[:64])
+        np.testing.assert_array_equal(
+            np.asarray(idx.reconstruct([3, 7])), corpus[[3, 7]]
+        )
+
+    def test_validation(self, corpus):
+        from vq_tpu.search import FlatIndex
+
+        with pytest.raises(InvalidParameter):
+            FlatIndex(8, metric="nope")
+        with pytest.raises(InvalidParameter):
+            FlatIndex(8, storage="f64")
+        idx = FlatIndex(8)
+        with pytest.raises(EmptyInput):
+            idx.search(np.zeros((1, 8), np.float32))
+        with pytest.raises(EmptyInput):
+            idx.range_search(np.zeros((1, 8), np.float32), 1.0)
+        idx.add(np.zeros((4, 8), np.float32))
+        with pytest.raises(DimensionMismatch):
+            idx.search(np.zeros((1, 9), np.float32))
+        with pytest.raises(InvalidParameter):
+            idx.range_search(np.zeros((1, 8), np.float32), 1.0, max_results=0)

@@ -65,7 +65,16 @@ from vq_tpu.ops.kmeans_anisotropic import (
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
 from vq_tpu.ops.packing import pack_codes, unpack_codes
-from vq_tpu.search import BinaryIndex, PQIndex, RQIndex, SQIndex
+from vq_tpu.search import BinaryIndex, FlatIndex, PQIndex, RQIndex, SQIndex
+from vq_tpu.transforms import (
+    CenteringTransform,
+    NormalizeTransform,
+    PCATransform,
+    RotationTransform,
+    TransformedIndex,
+    VectorTransform,
+)
+from vq_tpu.factory import IdMapIndex, index_factory, load_index
 
 __version__ = "0.1.0"
 
@@ -130,8 +139,18 @@ __all__ = [
     "lloyd_anisotropic",
     "anisotropic_assign",
     "anisotropic_eta",
+    "FlatIndex",
     "PQIndex",
     "BinaryIndex",
+    "VectorTransform",
+    "PCATransform",
+    "RotationTransform",
+    "NormalizeTransform",
+    "CenteringTransform",
+    "TransformedIndex",
+    "IdMapIndex",
+    "index_factory",
+    "load_index",
     "SQIndex",
     "RQIndex",
     "pack_codes",

@@ -1,9 +1,12 @@
 """Search indexes — the serving layer over the quantizers.
 
 The reference is a quantization library only; a user deploying it for
-vector search must hand-roll storage and scanning. vq_tpu ships the two
+vector search must hand-roll storage and scanning. vq_tpu ships the
 standard memory-resident index types its quantizers imply:
 
+* :class:`FlatIndex` — exact brute-force scan over raw rows (f32 or
+  half-width storage), all 5 metrics, ``range_search``. The recall
+  baseline for everything below.
 * :class:`PQIndex` — PQ codes + ADC scan (+ optional exact rerank when the
   raw corpus is kept). 16 bytes/vector at the 8x256 config.
 * :class:`BinaryIndex` — packed sign bits + Hamming scan via popcount.
@@ -43,7 +46,7 @@ from vq_tpu.models.sq import PerDimScalarQuantizer
 from vq_tpu.ops.distance import COSINE_NORM_EPS, Metric
 from vq_tpu.utils.serialize import _from_npz, _to_npz
 
-__all__ = ["PQIndex", "BinaryIndex", "SQIndex", "RQIndex"]
+__all__ = ["FlatIndex", "PQIndex", "BinaryIndex", "SQIndex", "RQIndex"]
 
 
 def _removal_keep_mask(ids, ntotal: int) -> jnp.ndarray:
@@ -65,6 +68,311 @@ def _compact_rows(mask: jnp.ndarray, *arrays):
     return tuple(
         None if a is None else jnp.take(a, keep, axis=0) for a in arrays
     )
+
+
+_FLAT_METRICS = (
+    "squared_euclidean", "euclidean", "cosine", "dot", "manhattan"
+)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+def _flat_scan_jit(
+    q: jnp.ndarray,  # [Q, d] f32 queries
+    row_chunks: jnp.ndarray,  # [nc, chunk, d] stored rows (f32/bf16/f16)
+    row_sqn_chunks: jnp.ndarray,  # [nc, chunk] f32 ||row||^2
+    nvalid: jnp.ndarray,  # [] real row count
+    radius: jnp.ndarray,  # [] f32 hit threshold (+inf = plain top-k)
+    metric: str,
+    fetch: int,
+):
+    """Blockwise exact scan over raw corpus rows.
+
+    Decomposable metrics (sq-L2 / L2 / cosine / dot) ride one
+    ``[Q, d] x [d, chunk]`` MXU matmul per block plus the precomputed row
+    norms; Manhattan is a fused broadcast-reduce on the VPU (use a smaller
+    ``chunk``). Blocks merge through a running top-``fetch``. Also counts
+    rows with value within ``radius`` (<= for distances, >= score for
+    ``dot``) to support :meth:`FlatIndex.range_search` in the same pass.
+    """
+    Q = q.shape[0]
+    chunk = row_chunks.shape[1]
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+    qn = jnp.sqrt(qn2)
+
+    def body(carry, inp):
+        best_d, best_i, hits = carry  # [Q, fetch], [Q, fetch], [Q]
+        rows, row_sqn, cidx = inp  # [chunk, d], [chunk], []
+        c = rows.astype(jnp.float32)
+        if metric == "manhattan":
+            d = jnp.sum(jnp.abs(q[:, None, :] - c[None, :, :]), axis=-1)
+        else:
+            qdoty = jax.lax.dot_general(
+                q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Q, chunk]
+            if metric in ("squared_euclidean", "euclidean"):
+                d = jnp.maximum(
+                    qn2[:, None] - 2.0 * qdoty + row_sqn[None, :], 0.0
+                )
+                if metric == "euclidean":
+                    d = jnp.sqrt(d)
+            elif metric == "cosine":
+                rn = jnp.sqrt(jnp.maximum(row_sqn, 0.0))
+                denom = jnp.maximum(
+                    qn[:, None] * rn[None, :], COSINE_NORM_EPS
+                )
+                d = jnp.clip(1.0 - qdoty / denom, 0.0, 1.0)
+                degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                    rn[None, :] < COSINE_NORM_EPS
+                )
+                d = jnp.where(degenerate, 1.0, d)
+            else:  # dot: minimize the negated score
+                d = -qdoty
+        gidx = cidx * chunk + jnp.arange(chunk)
+        valid = (gidx < nvalid)[None, :]
+        d = jnp.where(valid, d, jnp.inf)
+        # radius is in minimized-value space (negated for dot upstream).
+        hits = hits + jnp.sum((d <= radius) & valid, axis=1)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (
+            -neg, jnp.take_along_axis(cat_i, pos, axis=1), hits
+        ), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    (best_d, best_i, hits), _ = jax.lax.scan(
+        body, init,
+        (row_chunks, row_sqn_chunks, jnp.arange(row_chunks.shape[0])),
+    )
+    return best_i, best_d, hits
+
+
+class FlatIndex:
+    """Exact brute-force index over raw corpus rows (faiss ``IndexFlat``
+    analog — the baseline every quantized index is measured against; the
+    reference has no index layer at all).
+
+    Rows are stored on device at ``storage`` width (``"float32"`` exact,
+    ``"bfloat16"``/``"float16"`` for half the HBM traffic — the scan is
+    bandwidth-bound, so half-width is ~1.6x faster at a ~1e-3 relative
+    distance error). Search is a blockwise MXU scan; distances are exact
+    distances to the stored rows.
+
+    Supports all five metrics: ``squared_euclidean`` (default),
+    ``euclidean``, ``cosine``, ``manhattan`` (VPU broadcast-reduce — use
+    for parity, not speed), and ``dot`` (maximum-inner-product; descending
+    scores).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        metric: str = "squared_euclidean",
+        storage: str = "float32",
+    ):
+        if int(dim) < 1:
+            raise InvalidParameter("dim", "must be >= 1")
+        m = metric.value if isinstance(metric, Metric) else str(metric)
+        if m not in _FLAT_METRICS:
+            raise InvalidParameter(
+                "metric", f"must be one of {', '.join(_FLAT_METRICS)}"
+            )
+        if storage not in ("float32", "bfloat16", "float16"):
+            raise InvalidParameter(
+                "storage", "must be 'float32', 'bfloat16', or 'float16'"
+            )
+        self.dim = int(dim)
+        self.metric = m
+        self.storage = storage
+        self._rows: Optional[jnp.ndarray] = None  # [n, d] storage dtype
+        self._row_sqn: Optional[jnp.ndarray] = None  # [n] f32
+
+    @classmethod
+    def from_data(
+        cls, data, *, metric: str = "squared_euclidean",
+        storage: str = "float32",
+    ) -> "FlatIndex":
+        """Build an index holding ``data``."""
+        x = jnp.asarray(data)
+        idx = cls(x.shape[-1], metric=metric, storage=storage)
+        idx.add(x)
+        return idx
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._rows is None else int(self._rows.shape[0])
+
+    @property
+    def code_bytes_per_vector(self) -> int:
+        return self.dim * (4 if self.storage == "float32" else 2)
+
+    def add(self, vectors) -> None:
+        """Append a batch of raw vectors (stored at ``storage`` width)."""
+        x = jnp.asarray(vectors)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        rows = x.astype(jnp.dtype(self.storage))
+        row_sqn = jnp.sum(
+            rows.astype(jnp.float32) ** 2, axis=-1
+        )
+        if self._rows is None:
+            self._rows, self._row_sqn = rows, row_sqn
+        else:
+            self._rows = jnp.concatenate([self._rows, rows], axis=0)
+            self._row_sqn = jnp.concatenate([self._row_sqn, row_sqn], axis=0)
+
+    def remove_ids(self, ids) -> int:
+        """Remove stored vectors by position; remaining vectors renumber
+        sequentially (faiss ``remove_ids`` contract)."""
+        if self._rows is None:
+            raise EmptyInput("index is empty")
+        mask = _removal_keep_mask(ids, self.ntotal)
+        removed = self.ntotal - int(mask.sum())
+        self._rows, self._row_sqn = _compact_rows(
+            mask, self._rows, self._row_sqn
+        )
+        return removed
+
+    def _default_chunk(self, chunk: Optional[int]) -> int:
+        if chunk is not None:
+            return int(chunk)
+        # Manhattan materializes a [Q, chunk, d] broadcast per block.
+        return 8_192 if self.metric == "manhattan" else 262_144
+
+    def _scan(self, queries, fetch: int, radius: float, chunk: Optional[int]):
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        n = self.ntotal
+        chunk = min(self._default_chunk(chunk), max(n, 1))
+        pad = (-n) % chunk
+        row_chunks = jnp.pad(self._rows, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.dim
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        return _flat_scan_jit(
+            q, row_chunks, sqn_chunks, jnp.int32(n),
+            jnp.float32(radius), self.metric, int(fetch),
+        )
+
+    def search(
+        self, queries, k: int = 10, *, chunk: Optional[int] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact top-k ids + values for each query row.
+
+        Values are distances (ascending) for distance metrics and
+        inner-product scores (descending) for ``dot``.
+        """
+        if self._rows is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        k = min(int(k), self.ntotal)
+        ids, d, _ = self._scan(queries, k, float("inf"), chunk)
+        if self.metric == "dot":
+            return ids, -d
+        return ids, d
+
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        max_results: int = 1024,
+        chunk: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All stored rows within ``radius`` of each query (faiss
+        ``range_search`` analog, static-shaped for jit).
+
+        For distance metrics a hit is ``value <= radius``; for ``dot`` a
+        hit is ``score >= radius``. Returns ``(ids, values, counts)``:
+        ``ids``/``values`` are ``[Q, max_results]`` holding the *best*
+        hits padded with ``-1`` / ``inf`` (``-inf`` scores for dot), and
+        ``counts[q]`` is the TRUE number of hits — if it exceeds
+        ``max_results``, re-run with a larger cap to retrieve them all.
+        """
+        if self._rows is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        fetch = min(int(max_results), self.ntotal)
+        r = float(radius)
+        ids, d, counts = self._scan(
+            queries, fetch, -r if self.metric == "dot" else r, chunk
+        )
+        hit = d <= (-r if self.metric == "dot" else r)
+        ids = jnp.where(hit, ids, -1)
+        d = jnp.where(hit, d, jnp.inf)
+        if self.metric == "dot":
+            return ids, -d, counts
+        return ids, d, counts
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Stored rows for the given ids (exact up to storage width)."""
+        if self._rows is None:
+            raise EmptyInput("index is empty")
+        ids = jnp.asarray(ids, jnp.int32)
+        return jnp.take(self._rows, ids, axis=0).astype(jnp.float32)
+
+    def save(self, path: str) -> str:
+        rows = (
+            self._rows if self._rows is not None
+            else jnp.zeros((0, self.dim), jnp.float32)
+        )
+        if rows.dtype == jnp.bfloat16:
+            rows = rows.astype(jnp.float32)  # lossless; npz has no bf16
+        arrays = {
+            "rows": np.asarray(rows),
+            "row_sqn": np.asarray(
+                self._row_sqn if self._row_sqn is not None
+                else np.zeros((0,), np.float32)
+            ),
+        }
+        return _to_npz(
+            path,
+            "flat_index",
+            {
+                "dim": self.dim,
+                "metric": self.metric,
+                "storage": self.storage,
+            },
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "flat_index":
+            raise InvalidData(
+                f"expected a flat_index checkpoint, got {kind!r}"
+            )
+        idx = cls(
+            config["dim"], metric=config["metric"],
+            storage=config["storage"],
+        )
+        if arrays["rows"].shape[0]:
+            idx._rows = jnp.asarray(arrays["rows"]).astype(
+                jnp.dtype(config["storage"])
+            )
+            idx._row_sqn = jnp.asarray(arrays["row_sqn"])
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"FlatIndex(ntotal={self.ntotal}, dim={self.dim}, "
+            f"metric={self.metric!r}, storage={self.storage!r})"
+        )
 
 
 class PQIndex:
