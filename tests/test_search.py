@@ -727,3 +727,96 @@ class TestFlatIndex:
             idx.search(np.zeros((1, 9), np.float32))
         with pytest.raises(InvalidParameter):
             idx.range_search(np.zeros((1, 8), np.float32), 1.0, max_results=0)
+
+
+class TestQuantizedRangeSearch:
+    """range_search parity on SQIndex / RQIndex / PQIndex: counts and hit
+    sets must match a dense computation of the same asymmetric values."""
+
+    def test_sq_range_matches_decoded_distances(self, corpus):
+        from vq_tpu.models.sq import PerDimScalarQuantizer
+        from vq_tpu.search import SQIndex
+
+        sub = corpus[:500]
+        idx = SQIndex(PerDimScalarQuantizer.from_data(sub, 256))
+        idx.add(sub)
+        q = sub[:3] + 0.01
+        decoded = np.asarray(idx.sq.dequantize(idx.sq.quantize(sub)))
+        ref = ((decoded[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+        radius = float(np.quantile(ref, 0.05))
+        ids, vals, counts = idx.range_search(q, radius, max_results=600)
+        np.testing.assert_array_equal(
+            np.asarray(counts), (ref <= radius + 1e-6).sum(1)
+        )
+        ids_np = np.asarray(ids)
+        for row in range(3):
+            got = set(ids_np[row][ids_np[row] >= 0].tolist())
+            expect = set(np.nonzero(ref[row] <= radius - 1e-6)[0].tolist())
+            assert expect <= got  # modulo f32 boundary ties
+
+    def test_sq_range_dot(self, corpus):
+        from vq_tpu.search import SQIndex
+
+        sub = corpus[:400]
+        idx = SQIndex.from_data(sub, metric="dot")
+        q = sub[:2]
+        decoded = np.asarray(idx.sq.dequantize(idx.sq.quantize(sub)))
+        ref = q @ decoded.T
+        radius = float(np.quantile(ref, 0.9))
+        ids, scores, counts = idx.range_search(q, radius, max_results=500)
+        np.testing.assert_array_equal(
+            np.asarray(counts), (ref >= radius - 1e-6).sum(1)
+        )
+        hits = np.asarray(ids) >= 0
+        assert (np.asarray(scores)[hits] >= radius - 1e-4).all()
+
+    def test_rq_range_counts(self, corpus, rng):
+        from vq_tpu.models.rq import ResidualQuantizer, rq_train
+        from vq_tpu.search import RQIndex
+
+        sub = corpus[:400]
+        rq = ResidualQuantizer(codebooks=rq_train(sub, 2, 16, max_iters=4))
+        idx = RQIndex(rq)
+        idx.add(sub)
+        q = sub[:3]
+        decoded = np.asarray(rq.decode(rq.encode(sub)))
+        ref = ((decoded[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+        radius = float(np.quantile(ref, 0.1))
+        ids, vals, counts = idx.range_search(q, radius, max_results=500)
+        got = np.asarray(counts)
+        expect = (ref <= radius).sum(1)
+        assert (np.abs(got - expect) <= np.maximum(1, 0.02 * expect)).all()
+
+    def test_pq_range_matches_adc(self, corpus, pq):
+        from vq_tpu.search import PQIndex
+
+        idx = PQIndex(pq)
+        idx.add(corpus[:800])
+        q = corpus[:3]
+        adc = np.asarray(pq.adc_distances(q, idx._codes))
+        radius = float(np.quantile(adc, 0.05))
+        ids, vals, counts = idx.range_search(q, radius, max_results=900)
+        np.testing.assert_array_equal(
+            np.asarray(counts), (adc <= radius + 1e-6).sum(1)
+        )
+        ids_np, vals_np = np.asarray(ids), np.asarray(vals)
+        assert (vals_np[ids_np >= 0] <= radius + 1e-5).all()
+
+    def test_pq_range_packed_codes(self, corpus):
+        from vq_tpu import ProductQuantizer
+        from vq_tpu.search import PQIndex
+
+        pq16 = ProductQuantizer(corpus, 4, 16, max_iters=4)
+        idx = PQIndex(pq16)  # auto-packs at k<=16
+        idx.add(corpus[:300])
+        assert idx.pack_bits == 4
+        q = corpus[:2]
+        from vq_tpu.ops.packing import unpack_codes
+
+        codes = unpack_codes(idx._codes, 4, 4)
+        adc = np.asarray(pq16.adc_distances(q, codes))
+        radius = float(np.quantile(adc, 0.2))
+        _, _, counts = idx.range_search(q, radius, max_results=300)
+        np.testing.assert_array_equal(
+            np.asarray(counts), (adc <= radius + 1e-6).sum(1)
+        )

@@ -233,3 +233,34 @@ class TestShardedFlatSearch:
         np.testing.assert_allclose(
             np.asarray(d_s), np.asarray(d_1), atol=1e-5
         )
+
+
+class TestShardedFlatIndexSearch:
+    def test_flat_matches_single_device(self):
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import FlatIndex
+
+        rng = np.random.default_rng(53)
+        data = rng.random((3000, 32), dtype=np.float32)
+        for metric in ("squared_euclidean", "dot", "manhattan"):
+            idx = FlatIndex.from_data(data, metric=metric)
+            q = data[:7] + 0.01
+            ids_1, d_1 = idx.search(q, k=6)
+            ids_s, d_s = sharded_flat_search(idx, q, k=6, chunk=256)
+            np.testing.assert_array_equal(
+                np.asarray(ids_s), np.asarray(ids_1)
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_s), np.asarray(d_1), atol=1e-4
+            )
+
+    def test_flat_bf16_storage(self):
+        from vq_tpu.parallel import sharded_flat_search
+        from vq_tpu.search import FlatIndex
+
+        rng = np.random.default_rng(54)
+        data = rng.random((1000, 16), dtype=np.float32)
+        idx = FlatIndex.from_data(data, storage="bfloat16")
+        ids_1, _ = idx.search(data[:4], k=3)
+        ids_s, _ = sharded_flat_search(idx, data[:4], k=3, chunk=128)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))

@@ -100,8 +100,9 @@ def _sharded_rq_search_jit(
         local_n = jnp.clip(nvalid - base, 0, shard_pad)
         code_chunks = codes_shard.reshape(-1, chunk, codes_shard.shape[1])
         sqn_chunks = sqn_shard.reshape(-1, chunk)
-        ids, d = _rq_scan_jit(
-            tables, qn2, code_chunks, sqn_chunks, local_n, metric, k
+        ids, d, _ = _rq_scan_jit(
+            tables, qn2, code_chunks, sqn_chunks, local_n,
+            jnp.float32(jnp.inf), metric, k,
         )
         gids = jnp.where(ids >= 0, base + ids, -1)
         return _merge_topk(gids, d, k)
@@ -113,6 +114,37 @@ def _sharded_rq_search_jit(
         out_specs=(P(), P()),
         check_vma=False,
     )(codes, row_sqn)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "metric", "chunk")
+)
+def _sharded_flatrows_search_jit(
+    q, rows, row_sqn, nvalid, k: int, mesh: Mesh, metric: str, chunk: int
+):
+    from vq_tpu.search import _flat_scan_jit
+
+    shard_pad = rows.shape[0] // mesh.shape[DATA_AXIS]
+
+    def local(rows_shard, sqn_shard):
+        base = jax.lax.axis_index(DATA_AXIS) * shard_pad
+        local_n = jnp.clip(nvalid - base, 0, shard_pad)
+        row_chunks = rows_shard.reshape(-1, chunk, rows_shard.shape[1])
+        sqn_chunks = sqn_shard.reshape(-1, chunk)
+        ids, d, _ = _flat_scan_jit(
+            q, row_chunks, sqn_chunks, local_n,
+            jnp.float32(jnp.inf), metric, k,
+        )
+        gids = jnp.where(ids >= 0, base + ids, -1)
+        return _merge_topk(gids, d, k)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(rows, row_sqn)
 
 
 @functools.partial(
@@ -131,8 +163,9 @@ def _sharded_sq_search_jit(
         local_n = jnp.clip(nvalid - base, 0, shard_pad)
         code_chunks = codes_shard.reshape(-1, chunk, codes_shard.shape[1])
         sqn_chunks = sqn_shard.reshape(-1, chunk)
-        ids, d = _sq_scan_jit(
-            q, lo, step, code_chunks, sqn_chunks, local_n, metric, k
+        ids, d, _ = _sq_scan_jit(
+            q, lo, step, code_chunks, sqn_chunks, local_n,
+            jnp.float32(jnp.inf), metric, k,
         )
         gids = jnp.where(ids >= 0, base + ids, -1)
         return _merge_topk(gids, d, k)
@@ -167,12 +200,13 @@ def sharded_flat_search(
     ``index.search(..., rerank=R)`` when the corpus fits one device.
     """
     from vq_tpu.models.base import as_batch_f32
-    from vq_tpu.search import PQIndex, RQIndex, SQIndex
+    from vq_tpu.search import FlatIndex, PQIndex, RQIndex, SQIndex
 
-    if not isinstance(index, (PQIndex, RQIndex, SQIndex)):
+    if not isinstance(index, (FlatIndex, PQIndex, RQIndex, SQIndex)):
         raise InvalidParameter(
             "index",
-            "sharded_flat_search supports PQIndex, RQIndex, and SQIndex",
+            "sharded_flat_search supports FlatIndex, PQIndex, RQIndex, "
+            "and SQIndex",
         )
     if mesh is None:
         mesh = make_mesh()
@@ -209,6 +243,28 @@ def sharded_flat_search(
             tables, cb_sqn, qn, codes, jnp.int32(n), k, mesh,
             index.pq._metric, int(index.pack_bits), chunk_eff,
         )
+
+    if isinstance(index, FlatIndex):
+        q2d, _ = as_batch_f32(queries)
+        if q2d.shape[1] != index.dim:
+            raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
+        if index.metric == "manhattan":
+            chunk = min(chunk, 8_192)  # [Q, chunk, d] broadcast per block
+        shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
+        pad = ndev * shard_pad - n
+        rows = jax.device_put(
+            jnp.pad(index._rows, ((0, pad), (0, 0))), row_spec
+        )
+        row_sqn = jax.device_put(
+            jnp.pad(index._row_sqn, (0, pad)), row_spec
+        )
+        ids, d = _sharded_flatrows_search_jit(
+            q2d, rows, row_sqn, jnp.int32(n), k, mesh,
+            index.metric, chunk_eff,
+        )
+        if index.metric == "dot":
+            return ids, -d
+        return ids, d
 
     q2d, _ = as_batch_f32(queries)
     if q2d.shape[1] != index.dim:

@@ -375,6 +375,74 @@ class FlatIndex:
         )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "fetch", "pack_bits", "m")
+)
+def _pq_range_scan_jit(
+    tables: jnp.ndarray,  # [Q, m, k] per-query ADC tables
+    cb_sqn: jnp.ndarray,  # [m, k] per-centroid squared norms (cosine only)
+    qn: jnp.ndarray,  # [Q] query norms (cosine only)
+    code_chunks: jnp.ndarray,  # [nc, chunk, m] codes ([nc, chunk, B] packed)
+    nvalid: jnp.ndarray,  # [] real row count
+    radius: jnp.ndarray,  # [] f32 hit threshold
+    metric: str,
+    fetch: int,
+    pack_bits: int,
+    m: int,
+):
+    """Blockwise ADC scan that also counts radius hits — the
+    :meth:`PQIndex.range_search` engine (the search path reuses the
+    shared scan in models/pq.py)."""
+    from vq_tpu.models.pq import _adc_lookup_jit
+
+    Q = tables.shape[0]
+    chunk = code_chunks.shape[1]
+
+    def body(carry, inp):
+        best_d, best_i, hits = carry
+        chunk_codes, cidx = inp
+        if pack_bits < 8:
+            from vq_tpu.ops.packing import _unpack_jit
+
+            chunk_codes = _unpack_jit(chunk_codes, pack_bits, m)
+        acc = _adc_lookup_jit(tables, chunk_codes.astype(jnp.int32))
+        if metric == "euclidean":
+            d = jnp.sqrt(jnp.maximum(acc, 0.0))
+        elif metric == "cosine":
+            recon_sqn = _adc_lookup_jit(
+                cb_sqn[None], chunk_codes.astype(jnp.int32)
+            )[0]
+            rn = jnp.sqrt(jnp.maximum(recon_sqn, 0.0))
+            denom = jnp.maximum(qn[:, None] * rn[None, :], COSINE_NORM_EPS)
+            d = jnp.clip(1.0 - acc / denom, 0.0, 1.0)
+            degenerate = (qn[:, None] < COSINE_NORM_EPS) | (
+                rn[None, :] < COSINE_NORM_EPS
+            )
+            d = jnp.where(degenerate, 1.0, d)
+        else:  # squared_euclidean / manhattan tables sum to the distance
+            d = acc
+        gidx = cidx * chunk + jnp.arange(chunk)
+        valid = (gidx < nvalid)[None, :]
+        d = jnp.where(valid, d, jnp.inf)
+        hits = hits + jnp.sum((d <= radius) & valid, axis=1)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1), hits), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    (best_d, best_i, hits), _ = jax.lax.scan(
+        body, init, (code_chunks, jnp.arange(code_chunks.shape[0]))
+    )
+    return best_i, best_d, hits
+
+
 class PQIndex:
     """Flat ADC index over PQ codes.
 
@@ -478,6 +546,51 @@ class PQIndex:
         return self.pq.adc_search(
             queries, self._codes, k=k, rerank=rerank, corpus=self._corpus,
             pack_bits=self.pack_bits,
+        )
+
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        max_results: int = 1024,
+        chunk: int = 262_144,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All rows whose ADC (asymmetric) distance is within ``radius``
+        of each query — same contract as :meth:`FlatIndex.range_search`
+        (best ``max_results`` hits padded with ``-1``/``inf``, plus TRUE
+        per-query hit counts)."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.pq.dim:
+            raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
+        n = self.ntotal
+        fetch = min(int(max_results), n)
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        width = self._codes.shape[1]
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, width
+        )
+        tables = self.pq.adc_tables(q)
+        cb = self.pq.codebooks
+        cb_sqn = jnp.sum(cb * cb, axis=-1)  # [m, k] (cosine only)
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))  # [Q] (cosine only)
+        ids, d, counts = _pq_range_scan_jit(
+            tables, cb_sqn, qn, code_chunks, jnp.int32(n),
+            jnp.float32(radius), self.pq.distance_metric, int(fetch),
+            int(self.pack_bits), self.pq.num_subspaces,
+        )
+        hit = d <= float(radius)
+        return (
+            jnp.where(hit, ids, -1),
+            jnp.where(hit, d, jnp.inf),
+            counts,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -677,6 +790,7 @@ def _sq_scan_jit(
     code_chunks: jnp.ndarray,  # [nc, chunk, d] u8 corpus codes, padded
     row_sqn_chunks: jnp.ndarray,  # [nc, chunk] ||decode(row)||^2
     nvalid: jnp.ndarray,  # [] real row count
+    radius: jnp.ndarray,  # [] f32 hit threshold (+inf = plain top-k)
     metric: str,
     fetch: int,
 ):
@@ -697,7 +811,7 @@ def _sq_scan_jit(
     qn = jnp.sqrt(qn2)
 
     def body(carry, inp):
-        best_d, best_i = carry  # [Q, fetch]
+        best_d, best_i, hits = carry  # [Q, fetch] x2, [Q]
         chunk_codes, row_sqn, cidx = inp  # [chunk, d] u8, [chunk], []
         c = chunk_codes.astype(jnp.float32)
         qdoty = qlo[:, None] + jax.lax.dot_general(
@@ -720,23 +834,26 @@ def _sq_scan_jit(
         else:  # dot: minimize the negated score
             d = -qdoty
         gidx = cidx * chunk + jnp.arange(chunk)
-        d = jnp.where((gidx < nvalid)[None, :], d, jnp.inf)
+        valid = (gidx < nvalid)[None, :]
+        d = jnp.where(valid, d, jnp.inf)
+        hits = hits + jnp.sum((d <= radius) & valid, axis=1)
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate(
             [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
         )
         neg, pos = jax.lax.top_k(-cat_d, fetch)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1), hits), None
 
     init = (
         jnp.full((Q, fetch), jnp.inf, jnp.float32),
         jnp.full((Q, fetch), -1, jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
     )
-    (best_d, best_i), _ = jax.lax.scan(
+    (best_d, best_i, hits), _ = jax.lax.scan(
         body, init,
         (code_chunks, row_sqn_chunks, jnp.arange(code_chunks.shape[0])),
     )
-    return best_i, best_d
+    return best_i, best_d, hits
 
 
 _SQ_METRICS = ("squared_euclidean", "euclidean", "cosine", "dot")
@@ -854,6 +971,56 @@ class SQIndex:
         )
         return removed
 
+    def _check_query(self, queries) -> jnp.ndarray:
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        return q
+
+    def _scan(self, q, fetch: int, radius: float, chunk: int):
+        n = self.ntotal
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.dim
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        return _sq_scan_jit(
+            q, self.sq.mins, self.sq.steps, code_chunks, sqn_chunks,
+            jnp.int32(n), jnp.float32(radius), self.metric, int(fetch),
+        )
+
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        max_results: int = 1024,
+        chunk: int = 262_144,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All rows whose asymmetric (decoded-corpus) value is within
+        ``radius`` of each query — same contract as
+        :meth:`FlatIndex.range_search` (``value <= radius`` for distance
+        metrics, ``score >= radius`` for ``dot``; returns the best
+        ``max_results`` hits + TRUE per-query hit counts)."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        q = self._check_query(queries)
+        fetch = min(int(max_results), self.ntotal)
+        r = float(radius)
+        rad = -r if self.metric == "dot" else r
+        ids, d, counts = self._scan(q, fetch, rad, chunk)
+        hit = d <= rad
+        ids = jnp.where(hit, ids, -1)
+        d = jnp.where(hit, d, jnp.inf)
+        if self.metric == "dot":
+            return ids, -d, counts
+        return ids, d, counts
+
     def search(
         self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -869,24 +1036,11 @@ class SQIndex:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        q = jnp.asarray(queries, jnp.float32)
-        if q.ndim == 1:
-            q = q[None, :]
-        if q.shape[1] != self.dim:
-            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        q = self._check_query(queries)
         n = self.ntotal
         k = min(int(k), n)
         fetch = min(max(k, int(rerank)), n)
-        chunk = min(int(chunk), max(n, 1))
-        pad = (-n) % chunk
-        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
-            -1, chunk, self.dim
-        )
-        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
-        ids, d = _sq_scan_jit(
-            q, self.sq.mins, self.sq.steps, code_chunks, sqn_chunks,
-            jnp.int32(n), self.metric, int(fetch),
-        )
+        ids, d, _ = self._scan(q, fetch, float("inf"), chunk)
         if rerank:
             cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
             if self.metric == "dot":
@@ -969,6 +1123,7 @@ def _rq_scan_jit(
     code_chunks: jnp.ndarray,  # [nc, chunk, S] corpus codes, padded
     row_sqn_chunks: jnp.ndarray,  # [nc, chunk] ||decode(row)||^2
     nvalid: jnp.ndarray,  # [] real row count
+    radius: jnp.ndarray,  # [] f32 hit threshold (+inf = plain top-k)
     metric: str,
     fetch: int,
 ):
@@ -992,7 +1147,7 @@ def _rq_scan_jit(
     qn = jnp.sqrt(qn2)
 
     def body(carry, inp):
-        best_d, best_i = carry  # [Q, fetch]
+        best_d, best_i, hits = carry  # [Q, fetch] x2, [Q]
         chunk_codes, row_sqn, cidx = inp  # [chunk, S], [chunk], []
         qdoty = _adc_lookup_jit(
             tables, chunk_codes.astype(jnp.int32)
@@ -1014,23 +1169,26 @@ def _rq_scan_jit(
         else:  # dot: minimize the negated score
             d = -qdoty
         gidx = cidx * chunk + jnp.arange(chunk)
-        d = jnp.where((gidx < nvalid)[None, :], d, jnp.inf)
+        valid = (gidx < nvalid)[None, :]
+        d = jnp.where(valid, d, jnp.inf)
+        hits = hits + jnp.sum((d <= radius) & valid, axis=1)
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate(
             [best_i, jnp.broadcast_to(gidx[None, :], (Q, chunk))], axis=1
         )
         neg, pos = jax.lax.top_k(-cat_d, fetch)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1), hits), None
 
     init = (
         jnp.full((Q, fetch), jnp.inf, jnp.float32),
         jnp.full((Q, fetch), -1, jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
     )
-    (best_d, best_i), _ = jax.lax.scan(
+    (best_d, best_i, hits), _ = jax.lax.scan(
         body, init,
         (code_chunks, row_sqn_chunks, jnp.arange(code_chunks.shape[0])),
     )
-    return best_i, best_d
+    return best_i, best_d, hits
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -1144,6 +1302,58 @@ class RQIndex:
         )
         return removed
 
+    def _check_query(self, queries) -> jnp.ndarray:
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        return q
+
+    def _scan(self, q, fetch: int, radius: float, chunk: int):
+        n = self.ntotal
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.rq.num_stages
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        tables = _rq_tables_jit(q, self.rq.codebooks, self.metric)
+        qn2 = jnp.sum(q * q, axis=-1)
+        return _rq_scan_jit(
+            tables, qn2, code_chunks, sqn_chunks, jnp.int32(n),
+            jnp.float32(radius), self.metric, int(fetch),
+        )
+
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        max_results: int = 1024,
+        chunk: int = 262_144,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All rows whose asymmetric (decoded-corpus) value is within
+        ``radius`` of each query — same contract as
+        :meth:`FlatIndex.range_search` (``value <= radius`` for distance
+        metrics, ``score >= radius`` for ``dot``; returns the best
+        ``max_results`` hits + TRUE per-query hit counts)."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        q = self._check_query(queries)
+        fetch = min(int(max_results), self.ntotal)
+        r = float(radius)
+        rad = -r if self.metric == "dot" else r
+        ids, d, counts = self._scan(q, fetch, rad, chunk)
+        hit = d <= rad
+        ids = jnp.where(hit, ids, -1)
+        d = jnp.where(hit, d, jnp.inf)
+        if self.metric == "dot":
+            return ids, -d, counts
+        return ids, d, counts
+
     def search(
         self, queries, k: int = 10, *, rerank: int = 0, chunk: int = 262_144
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -1159,26 +1369,11 @@ class RQIndex:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        q = jnp.asarray(queries, jnp.float32)
-        if q.ndim == 1:
-            q = q[None, :]
-        if q.shape[1] != self.dim:
-            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        q = self._check_query(queries)
         n = self.ntotal
         k = min(int(k), n)
         fetch = min(max(k, int(rerank)), n)
-        chunk = min(int(chunk), max(n, 1))
-        pad = (-n) % chunk
-        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
-            -1, chunk, self.rq.num_stages
-        )
-        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
-        tables = _rq_tables_jit(q, self.rq.codebooks, self.metric)
-        qn2 = jnp.sum(q * q, axis=-1)
-        ids, d = _rq_scan_jit(
-            tables, qn2, code_chunks, sqn_chunks, jnp.int32(n),
-            self.metric, int(fetch),
-        )
+        ids, d, _ = self._scan(q, fetch, float("inf"), chunk)
         if rerank:
             cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
             if self.metric == "dot":
