@@ -18,7 +18,9 @@ import jax.numpy as jnp
 N, D, NLIST = 1_000_000, 128, 1000
 Q, NPROBE, TOPK = 128, 8, 10
 RUN = set(
-    os.environ.get("SERVING_BENCH_ONLY", "sq,rq,ivfflat,ivfsq").split(",")
+    os.environ.get(
+        "SERVING_BENCH_ONLY", "flat,sq,rq,ivfflat,ivfsq,ivfrq"
+    ).split(",")
 )
 
 print("backend:", jax.default_backend(), flush=True)
@@ -111,8 +113,20 @@ res = lloyd(data[:200_000], NLIST, max_iters=8, seed=1, init="kmeans++")
 coarse = res.centroids
 print(f"coarse lloyd k={NLIST}: {time.perf_counter()-t0:.1f} s", flush=True)
 
-# --- SQIndex flat scan ---------------------------------------------------
-from vq_tpu.search import RQIndex, SQIndex  # noqa: E402
+# --- FlatIndex exact scan -------------------------------------------------
+from vq_tpu.search import FlatIndex, RQIndex, SQIndex  # noqa: E402
+
+if "flat" in RUN:
+    for dtype in ("float32", "bfloat16"):
+        idx = FlatIndex(D, storage=dtype)
+        idx.add(data)
+        ids = qps(
+            f"FlatIndex[{dtype}] exact scan",
+            lambda idx=idx: idx.search(queries, k=TOPK),
+        )
+        print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+        del idx
+        gc.collect()
 
 if "sq" in RUN:
     t0 = time.perf_counter()
@@ -218,6 +232,46 @@ if "ivfsq" in RUN:
         idx._build_buckets()
         ids = qps(
             f"IVFSQ nprobe={NPROBE} rebalanced",
+            lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
+        )
+        print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    del idx
+    gc.collect()
+
+# --- IVF-RQ ----------------------------------------------------------------
+from vq_tpu.ivf_flat import IVFRQIndex  # noqa: E402
+from vq_tpu.models.rq import ResidualQuantizer, rq_train  # noqa: E402
+
+if "ivfrq" in RUN:
+    t0 = time.perf_counter()
+    sample = data[:200_000]
+    res_lists, _ = assign(sample, coarse)
+    rq8 = ResidualQuantizer(
+        codebooks=rq_train(
+            sample - jnp.take(coarse, res_lists, axis=0), 8, 256,
+            max_iters=8, seed=1,
+        )
+    )
+    del sample, res_lists
+    idx = IVFRQIndex(coarse, rq8)
+    idx.add(data)
+    idx._build_buckets()
+    print(f"IVFRQ build (8x256): {time.perf_counter()-t0:.1f} s", flush=True)
+    ids = qps(
+        f"IVFRQ nprobe={NPROBE}",
+        lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    if REBALANCE_MAX:
+        t0 = time.perf_counter()
+        info = idx.rebalance(target_max=REBALANCE_MAX)
+        print(
+            f"  rebalance({REBALANCE_MAX}): {time.perf_counter()-t0:.1f} s, "
+            f"{info['split']} splits", flush=True,
+        )
+        idx._build_buckets()
+        ids = qps(
+            f"IVFRQ nprobe={NPROBE} rebalanced",
             lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
         )
         print("  top-1 recall:", top1_recall(ids, gt), flush=True)

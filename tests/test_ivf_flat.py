@@ -288,3 +288,163 @@ class TestRebalance:
         idx = IVFFlatIndex.train(skewed, nlist=4, seed=5)
         with pytest.raises(EmptyInput):
             idx.rebalance()
+
+
+class TestIVFRQ:
+    """Full-probe IVF-RQ must equal brute force over decoded rows —
+    the probe-independent-tables trick (stored c·ŷ cross-terms) must not
+    change any distance."""
+
+    def _decoded(self, idx):
+        return np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+
+    def test_full_probe_matches_decoded_bruteforce(self, corpus, queries):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=12, num_stages=2, num_centroids=32,
+            max_iters=4, seed=5,
+        )
+        idx.add(corpus)
+        ids, d = idx.search(queries, k=8, nprobe=12)
+        ref_ids, ref_d = brute_l2(queries, self._decoded(idx), 8)
+        np.testing.assert_allclose(
+            np.asarray(d), ref_d, rtol=2e-4, atol=2e-3
+        )
+        agree = (np.asarray(ids) == ref_ids).mean()
+        assert agree > 0.95  # near-tie order flips only
+
+    def test_non_residual_matches_decoded_bruteforce(self, corpus, queries):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=2, num_centroids=16,
+            max_iters=3, seed=6, by_residual=False,
+        )
+        idx.add(corpus)
+        ids, d = idx.search(queries, k=5, nprobe=8)
+        ref_ids, ref_d = brute_l2(queries, self._decoded(idx), 5)
+        np.testing.assert_allclose(
+            np.asarray(d), ref_d, rtol=2e-4, atol=2e-3
+        )
+
+    def test_dot_matches_decoded_bruteforce(self, corpus, queries):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=2, num_centroids=16,
+            max_iters=3, seed=7, metric="dot",
+        )
+        idx.add(corpus)
+        ids, s = idx.search(queries, k=5, nprobe=8)
+        ref_ids, ref_s = brute_dot(queries, self._decoded(idx), 5)
+        np.testing.assert_allclose(
+            np.asarray(s), ref_s, rtol=2e-4, atol=2e-3
+        )
+
+    def test_residual_beats_ivfpq_at_equal_bytes(self, corpus, queries):
+        """RQ 4x256 (4 B) should reconstruct at least as well as it does
+        raw — sanity that residual coding helps; cross-index accuracy
+        comparisons live in the serving bench."""
+        from vq_tpu import IVFRQIndex
+
+        res = IVFRQIndex.train(
+            corpus, nlist=12, num_stages=4, num_centroids=64,
+            max_iters=4, seed=8,
+        )
+        res.add(corpus)
+        raw = IVFRQIndex.train(
+            corpus, nlist=12, num_stages=4, num_centroids=64,
+            max_iters=4, seed=8, by_residual=False,
+        )
+        raw.add(corpus)
+        mse_res = np.mean(
+            (self._decoded(res) - corpus) ** 2
+        )
+        mse_raw = np.mean((self._decoded(raw) - corpus) ** 2)
+        assert mse_res <= mse_raw * 1.05
+
+    def test_beam_encoding_not_worse(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        g = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=3, num_centroids=16,
+            max_iters=3, seed=9, beam=1,
+        )
+        g.add(corpus[:1000])
+        b = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=3, num_centroids=16,
+            max_iters=3, seed=9, beam=4,
+        )
+        b.add(corpus[:1000])
+        mse_g = np.mean((np.asarray(
+            g.reconstruct(np.arange(1000))) - corpus[:1000]) ** 2)
+        mse_b = np.mean((np.asarray(
+            b.reconstruct(np.arange(1000))) - corpus[:1000]) ** 2)
+        assert mse_b <= mse_g * 1.001
+
+    def test_save_load(self, corpus, queries, tmp_path):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=2, num_centroids=16,
+            max_iters=3, seed=10, beam=2,
+        )
+        idx.add(corpus[:500])
+        p = idx.save(str(tmp_path / "ivfrq.npz"))
+        idx2 = IVFRQIndex.load(p)
+        assert idx2.beam == 2 and idx2.ntotal == 500
+        ids1, d1 = idx.search(queries, k=4, nprobe=8)
+        ids2, d2 = idx2.search(queries, k=4, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    def test_remove_ids_and_rebalance(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=6, num_stages=2, num_centroids=16,
+            max_iters=3, seed=11,
+        )
+        idx.add(corpus[:800])
+        assert idx.remove_ids([0, 1, 2]) == 3
+        assert idx.ntotal == 797
+        ids, d = idx.search(corpus[10:12], k=3, nprobe=6)
+        assert np.asarray(ids).shape == (2, 3)
+        info = idx.rebalance(target_max=128, max_iters=3)
+        assert idx.bucket_stats()["overflow_dropped"] == 0
+        # full probe still matches decoded brute force after rebalance
+        dec = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        q = corpus[20:24]
+        ids2, d2 = idx.search(q, k=4, nprobe=idx.nlist)
+        ref_ids, ref_d = brute_l2(q, dec, 4)
+        np.testing.assert_allclose(
+            np.asarray(d2), ref_d, rtol=2e-4, atol=2e-3
+        )
+
+    def test_factory_spec(self, corpus):
+        from vq_tpu import index_factory
+
+        idx = index_factory(32, "IVF8,RQ2x4", metric="l2").train(
+            corpus, max_iters=3
+        )
+        idx.add(corpus[:500])
+        ids, _ = idx.search(corpus[:3], k=4, nprobe=8)
+        assert np.asarray(ids).shape == (3, 4)
+
+    def test_errors(self, corpus):
+        from vq_tpu import IVFRQIndex
+        from vq_tpu.models.rq import ResidualQuantizer, rq_train
+
+        rq = ResidualQuantizer(
+            codebooks=rq_train(corpus, 2, 8, max_iters=2)
+        )
+        with pytest.raises(InvalidParameter):
+            IVFRQIndex(corpus[:4], rq, beam=0)
+        with pytest.raises(InvalidParameter):
+            IVFRQIndex(corpus[:4], object())
+        idx = IVFRQIndex(corpus[:4], rq)
+        with pytest.raises(EmptyInput):
+            idx.search(corpus[:1])
+        with pytest.raises(DimensionMismatch):
+            idx.add(corpus[:2, :16])

@@ -238,7 +238,7 @@ class TestIndexFactory:
         assert np.asarray(ids).shape == (2, 4)
 
     def test_bad_specs(self):
-        for spec in ("", "PQ8,Flat", "IVF16", "IVF16,RQ4", "Nope",
+        for spec in ("", "PQ8,Flat", "IVF16", "IVF16,BFlat", "Nope",
                      "PQ8x9", "IVF2x,Flat"):
             with pytest.raises(InvalidParameter):
                 index_factory(32, spec)

@@ -43,7 +43,7 @@ from vq_tpu.models.sq import PerDimScalarQuantizer, ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
 from vq_tpu.ivf import IVFPQIndex
-from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex
+from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
 from vq_tpu.ops.kmeans import (
     KMeansResult,
     kmeans_plusplus_init_device,
@@ -64,6 +64,7 @@ from vq_tpu.ops.kmeans_anisotropic import (
 )
 from vq_tpu.ops.kmeans_stepped import lloyd_stepped
 from vq_tpu.ops.kmeans_stream import lloyd_minibatch
+from vq_tpu.ops.knn import knn_graph
 from vq_tpu.ops.packing import pack_codes, unpack_codes
 from vq_tpu.search import BinaryIndex, FlatIndex, PQIndex, RQIndex, SQIndex
 from vq_tpu.transforms import (
@@ -155,9 +156,11 @@ __all__ = [
     "RQIndex",
     "pack_codes",
     "unpack_codes",
+    "knn_graph",
     "IVFPQIndex",
     "IVFFlatIndex",
     "IVFSQIndex",
+    "IVFRQIndex",
     "pq_train",
     "pq_encode",
     "pq_decode",

@@ -28,8 +28,9 @@ stage              meaning
 ``RQ4``/``RQ4x8``  additive residual codes (:class:`RQIndex`)
 ``BFlat``          packed sign bits (:class:`BinaryIndex`)
 ``IVF256,<code>``  inverted file with 256 lists over ``Flat``/``SQ8``/
-                   ``PQ...`` coding (:class:`IVFFlatIndex` /
-                   :class:`IVFSQIndex` / :class:`IVFPQIndex`)
+                   ``PQ...``/``RQ...`` coding (:class:`IVFFlatIndex` /
+                   :class:`IVFSQIndex` / :class:`IVFPQIndex` /
+                   :class:`IVFRQIndex`)
 =================  ====================================================
 """
 
@@ -53,7 +54,7 @@ def load_index(path: str):
     """Load any saved vq_tpu index, dispatching on the checkpoint kind."""
     kind, _, _ = _from_npz(path)
     from vq_tpu.ivf import IVFPQIndex
-    from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex
+    from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
     from vq_tpu.search import (
         BinaryIndex,
         FlatIndex,
@@ -72,6 +73,7 @@ def load_index(path: str):
         "ivfpq_index": IVFPQIndex.load,
         "ivfflat_index": IVFFlatIndex.load,
         "ivfsq_index": IVFSQIndex.load,
+        "ivfrq_index": IVFRQIndex.load,
         "transformed_index": TransformedIndex.load,
         "idmap_index": IdMapIndex.load,
     }
@@ -286,17 +288,19 @@ class FactoryIndex:
             if len(st) != 2:
                 raise InvalidParameter(
                     "spec", "IVF needs exactly one coding stage "
-                    "(Flat, SQ8, or PQ...)"
+                    "(Flat, SQ8, PQ..., or RQ...)"
                 )
             code = st[1]
             if code not in ("Flat", "SQ8") and not re.fullmatch(
-                r"PQ\d+(x\d+)?", code
+                r"(PQ|RQ)\d+(x\d+)?", code
             ):
                 raise InvalidParameter(
                     "spec", f"unsupported IVF coding {code!r}"
                 )
             if code.startswith("PQ"):
                 _parse_pq(code)
+            elif code.startswith("RQ"):
+                _parse_rq(code)
             return
         if len(st) != 1:
             raise InvalidParameter(
@@ -400,6 +404,15 @@ class FactoryIndex:
                 base = IVFSQIndex.train(
                     y, nlist, max_iters=max_iters, seed=seed,
                     metric=ivf_metric, max_list_size=mls,
+                )
+            elif code.startswith("RQ"):
+                from vq_tpu.ivf_flat import IVFRQIndex
+
+                s_, kk = _parse_rq(code)
+                base = IVFRQIndex.train(
+                    y, nlist, s_, kk, max_iters=max_iters, seed=seed,
+                    metric=ivf_metric, max_list_size=mls,
+                    beam=int(opts.get("beam", 1)),
                 )
             else:
                 from vq_tpu.ivf import IVFPQIndex

@@ -1,8 +1,10 @@
-"""IVF-Flat and IVF-SQ: inverted-file indexes over raw / scalar-quantized rows.
+"""IVF-Flat, IVF-SQ, and IVF-RQ: inverted-file indexes over raw /
+scalar-quantized / additive-residual-quantized rows.
 
 Together with :class:`~vq_tpu.ivf.IVFPQIndex` these complete the standard
 IVF coding ladder (the faiss ``IndexIVFFlat`` / ``IndexIVFScalarQuantizer``
-/ ``IndexIVFPQ`` family — the reference library has no index layer at all):
+/ ``IndexIVFPQ`` / ``IndexIVFResidualQuantizer`` family — the reference
+library has no index layer at all):
 
 * **IVF-Flat** — buckets hold the raw rows (f32, or bf16/f16 for half the
   HBM); probed distances are exact. The accuracy ceiling, at d·4 (or d·2)
@@ -15,6 +17,12 @@ IVF coding ladder (the faiss ``IndexIVFFlat`` / ``IndexIVFScalarQuantizer``
   (``qr·ŷ = qr·lo + (qr*step)·c`` — one MXU matmul per probed rank).
   d bytes/vector: 4× smaller than IVF-Flat, ~d/m× larger but markedly more
   accurate than IVF-PQ.
+* **IVF-RQ** — buckets hold additive RQ codes of the residual (S bytes at
+  k ≤ 256) plus two stored cross-terms (``||ŷ||²`` and ``c_list·ŷ``) that
+  make the search tables probe-independent (see
+  :func:`_ivf_rq_search_jit`); probed distances are exact distances to
+  the decoded rows. Same code bytes as IVF-PQ at m = S, better
+  reconstruction on data without coordinate-aligned structure.
 
 TPU-first structure, shared with IVF-PQ: padded dense buckets (static
 shapes, −1 = pad), coarse scan as one ``[Q, nlist]`` MXU matmul, then a
@@ -45,7 +53,7 @@ from vq_tpu.models.sq import PerDimScalarQuantizer
 from vq_tpu.ops.kmeans import assign, lloyd
 from vq_tpu.utils.serialize import _from_npz, _to_npz
 
-__all__ = ["IVFFlatIndex", "IVFSQIndex"]
+__all__ = ["IVFFlatIndex", "IVFSQIndex", "IVFRQIndex"]
 
 _STORE_DTYPES = {
     "float32": jnp.float32,
@@ -180,6 +188,76 @@ def _ivf_sq_search_jit(
             )
             qrn2 = jnp.sum(qr * qr, axis=-1)
             d = jnp.maximum(qrn2[:, None] - 2.0 * qry + sqn, 0.0)
+        return jnp.where(ids >= 0, d, jnp.inf), ids
+
+    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual")
+)
+def _ivf_rq_search_jit(
+    q: jnp.ndarray,  # [Q, d] f32
+    coarse: jnp.ndarray,  # [nlist, d]
+    codebooks: jnp.ndarray,  # [S, k, d] RQ stage codebooks
+    bucket_codes: jnp.ndarray,  # [nlist, cap, S] u8
+    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||decoded residual ŷ||²
+    bucket_cross: jnp.ndarray,  # [nlist, cap] f32 c_list·ŷ (0 non-residual)
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    nprobe: int,
+    k: int,
+    metric: str,
+    by_residual: bool,
+):
+    """Probe + additive-code ADC scan.
+
+    A stored entry decodes to ``y = [c_list +] ŷ`` with
+    ``ŷ = Σ_s C_s[code_s]``. The trick that keeps tables probe-independent:
+    ``q_r·ŷ = (q − c_list)·ŷ = Σ_s T[q, s, code_s] − c_list·ŷ`` where
+    ``T[q,s,j] = q·C_s[j]`` uses the RAW query, and ``c_list·ŷ`` is a
+    per-row constant precomputed at ``add`` time (stored alongside
+    ``||ŷ||²``, exactly like faiss's stored-norm additive indexes). So:
+
+    * L2: ``||q−y||² = ||q_r||² − 2(Tsum − cross) + ||ŷ||²`` with
+      ``||q_r||²`` analytic from the coarse scan.
+    * dot: ``q·y = [q·c_list] + Tsum``.
+
+    Exact decoded-row distances either way; the per-probe work is S
+    ``[Q, cap]`` table gathers — no per-(query, list) table rebuild.
+    """
+    Q = q.shape[0]
+    S = codebooks.shape[0]
+    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
+    tables = jnp.einsum(
+        "qd,skd->qsk", q, codebooks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, S, k]
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+    cc = jnp.sum(coarse * coarse, axis=-1)  # [nlist]
+
+    def body(p_col):  # [Q] list ids at one probe rank
+        codes = jnp.take(bucket_codes, p_col, axis=0).astype(jnp.int32)
+        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
+        cross = jnp.take(bucket_cross, p_col, axis=0)  # [Q, cap]
+        tsum = jnp.zeros(codes.shape[:2], jnp.float32)
+        for s in range(S):
+            tsum = tsum + jnp.take_along_axis(
+                tables[:, s, :], codes[:, :, s], axis=1
+            )
+        qc_sel = jnp.take_along_axis(qc, p_col[:, None], axis=1)  # [Q, 1]
+        if metric == "dot":
+            qy = tsum + (qc_sel if by_residual else 0.0)
+            d = -qy
+        else:
+            if by_residual:
+                qrn2 = qn2[:, None] - 2.0 * qc_sel + jnp.take(
+                    cc, p_col
+                )[:, None]
+            else:
+                qrn2 = qn2[:, None]
+            d = jnp.maximum(qrn2 - 2.0 * (tsum - cross) + sqn, 0.0)
         return jnp.where(ids >= 0, d, jnp.inf), ids
 
     return _merge_probe_topk(body, Q, nprobe, k, probe.T)
@@ -831,4 +909,243 @@ class IVFSQIndex(_IVFScanBase):
             f"IVFSQIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
             f"dim={self.dim}, levels={self.sq.levels}, "
             f"residual={self.by_residual}, metric={self.metric!r})"
+        )
+
+
+class IVFRQIndex(_IVFScanBase):
+    """Inverted-file index over additive residual-quantizer codes (the
+    faiss ``IndexIVFResidualQuantizer`` analog): S bytes/vector (k ≤ 256)
+    plus two stored f32 cross-terms per row (``||ŷ||²`` and ``c_list·ŷ``
+    — additive codes carry norm/cross terms per-stage tables can't
+    express, and storing ``c_list·ŷ`` keeps the search tables
+    probe-independent). Probed distances are exact distances to the
+    decoded rows. Completes the IVF coding ladder between IVF-PQ (same
+    bytes, coordinate-blocked codes) and IVF-SQ (d bytes): at equal code
+    bytes RQ reconstructs better on data without coordinate-aligned
+    structure, at identical probe-scan cost shape.
+
+    ``beam`` controls encode quality at :meth:`add` (beam-search over
+    stage combinations; 1 = greedy).
+    """
+
+    def __init__(
+        self,
+        coarse_centroids,
+        rq,
+        *,
+        metric: str = "l2",
+        by_residual: bool = True,
+        beam: int = 1,
+        max_list_size: Optional[int] = None,
+    ):
+        from vq_tpu.models.rq import ResidualQuantizer
+
+        super().__init__(
+            coarse_centroids, metric=metric, max_list_size=max_list_size
+        )
+        if not isinstance(rq, ResidualQuantizer):
+            raise InvalidParameter(
+                "rq", "IVFRQIndex requires a ResidualQuantizer"
+            )
+        if rq.dim != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=rq.dim)
+        if int(beam) < 1:
+            raise InvalidParameter("beam", "must be >= 1")
+        self.rq = rq
+        self.by_residual = bool(by_residual)
+        self.beam = int(beam)
+        self._flat_codes: Optional[jnp.ndarray] = None  # [n, S] (device)
+        self._flat_sqn: Optional[jnp.ndarray] = None  # [n] f32 ||ŷ||²
+        self._flat_cross: Optional[jnp.ndarray] = None  # [n] f32 c·ŷ
+
+    @classmethod
+    def train(
+        cls,
+        training_data,
+        nlist: int,
+        num_stages: int,
+        num_centroids: int = 256,
+        *,
+        max_iters: int = 10,
+        seed: int = 42,
+        metric: str = "l2",
+        by_residual: bool = True,
+        beam: int = 1,
+        max_list_size: Optional[int] = None,
+    ) -> "IVFRQIndex":
+        """Fit the coarse partition, then RQ stage codebooks on the
+        residuals (or raw vectors when ``by_residual=False``)."""
+        from vq_tpu.models.rq import ResidualQuantizer, rq_train
+
+        x = jnp.asarray(training_data, jnp.float32)
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        rq_in = (
+            x - jnp.take(res.centroids, res.assignments, axis=0)
+            if by_residual else x
+        )
+        rq = ResidualQuantizer(
+            codebooks=rq_train(
+                rq_in, num_stages, num_centroids, max_iters=max_iters,
+                seed=seed,
+            )
+        )
+        return cls(
+            res.centroids, rq, metric=metric, by_residual=by_residual,
+            beam=beam, max_list_size=max_list_size,
+        )
+
+    def _encode_rows(self, x, lists_j, coarse):
+        """RQ-encode residuals; returns (codes, ||ŷ||², c_list·ŷ)."""
+        c = jnp.take(jnp.asarray(coarse, jnp.float32), lists_j, axis=0)
+        enc_in = x - c if self.by_residual else x
+        codes = self.rq.encode(enc_in.astype(jnp.float32), beam=self.beam)
+        y = self.rq.decode(codes)
+        sqn = jnp.sum(y * y, axis=-1)
+        cross = (
+            jnp.sum(c * y, axis=-1) if self.by_residual
+            else jnp.zeros_like(sqn)
+        )
+        return codes, sqn, cross
+
+    def add(self, vectors) -> None:
+        """Coarse-assign, RQ-encode the residual, and append a batch."""
+        x = jnp.asarray(vectors)
+        if x.dtype not in (jnp.float16, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        x = x.astype(jnp.float32)
+        lists_j, _ = assign(x, self.coarse)
+        codes, sqn, cross = self._encode_rows(x, lists_j, self.coarse)
+        if self._flat_codes is None:
+            self._flat_codes, self._flat_sqn, self._flat_cross = (
+                codes, sqn, cross
+            )
+        else:
+            self._flat_codes = jnp.concatenate([self._flat_codes, codes])
+            self._flat_sqn = jnp.concatenate([self._flat_sqn, sqn])
+            self._flat_cross = jnp.concatenate([self._flat_cross, cross])
+        self._append_lists(lists_j)
+
+    def _compact_payload(self, mask) -> None:
+        from vq_tpu.search import _compact_rows
+
+        self._flat_codes, self._flat_sqn, self._flat_cross = _compact_rows(
+            mask, self._flat_codes, self._flat_sqn, self._flat_cross
+        )
+
+    def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
+        # Reconstruct from codes + the CURRENT (pre-rebalance) centroid.
+        return self.reconstruct(rows_idx)
+
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
+        codes, sqn, cross = self._encode_rows(
+            jnp.asarray(x, jnp.float32), jnp.asarray(new_lists), coarse_new
+        )
+        pos = jnp.asarray(rows_idx, jnp.int32)
+        self._flat_codes = self._flat_codes.at[pos].set(codes)
+        self._flat_sqn = self._flat_sqn.at[pos].set(sqn)
+        self._flat_cross = self._flat_cross.at[pos].set(cross)
+
+    def _build_buckets(self) -> dict:
+        if self._buckets is None:
+            packed, ids = _pack_buckets(
+                self._flat_lists, self.nlist, self.max_list_size,
+                {
+                    "codes": self._flat_codes,
+                    "sqn": self._flat_sqn,
+                    "cross": self._flat_cross,
+                },
+            )
+            self._buckets = {**packed, "ids": ids}
+        return self._buckets
+
+    def _scan(self, q, buckets, nprobe, k):
+        return _ivf_rq_search_jit(
+            q, self.coarse, self.rq.codebooks,
+            buckets["codes"], buckets["sqn"], buckets["cross"],
+            buckets["ids"], nprobe, k, self.metric, self.by_residual,
+        )
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Decoded rows for stored ids (additive decode + centroid)."""
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty")
+        ids = jnp.asarray(ids, jnp.int32)
+        y = self.rq.decode(jnp.take(self._flat_codes, ids, axis=0))
+        if self.by_residual:
+            y = y + jnp.take(
+                self.coarse, jnp.take(self._flat_lists, ids), axis=0
+            )
+        return y
+
+    def save(self, path: str) -> str:
+        S = self.rq.num_stages
+        return _to_npz(
+            path,
+            "ivfrq_index",
+            {
+                "metric": self.metric,
+                "by_residual": self.by_residual,
+                "beam": self.beam,
+                "max_list_size": self.max_list_size,
+            },
+            {
+                "coarse": np.asarray(self.coarse),
+                "codebooks": np.asarray(self.rq.codebooks),
+                "codes": (
+                    np.asarray(self._flat_codes)
+                    if self._flat_codes is not None
+                    else np.zeros((0, S), np.uint8)
+                ),
+                "sqn": (
+                    np.asarray(self._flat_sqn)
+                    if self._flat_sqn is not None
+                    else np.zeros((0,), np.float32)
+                ),
+                "cross": (
+                    np.asarray(self._flat_cross)
+                    if self._flat_cross is not None
+                    else np.zeros((0,), np.float32)
+                ),
+                "lists": (
+                    np.asarray(self._flat_lists)
+                    if self._flat_lists is not None
+                    else np.zeros((0,), np.int32)
+                ),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFRQIndex":
+        from vq_tpu.models.rq import ResidualQuantizer
+
+        kind, config, arrays = _from_npz(path)
+        if kind != "ivfrq_index":
+            raise InvalidData(
+                f"expected an ivfrq_index checkpoint, got {kind!r}"
+            )
+        idx = cls(
+            arrays["coarse"],
+            ResidualQuantizer(codebooks=arrays["codebooks"]),
+            metric=config["metric"],
+            by_residual=config["by_residual"],
+            beam=config.get("beam", 1),
+            max_list_size=config.get("max_list_size"),
+        )
+        if arrays["codes"].shape[0]:
+            idx._flat_codes = jnp.asarray(arrays["codes"])
+            idx._flat_sqn = jnp.asarray(arrays["sqn"])
+            idx._flat_cross = jnp.asarray(arrays["cross"])
+            idx._flat_lists = jnp.asarray(arrays["lists"])
+        return idx
+
+    def __repr__(self) -> str:
+        return (
+            f"IVFRQIndex(nlist={self.nlist}, ntotal={self.ntotal}, "
+            f"dim={self.dim}, stages={self.rq.num_stages}, "
+            f"k={self.rq.num_centroids}, residual={self.by_residual}, "
+            f"metric={self.metric!r}, beam={self.beam})"
         )
