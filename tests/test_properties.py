@@ -307,3 +307,85 @@ def test_rq_joint_solve_never_worse_for_fixed_codes(seed):
     )
     after = float(np.mean((np.asarray(rq_decode(codes, cbs2)) - data) ** 2))
     assert after <= before * (1 + 1e-4)
+
+
+@common
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(4, 120))
+def test_flat_index_matches_bruteforce(seed, n):
+    """FlatIndex top-k must equal the stable-argsort brute force (ids AND
+    distances) for every metric — the exactness contract."""
+    from vq_tpu.search import FlatIndex
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    k = min(5, n)
+    idx = FlatIndex.from_data(x)
+    ids, d = idx.search(q, k=k, chunk=max(n // 2, 1))
+    ref = ((x[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    order = np.argsort(ref, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(d),
+        np.take_along_axis(ref, np.asarray(ids), axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+    # distances agree with the reference order's distances (ids may swap
+    # only on exact ties)
+    np.testing.assert_allclose(
+        np.asarray(d), np.take_along_axis(ref, order, axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@common
+@given(seed=st.integers(0, 2**31 - 1))
+def test_flat_range_counts_equal_bruteforce(seed):
+    from vq_tpu.search import FlatIndex
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((60, 6)).astype(np.float32)
+    q = x[:4] + 0.01
+    ref = ((x[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    radius = float(np.quantile(ref, 0.3))
+    idx = FlatIndex.from_data(x)
+    _, _, counts = idx.range_search(q, radius, max_results=60)
+    expect = (ref <= radius).sum(1)
+    # f32 matmul-form boundary wobble can move a hit across the radius
+    assert (np.abs(np.asarray(counts) - expect) <= 1).all()
+
+
+@common
+@given(seed=st.integers(0, 2**31 - 1), d=st.integers(2, 24))
+def test_random_rotation_is_isometry(seed, d):
+    """Seeded rotations are orthonormal: distances and norms preserved,
+    reverse(apply(x)) == x."""
+    from vq_tpu.transforms import RotationTransform
+
+    t = RotationTransform.random(d, seed=seed)
+    r = np.asarray(t.matrix)
+    np.testing.assert_allclose(r @ r.T, np.eye(d), atol=1e-5)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((10, d)).astype(np.float32)
+    y = np.asarray(t.apply(x))
+    np.testing.assert_allclose(
+        np.linalg.norm(y, axis=1), np.linalg.norm(x, axis=1),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(t.reverse(y)), x, atol=1e-4)
+
+
+@common
+@given(seed=st.integers(0, 2**31 - 1))
+def test_pca_reverse_never_increases_error_with_more_components(seed):
+    """Reconstruction error is monotone non-increasing in d_out."""
+    from vq_tpu.transforms import PCATransform
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((80, 12)).astype(np.float32)
+    errs = []
+    for d_out in (2, 6, 12):
+        t = PCATransform(12, d_out).fit(x)
+        back = np.asarray(t.reverse(t.apply(x)))
+        errs.append(float(((back - x) ** 2).mean()))
+    assert errs[0] >= errs[1] - 1e-5 and errs[1] >= errs[2] - 1e-5
+    assert errs[2] < 1e-6  # full-rank is exact
