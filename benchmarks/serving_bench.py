@@ -19,7 +19,7 @@ N, D, NLIST = 1_000_000, 128, 1000
 Q, NPROBE, TOPK = 128, 8, 10
 RUN = set(
     os.environ.get(
-        "SERVING_BENCH_ONLY", "flat,sq,rq,ivfflat,ivfsq,ivfrq"
+        "SERVING_BENCH_ONLY", "flat,sq,rq,ivfflat,ivfsq,ivfrq,ivfbinary"
     ).split(",")
 )
 
@@ -67,6 +67,8 @@ def qps(label, fn, reps=(2, 8)):
 
 
 def top1_recall(ids, gt):
+    if gt is None:
+        return float("nan")
     import numpy as np
 
     return float((np.asarray(ids)[:, 0] == np.asarray(gt)).mean())
@@ -100,10 +102,17 @@ def exact_top1(q, x):
     return bi
 
 
-t0 = time.perf_counter()
-gt = exact_top1(queries, data)
-float(probe_sum(gt[None, :]))
-print(f"exact top-1 ground truth: {time.perf_counter()-t0:.1f} s", flush=True)
+if os.environ.get("SERVING_BENCH_SKIP_GT") == "1":
+    gt = None
+    print("ground truth skipped (SERVING_BENCH_SKIP_GT=1)", flush=True)
+else:
+    t0 = time.perf_counter()
+    gt = exact_top1(queries, data)
+    float(probe_sum(gt[None, :]))
+    print(
+        f"exact top-1 ground truth: {time.perf_counter()-t0:.1f} s",
+        flush=True,
+    )
 
 # --- coarse partition (shared) ------------------------------------------
 from vq_tpu.ops.kmeans import lloyd  # noqa: E402
@@ -164,6 +173,47 @@ if "rq" in RUN:
 from vq_tpu.ivf_flat import IVFFlatIndex, IVFSQIndex  # noqa: E402
 
 REBALANCE_MAX = int(os.environ.get("SERVING_BENCH_REBALANCE", "0"))
+# SERVING_BENCH_COMPARE=1: time the XLA bucket-gather path next to the
+# fused Pallas probe (the TPU default) and assert identical returned ids.
+COMPARE = os.environ.get("SERVING_BENCH_COMPARE") == "1"
+
+
+def compare_xla(label, idx, _ids=None):
+    if not COMPARE:
+        return
+    import numpy as np
+
+    ids_f, d_f = (
+        np.asarray(a)
+        for a in idx.search(queries, k=TOPK, nprobe=NPROBE)
+    )
+    out = [None]
+
+    def run():
+        out[0] = idx.search(
+            queries, k=TOPK, nprobe=NPROBE, use_pallas=False
+        )
+        return out[0]
+
+    qps(f"{label} [xla gather]", run)
+    ids_x, d_x = (np.asarray(a) for a in out[0])
+    # The two paths reduce the same dot products in different orders, so
+    # exact ties (duplicate/near-duplicate rows) may order differently —
+    # distances must agree, and ids must agree wherever the distance gap
+    # is above fp noise.
+    # atol 1e-2: the ||qr||^2 - 2qy + ||y||^2 assembly cancels O(100)
+    # terms, so reduction-order noise lands at ~1e-3 absolute.
+    np.testing.assert_allclose(d_x, d_f, rtol=1e-3, atol=1e-2)
+    mism = ids_x != ids_f
+    if mism.any():
+        gap = np.abs(d_x - d_f)[mism]
+        assert gap.max() <= 1e-2 + 1e-3 * np.abs(d_x[mism]).max(), (
+            f"{label}: id mismatch with non-tie distance gap {gap.max()}"
+        )
+    print(
+        f"  fused/XLA: distances match; id agreement "
+        f"{1.0 - mism.mean():.6f} (ties)", flush=True,
+    )
 
 if "ivfflat" in RUN:
     for dtype in ("float32", "bfloat16"):
@@ -181,6 +231,7 @@ if "ivfflat" in RUN:
             lambda idx=idx: idx.search(queries, k=TOPK, nprobe=NPROBE),
         )
         print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+        compare_xla(f"IVFFlat[{dtype}]", idx, ids)
         if REBALANCE_MAX:
             t0 = time.perf_counter()
             info = idx.rebalance(target_max=REBALANCE_MAX)
@@ -220,6 +271,7 @@ if "ivfsq" in RUN:
         lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
     )
     print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    compare_xla("IVFSQ", idx, ids)
     if REBALANCE_MAX:
         t0 = time.perf_counter()
         info = idx.rebalance(target_max=REBALANCE_MAX)
@@ -262,6 +314,7 @@ if "ivfrq" in RUN:
         lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
     )
     print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    compare_xla("IVFRQ", idx, ids)
     if REBALANCE_MAX:
         t0 = time.perf_counter()
         info = idx.rebalance(target_max=REBALANCE_MAX)
@@ -275,4 +328,21 @@ if "ivfrq" in RUN:
             lambda: idx.search(queries, k=TOPK, nprobe=NPROBE),
         )
         print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    del idx
+    gc.collect()
+
+# --- IVF-Binary (packed sign bits, d/8 bytes/vec) --------------------------
+if "ivfbinary" in RUN:
+    from vq_tpu.ivf_binary import IVFBinaryIndex
+
+    t0 = time.perf_counter()
+    bidx = IVFBinaryIndex(coarse)
+    bidx.add(data)
+    bidx._build_buckets()
+    print(f"IVFBinary build: {time.perf_counter()-t0:.1f} s", flush=True)
+    ids = qps(
+        f"IVFBinary nprobe={NPROBE} (d/8-byte codes)",
+        lambda: bidx.search(queries, k=TOPK, nprobe=NPROBE),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
 print("done", flush=True)

@@ -272,3 +272,81 @@ def test_ivf_probe_u8_codes_boundary(rng):
     want0 = tables[np.arange(qp), :, 255].sum(axis=1)  # slot 0: all-255 codes
     np.testing.assert_allclose(d_u8[:, 0], want0, rtol=1e-5)
     assert d_u8.shape == (qp, cap)
+
+
+class TestFusedIVFScanParity:
+    """The fused probe paths (interpret mode) must reproduce the XLA
+    bucket-gather scans exactly for every IVF variant and metric."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(7)
+        return rng.normal(0, 1, (2000, 24)).astype(np.float32)
+
+    def _check(self, idx, q, nprobe, k=6):
+        ids_x, d_x = idx.search(q, k=k, nprobe=nprobe, use_pallas=False)
+        ids_p, d_p = idx.search(
+            q, k=k, nprobe=nprobe, use_pallas=True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ids_x), np.asarray(ids_p))
+        np.testing.assert_allclose(
+            np.asarray(d_x), np.asarray(d_p), rtol=1e-5, atol=1e-5
+        )
+
+    def test_ivf_flat_l2_and_dot(self, corpus):
+        from vq_tpu import IVFFlatIndex
+
+        q = corpus[:5] + 0.01
+        for metric in ("l2", "dot"):
+            idx = IVFFlatIndex.train(corpus, nlist=10, seed=1, metric=metric)
+            idx.add(corpus)
+            self._check(idx, q, nprobe=4)
+
+    def test_ivf_flat_bf16_rows(self, corpus):
+        from vq_tpu import IVFFlatIndex
+
+        idx = IVFFlatIndex.train(
+            corpus, nlist=8, seed=2, store_dtype="bfloat16"
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:4], nprobe=3)
+
+    def test_ivf_sq_residual_and_raw(self, corpus):
+        from vq_tpu import IVFSQIndex
+
+        q = corpus[:5] + 0.01
+        for br in (True, False):
+            idx = IVFSQIndex.train(
+                corpus, nlist=10, seed=3, by_residual=br
+            )
+            idx.add(corpus)
+            self._check(idx, q, nprobe=4)
+
+    def test_ivf_sq_dot(self, corpus):
+        from vq_tpu import IVFSQIndex
+
+        idx = IVFSQIndex.train(corpus, nlist=8, seed=4, metric="dot")
+        idx.add(corpus)
+        self._check(idx, corpus[:4], nprobe=8)
+
+    def test_ivf_rq_residual_and_raw(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        q = corpus[:5] + 0.01
+        for br in (True, False):
+            idx = IVFRQIndex.train(
+                corpus, nlist=10, num_stages=2, num_centroids=16,
+                max_iters=3, seed=5, by_residual=br,
+            )
+            idx.add(corpus)
+            self._check(idx, q, nprobe=4)
+
+    def test_ivf_rq_dot(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=8, num_stages=2, num_centroids=16,
+            max_iters=3, seed=6, metric="dot",
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:4], nprobe=8)

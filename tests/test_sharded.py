@@ -264,3 +264,106 @@ class TestShardedFlatIndexSearch:
         ids_1, _ = idx.search(data[:4], k=3)
         ids_s, _ = sharded_flat_search(idx, data[:4], k=3, chunk=128)
         np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+
+
+class TestShardedIVFScanSearch:
+    """List-sharded IVF-Flat / IVF-SQ / IVF-RQ serving must reproduce the
+    single-device searches bit-for-bit (same scan-body code by
+    construction — vq_tpu/parallel/ivf_scan.py)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(61)
+        centers = rng.normal(0, 3.0, (16, 24)).astype(np.float32)
+        which = rng.integers(0, 16, 3000)
+        return (centers[which] + rng.normal(0, 0.2, (3000, 24))).astype(
+            np.float32
+        )
+
+    def _check(self, idx, q, k=6, nprobe=5):
+        from vq_tpu.parallel import sharded_ivf_scan_search
+
+        ids_1, d_1 = idx.search(q, k=k, nprobe=nprobe, use_pallas=False)
+        ids_s, d_s = sharded_ivf_scan_search(idx, q, k=k, nprobe=nprobe)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(d_s), np.asarray(d_1), rtol=1e-4, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("metric", ["l2", "dot"])
+    def test_ivf_flat(self, corpus, metric):
+        from vq_tpu import IVFFlatIndex
+
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=1, metric=metric)
+        idx.add(corpus)
+        self._check(idx, corpus[:9] + 0.01)
+
+    def test_ivf_flat_bf16_and_odd_nlist(self, corpus):
+        from vq_tpu import IVFFlatIndex
+
+        # 13 lists over 8 devices -> padded to 16 with empty lists.
+        idx = IVFFlatIndex.train(
+            corpus, nlist=13, seed=2, store_dtype="bfloat16"
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:5], nprobe=13)
+
+    @pytest.mark.parametrize("by_residual", [True, False])
+    def test_ivf_sq(self, corpus, by_residual):
+        from vq_tpu import IVFSQIndex
+
+        idx = IVFSQIndex.train(
+            corpus, nlist=16, seed=3, by_residual=by_residual
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:7] + 0.01)
+
+    def test_ivf_sq_dot(self, corpus):
+        from vq_tpu import IVFSQIndex
+
+        idx = IVFSQIndex.train(corpus, nlist=16, seed=4, metric="dot")
+        idx.add(corpus)
+        self._check(idx, corpus[:5], nprobe=16)
+
+    @pytest.mark.parametrize("by_residual", [True, False])
+    def test_ivf_rq(self, corpus, by_residual):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=16, num_stages=2, num_centroids=16,
+            max_iters=3, seed=5, by_residual=by_residual,
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:7] + 0.01)
+
+    def test_ivf_rq_dot(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=16, num_stages=2, num_centroids=16,
+            max_iters=3, seed=6, metric="dot",
+        )
+        idx.add(corpus)
+        self._check(idx, corpus[:5], nprobe=16)
+
+    def test_pool_smaller_than_k_pads(self, corpus):
+        from vq_tpu import IVFFlatIndex
+        from vq_tpu.parallel import sharded_ivf_scan_search
+
+        idx = IVFFlatIndex.train(corpus[:64], nlist=16, seed=7)
+        idx.add(corpus[:64])
+        ids, d = sharded_ivf_scan_search(idx, corpus[:3], k=50, nprobe=1)
+        assert ids.shape == (3, 50)
+        assert int((np.asarray(ids) == -1).sum()) > 0
+        assert np.isinf(np.asarray(d)).any()
+
+    def test_rejects_pq_index(self, corpus):
+        from vq_tpu.ivf import IVFPQIndex
+        from vq_tpu.parallel import sharded_ivf_scan_search
+
+        idx = IVFPQIndex.train(
+            corpus, nlist=8, num_subspaces=4, num_centroids=16, max_iters=3
+        )
+        idx.add(corpus)
+        with pytest.raises(TypeError):
+            sharded_ivf_scan_search(idx, corpus[:2], k=3)

@@ -98,25 +98,31 @@ def _merge_probe_topk(body, Q: int, nprobe: int, fetch: int, probe_axis_xs):
     return best_i, best_d
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
-def _ivf_flat_search_jit(
-    q: jnp.ndarray,  # [Q, d] f32
-    coarse: jnp.ndarray,  # [nlist, d]
-    bucket_rows: jnp.ndarray,  # [nlist, cap, d] f32/bf16/f16
-    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||stored row||²
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
-    nprobe: int,
-    k: int,
-    metric: str,
-):
-    Q = q.shape[0]
-    probe, _ = _coarse_probe(q, coarse, nprobe, metric)
-    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+def _flat_topk(d: jnp.ndarray, ids: jnp.ndarray, k: int):
+    """Top-k over the flattened [Q, nprobe, cap] probe pool
+    (smaller-is-better; pads already inf-masked)."""
+    Q = d.shape[0]
+    neg, pos = jax.lax.top_k(-d.reshape(Q, -1), k)
+    return jnp.take_along_axis(ids.reshape(Q, -1), pos, axis=1), -neg
 
-    def body(p_col):  # [Q] list ids at one probe rank
-        rows = jnp.take(bucket_rows, p_col, axis=0).astype(jnp.float32)
-        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
+
+# ---------------------------------------------------------------------------
+# Per-probe-rank scan bodies, shared by the single-device lax.scan search
+# and the list-sharded multi-device search (vq_tpu/parallel/ivf_scan.py).
+# Each maker closes over the query-side precomputations and the bucket
+# arrays and returns ``body(pg, pl) -> (d [Q, cap] inf-masked, ids)``:
+# ``pg`` are GLOBAL list ids (index replicated arrays: coarse, qc, cc),
+# ``pl`` index the bucket arrays — identical to ``pg`` on one device,
+# shard-local (pre-clamped) under shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids):
+    def body(pg, pl):
+        del pg
+        rows = jnp.take(bucket_rows, pl, axis=0).astype(jnp.float32)
+        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
         qy = jnp.einsum(
             "qd,qcd->qc", q, rows,
             preferred_element_type=jnp.float32,
@@ -128,11 +134,128 @@ def _ivf_flat_search_jit(
             d = jnp.maximum(qn2[:, None] - 2.0 * qy + sqn, 0.0)
         return jnp.where(ids >= 0, d, jnp.inf), ids
 
-    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+    return body
+
+
+def _sq_scan_body(
+    q, qc, coarse, lo, step, metric, by_residual,
+    bucket_codes, bucket_sqn, bucket_ids,
+):
+    def body(pg, pl):
+        codes = jnp.take(bucket_codes, pl, axis=0).astype(jnp.float32)
+        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
+        if metric == "dot":
+            qs = q * step[None, :]
+            qy = (q @ lo)[:, None] + jnp.einsum(
+                "qd,qcd->qc", qs, codes,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if by_residual:
+                qy = qy + jnp.take_along_axis(
+                    qc, pg[:, None], axis=1
+                )  # + q·c_probe
+            d = -qy
+        else:
+            qr = (
+                q - jnp.take(coarse, pg, axis=0) if by_residual else q
+            )  # [Q, d]
+            qry = (qr @ lo)[:, None] + jnp.einsum(
+                "qd,qcd->qc", qr * step[None, :], codes,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            qrn2 = jnp.sum(qr * qr, axis=-1)
+            d = jnp.maximum(qrn2[:, None] - 2.0 * qry + sqn, 0.0)
+        return jnp.where(ids >= 0, d, jnp.inf), ids
+
+    return body
+
+
+def _rq_scan_body(
+    q, qn2, qc, cc, tables, metric, by_residual,
+    bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+):
+    S = bucket_codes.shape[-1]
+
+    def body(pg, pl):
+        codes = jnp.take(bucket_codes, pl, axis=0).astype(jnp.int32)
+        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
+        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
+        cross = jnp.take(bucket_cross, pl, axis=0)  # [Q, cap]
+        tsum = jnp.zeros(codes.shape[:2], jnp.float32)
+        for s in range(S):
+            tsum = tsum + jnp.take_along_axis(
+                tables[:, s, :], codes[:, :, s], axis=1
+            )
+        qc_sel = jnp.take_along_axis(qc, pg[:, None], axis=1)  # [Q, 1]
+        if metric == "dot":
+            qy = tsum + (qc_sel if by_residual else 0.0)
+            d = -qy
+        else:
+            if by_residual:
+                qrn2 = qn2[:, None] - 2.0 * qc_sel + jnp.take(
+                    cc, pg
+                )[:, None]
+            else:
+                qrn2 = qn2[:, None]
+            d = jnp.maximum(qrn2 - 2.0 * (tsum - cross) + sqn, 0.0)
+        return jnp.where(ids >= 0, d, jnp.inf), ids
+
+    return body
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual")
+    jax.jit, static_argnames=("nprobe", "k", "metric", "use_pallas", "interpret")
+)
+def _ivf_flat_search_jit(
+    q: jnp.ndarray,  # [Q, d] f32
+    coarse: jnp.ndarray,  # [nlist, d]
+    bucket_rows: jnp.ndarray,  # [nlist, cap, d] f32/bf16/f16
+    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||stored row||²
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    nprobe: int,
+    k: int,
+    metric: str,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    Q, d_ = q.shape
+    probe, _ = _coarse_probe(q, coarse, nprobe, metric)
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+
+    if use_pallas:
+        # Fused probe: scalar-prefetched list ids DMA each probed list's
+        # rows straight into VMEM at stored width — no [Q, np, cap, d]
+        # HBM gather.
+        from vq_tpu.ops.pallas_kernels import ivf_probe_matvec_fused
+
+        qvecs = jnp.broadcast_to(
+            q[:, None, :], (Q, nprobe, d_)
+        ).reshape(-1, d_)
+        qy = ivf_probe_matvec_fused(
+            qvecs, probe.reshape(-1), bucket_rows, interpret=interpret
+        ).reshape(Q, nprobe, -1)
+        ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
+        if metric == "dot":
+            d = -qy
+        else:
+            sqn = jnp.take(bucket_sqn, probe, axis=0)
+            d = jnp.maximum(qn2[:, None, None] - 2.0 * qy + sqn, 0.0)
+        return _flat_topk(jnp.where(ids >= 0, d, jnp.inf), ids, k)
+
+    body = _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids)
+    return _merge_probe_topk(
+        lambda p: body(p, p), Q, nprobe, k, probe.T
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "metric", "by_residual", "use_pallas", "interpret"
+    ),
 )
 def _ivf_sq_search_jit(
     q: jnp.ndarray,  # [Q, d] f32
@@ -146,6 +269,8 @@ def _ivf_sq_search_jit(
     k: int,
     metric: str,
     by_residual: bool,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Probe + asymmetric SQ scan.
 
@@ -158,43 +283,59 @@ def _ivf_sq_search_jit(
 
     Exact decoded-row distances either way (``||ŷ||²`` is stored exact).
     """
-    Q = q.shape[0]
+    Q, d_ = q.shape
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
 
-    def body(p_col):  # [Q] list ids at one probe rank
-        codes = jnp.take(bucket_codes, p_col, axis=0).astype(jnp.float32)
-        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
+    if use_pallas:
+        # Fused probe over u8 codes (quarter the DMA bytes of f32 rows);
+        # the affine offsets (qr·lo, norms) assemble outside on [Q, cap]
+        # shapes. The left vectors carry the residual shift per
+        # (query, probe) pair, so one kernel serves both codings.
+        from vq_tpu.ops.pallas_kernels import ivf_probe_matvec_fused
+
+        ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
+        sqn = jnp.take(bucket_sqn, probe, axis=0)
         if metric == "dot":
-            qs = q * step[None, :]
-            qy = (q @ lo)[:, None] + jnp.einsum(
-                "qd,qcd->qc", qs, codes,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            lhs = jnp.broadcast_to(
+                (q * step[None, :])[:, None, :], (Q, nprobe, d_)
             )
+            partial = ivf_probe_matvec_fused(
+                lhs.reshape(-1, d_), probe.reshape(-1), bucket_codes,
+                interpret=interpret,
+            ).reshape(Q, nprobe, -1)
+            qy = (q @ lo)[:, None, None] + partial
             if by_residual:
-                qy = qy + jnp.take_along_axis(
-                    qc, p_col[:, None], axis=1
-                )  # + q·c_probe
+                qy = qy + jnp.take_along_axis(qc, probe, axis=1)[..., None]
             d = -qy
         else:
             qr = (
-                q - jnp.take(coarse, p_col, axis=0) if by_residual else q
-            )  # [Q, d]
-            qry = (qr @ lo)[:, None] + jnp.einsum(
-                "qd,qcd->qc", qr * step[None, :], codes,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            qrn2 = jnp.sum(qr * qr, axis=-1)
-            d = jnp.maximum(qrn2[:, None] - 2.0 * qry + sqn, 0.0)
-        return jnp.where(ids >= 0, d, jnp.inf), ids
+                q[:, None, :] - jnp.take(coarse, probe, axis=0)
+                if by_residual
+                else jnp.broadcast_to(q[:, None, :], (Q, nprobe, d_))
+            )  # [Q, np, d]
+            partial = ivf_probe_matvec_fused(
+                (qr * step[None, None, :]).reshape(-1, d_),
+                probe.reshape(-1), bucket_codes, interpret=interpret,
+            ).reshape(Q, nprobe, -1)
+            qry = (qr @ lo)[..., None] + partial
+            qrn2 = jnp.sum(qr * qr, axis=-1)  # [Q, np]
+            d = jnp.maximum(qrn2[..., None] - 2.0 * qry + sqn, 0.0)
+        return _flat_topk(jnp.where(ids >= 0, d, jnp.inf), ids, k)
 
-    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+    body = _sq_scan_body(
+        q, qc, coarse, lo, step, metric, by_residual,
+        bucket_codes, bucket_sqn, bucket_ids,
+    )
+    return _merge_probe_topk(
+        lambda p: body(p, p), Q, nprobe, k, probe.T
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual")
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "metric", "by_residual", "use_pallas", "interpret"
+    ),
 )
 def _ivf_rq_search_jit(
     q: jnp.ndarray,  # [Q, d] f32
@@ -208,6 +349,8 @@ def _ivf_rq_search_jit(
     k: int,
     metric: str,
     by_residual: bool,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Probe + additive-code ADC scan.
 
@@ -236,31 +379,44 @@ def _ivf_rq_search_jit(
     qn2 = jnp.sum(q * q, axis=-1)  # [Q]
     cc = jnp.sum(coarse * coarse, axis=-1)  # [nlist]
 
-    def body(p_col):  # [Q] list ids at one probe rank
-        codes = jnp.take(bucket_codes, p_col, axis=0).astype(jnp.int32)
-        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, p_col, axis=0)  # [Q, cap]
-        cross = jnp.take(bucket_cross, p_col, axis=0)  # [Q, cap]
-        tsum = jnp.zeros(codes.shape[:2], jnp.float32)
-        for s in range(S):
-            tsum = tsum + jnp.take_along_axis(
-                tables[:, s, :], codes[:, :, s], axis=1
-            )
-        qc_sel = jnp.take_along_axis(qc, p_col[:, None], axis=1)  # [Q, 1]
+    if use_pallas:
+        # The tables are probe-INDEPENDENT (raw-query dots; the stored
+        # c_list·ŷ cross-terms carry the residual shift), so the fused
+        # ADC probe kernel applies directly — tables just replicate per
+        # probe slot.
+        from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
+
+        kk = tables.shape[-1]
+        tab_rep = jnp.broadcast_to(
+            tables[:, None], (Q, nprobe, S, kk)
+        ).reshape(Q * nprobe, S, kk)
+        tsum = ivf_probe_adc_fused(
+            tab_rep, probe.reshape(-1), bucket_codes, interpret=interpret
+        ).reshape(Q, nprobe, -1)  # [Q, np, cap]
+        ids = jnp.take(bucket_ids, probe, axis=0)
+        sqn = jnp.take(bucket_sqn, probe, axis=0)
+        cross = jnp.take(bucket_cross, probe, axis=0)
+        qc_sel = jnp.take_along_axis(qc, probe, axis=1)  # [Q, np]
         if metric == "dot":
-            qy = tsum + (qc_sel if by_residual else 0.0)
+            qy = tsum + (qc_sel[..., None] if by_residual else 0.0)
             d = -qy
         else:
             if by_residual:
-                qrn2 = qn2[:, None] - 2.0 * qc_sel + jnp.take(
-                    cc, p_col
-                )[:, None]
+                qrn2 = (
+                    qn2[:, None] - 2.0 * qc_sel + jnp.take(cc, probe)
+                )[..., None]
             else:
-                qrn2 = qn2[:, None]
+                qrn2 = qn2[:, None, None]
             d = jnp.maximum(qrn2 - 2.0 * (tsum - cross) + sqn, 0.0)
-        return jnp.where(ids >= 0, d, jnp.inf), ids
+        return _flat_topk(jnp.where(ids >= 0, d, jnp.inf), ids, k)
 
-    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+    body = _rq_scan_body(
+        q, qn2, qc, cc, tables, metric, by_residual,
+        bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+    )
+    return _merge_probe_topk(
+        lambda p: body(p, p), Q, nprobe, k, probe.T
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "cap"))
@@ -524,19 +680,34 @@ class _IVFScanBase:
         return q
 
     def search(
-        self, queries, k: int = 10, *, nprobe: int = 8
+        self,
+        queries,
+        k: int = 10,
+        *,
+        nprobe: int = 8,
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k ``(ids, values)``. Values are squared-L2 distances
         (ascending, ``inf`` pad) for ``metric="l2"`` and inner-product
         scores (descending, ``-inf`` pad) for ``metric="dot"``; ids of −1
-        mean fewer than k candidates existed in the probed lists."""
+        mean fewer than k candidates existed in the probed lists.
+
+        ``use_pallas`` (default: auto — on for the TPU backend) routes the
+        probe through the fused scalar-prefetch kernel instead of the XLA
+        bucket gather; results are identical."""
         if self._flat_lists is None:
             raise EmptyInput("index is empty — add() vectors first")
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         buckets = self._build_buckets()
         q = self._check_query(queries)
         nprobe = min(int(nprobe), self.nlist)
         pool = nprobe * int(buckets["ids"].shape[1])
-        ids, dist = self._scan(q, buckets, nprobe, min(int(k), pool))
+        ids, dist = self._scan(
+            q, buckets, nprobe, min(int(k), pool),
+            bool(use_pallas), bool(interpret),
+        )
         ids = jnp.where(jnp.isinf(dist), -1, ids)
         if ids.shape[1] < k:  # pool smaller than k: pad out the contract
             pad = k - ids.shape[1]
@@ -643,10 +814,10 @@ class IVFFlatIndex(_IVFScanBase):
             }
         return self._buckets
 
-    def _scan(self, q, buckets, nprobe, k):
+    def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
         return _ivf_flat_search_jit(
             q, self.coarse, buckets["rows"], buckets["sqn"],
-            buckets["ids"], nprobe, k, self.metric,
+            buckets["ids"], nprobe, k, self.metric, use_pallas, interpret,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -831,11 +1002,11 @@ class IVFSQIndex(_IVFScanBase):
             }
         return self._buckets
 
-    def _scan(self, q, buckets, nprobe, k):
+    def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
         return _ivf_sq_search_jit(
             q, self.coarse, self.sq.mins, self.sq.steps,
             buckets["codes"], buckets["sqn"], buckets["ids"],
-            nprobe, k, self.metric, self.by_residual,
+            nprobe, k, self.metric, self.by_residual, use_pallas, interpret,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -1062,11 +1233,12 @@ class IVFRQIndex(_IVFScanBase):
             self._buckets = {**packed, "ids": ids}
         return self._buckets
 
-    def _scan(self, q, buckets, nprobe, k):
+    def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
         return _ivf_rq_search_jit(
             q, self.coarse, self.rq.codebooks,
             buckets["codes"], buckets["sqn"], buckets["cross"],
             buckets["ids"], nprobe, k, self.metric, self.by_residual,
+            use_pallas, interpret,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:

@@ -44,6 +44,7 @@ __all__ = [
     "pq_lloyd_accumulate_fused",
     "adc_lookup_fused",
     "ivf_probe_adc_fused",
+    "ivf_probe_matvec_fused",
 ]
 
 
@@ -710,6 +711,123 @@ def ivf_probe_adc_fused(
     tables = jnp.asarray(tables, jnp.float32)
     probe = jnp.asarray(probe)
     return _ivf_probe_adc_jit(tables, probe, bucket_codes, bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused IVF probe matvec: per-(query, probe) vectors [QP, d] x probed lists'
+# payload rows (selected by scalar-prefetched list ids) -> dots [QP, cap]
+# ---------------------------------------------------------------------------
+
+
+def _ivf_matvec_kernel(probe_ref, q_ref, *refs, cap_tile, cap):
+    """8 (query, probe-slot) pairs x one cap tile per grid step.
+
+    The generalization of :func:`_ivf_probe_kernel` from table lookups to
+    raw dot products: each probed list's ``[cap_tile, d]`` payload rows
+    are DMA'd straight into VMEM at STORED width (f32 / bf16 / f16 rows
+    for IVF-Flat, u8 codes for IVF-SQ — half / quarter the bytes) and one
+    ``[1, d] x [d, cap_tile]`` MXU matvec per pair computes
+    ``lhs · row`` for every row of the tile. The XLA formulation instead
+    gathers ``[Q, nprobe, cap, d]`` through HBM (write + re-read) before
+    its einsum — the same mega-gather that made round-1 IVF-PQ 20x slower
+    than a flat scan. Distance assembly (norm terms, affine offsets,
+    id masking, top-k) stays outside where it's cheap ``[Q, cap]`` work.
+    """
+    del probe_ref  # consumed by the BlockSpec index maps
+    payload_refs, out_ref = refs[:_IVF_PAIRS_PER_STEP], refs[-1]
+    pos = pl.program_id(1) * cap_tile + jax.lax.broadcasted_iota(
+        jnp.int32, (1, cap_tile), 1
+    )
+    lane_valid = pos < cap  # [1, cap_tile]
+    for j in range(_IVF_PAIRS_PER_STEP):
+        rows = payload_refs[j][0]  # [cap_tile, d] at stored width
+        if jnp.issubdtype(rows.dtype, jnp.integer):
+            # Mosaic has no direct u8 -> f32 cast; hop through i32.
+            rows = rows.astype(jnp.int32)
+        rows = rows.astype(jnp.float32)
+        dot = jax.lax.dot_general(
+            q_ref[j][None, :], rows,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )  # [1, cap_tile]
+        out_ref[j, :] = jnp.where(lane_valid, dot, 0.0)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ivf_probe_matvec_jit(qvecs, probe, payload, interpret: bool):
+    qp, d = qvecs.shape
+    nlist, cap, _ = payload.shape
+    d_pad = _round_up(d, 128)
+    itemsize = jnp.dtype(payload.dtype).itemsize
+    # VMEM budget: 8 payload tiles of [cap_tile, d_pad] at stored width,
+    # capped at ~4 MB so deep rows (d=1536) still fit alongside the f32
+    # upcast the matvec makes per pair.
+    budget = 4 * 1024 * 1024
+    cap_tile = max(
+        128,
+        min(
+            _IVF_CAP_TILE,
+            (budget // (_IVF_PAIRS_PER_STEP * d_pad * itemsize)) // 128 * 128,
+        ),
+    )
+    cap_tile = min(cap_tile, _round_up(cap, 128))
+    cap_pad = _round_up(cap, cap_tile)
+    P = _IVF_PAIRS_PER_STEP
+    qp_pad = _round_up(qp, P)
+    q = jnp.pad(
+        qvecs.astype(jnp.float32), ((0, qp_pad - qp), (0, d_pad - d))
+    )
+    probe_flat = jnp.pad(
+        probe.reshape(-1).astype(jnp.int32), (0, qp_pad - qp)
+    )
+    payload = jnp.pad(
+        payload, ((0, 0), (0, cap_pad - cap), (0, d_pad - d))
+    )
+
+    def payload_spec(j):
+        return pl.BlockSpec(
+            (1, cap_tile, d_pad), lambda i, c, pr, j=j: (pr[i * P + j], c, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp_pad // P, cap_pad // cap_tile),
+        in_specs=[
+            pl.BlockSpec((P, d_pad), lambda i, c, pr: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[payload_spec(j) for j in range(P)],
+        ],
+        out_specs=pl.BlockSpec((P, cap_tile), lambda i, c, pr: (i, c),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _ivf_matvec_kernel, cap_tile=cap_tile, cap=cap
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qp_pad, cap_pad), jnp.float32),
+        interpret=interpret,
+    )(probe_flat, q, *([payload] * P))
+    return out[:qp, :cap]
+
+
+def ivf_probe_matvec_fused(
+    qvecs, probe, payload, interpret: bool = False
+) -> jnp.ndarray:
+    """Dot products between per-(query, probe-slot) vectors and every row
+    of the probed lists, without the big HBM gather.
+
+    ``qvecs``: ``[QP, d]`` f32 left vectors (already residual-shifted /
+    step-scaled as the caller's decomposition needs); ``probe``: ``[QP]``
+    int list ids; ``payload``: ``[nlist, cap, d]`` rows at stored width
+    (f32/bf16/f16 raw rows, or u8 SQ codes — upcast in VMEM). Returns
+    ``[QP, cap]`` f32 dots (padded lanes 0 — mask with bucket ids
+    outside).
+    """
+    qvecs = jnp.asarray(qvecs, jnp.float32)
+    probe = jnp.asarray(probe)
+    return _ivf_probe_matvec_jit(qvecs, probe, payload, bool(interpret))
 
 
 # ---------------------------------------------------------------------------
