@@ -27,6 +27,9 @@ stage              meaning
 ``PQ8``/``PQ8x4``  product codes, m x 2^nbits (:class:`PQIndex`)
 ``RQ4``/``RQ4x8``  additive residual codes (:class:`RQIndex`)
 ``BFlat``          packed sign bits (:class:`BinaryIndex`)
+``BIVF256``        inverted file over packed sign bits
+                   (:class:`~vq_tpu.ivf_binary.IVFBinaryIndex`; the
+                   faiss ``index_binary_factory`` ``BIVF`` spec)
 ``IVF256,<code>``  inverted file with 256 lists over ``Flat``/``SQ8``/
                    ``PQ...``/``RQ...`` coding (:class:`IVFFlatIndex` /
                    :class:`IVFSQIndex` / :class:`IVFPQIndex` /
@@ -54,6 +57,7 @@ def load_index(path: str):
     """Load any saved vq_tpu index, dispatching on the checkpoint kind."""
     kind, _, _ = _from_npz(path)
     from vq_tpu.ivf import IVFPQIndex
+    from vq_tpu.ivf_binary import IVFBinaryIndex
     from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
     from vq_tpu.search import (
         BinaryIndex,
@@ -74,6 +78,7 @@ def load_index(path: str):
         "ivfflat_index": IVFFlatIndex.load,
         "ivfsq_index": IVFSQIndex.load,
         "ivfrq_index": IVFRQIndex.load,
+        "ivfbinary_index": IVFBinaryIndex.load,
         "transformed_index": TransformedIndex.load,
         "idmap_index": IdMapIndex.load,
     }
@@ -308,6 +313,8 @@ class FactoryIndex:
             )
         if head in ("Flat", "SQfp16", "SQbf16", "SQ8", "BFlat"):
             return
+        if re.fullmatch(r"BIVF\d+", head):  # faiss index_binary_factory
+            return
         if head.startswith("PQ"):
             _parse_pq(head)
             return
@@ -431,6 +438,20 @@ class FactoryIndex:
             )
         elif head == "BFlat":
             base = BinaryIndex(d, keep_corpus=keep_corpus)
+        elif head.startswith("BIVF"):
+            from vq_tpu.ivf_binary import IVFBinaryIndex
+
+            if metric != "squared_euclidean":
+                raise InvalidParameter(
+                    "metric",
+                    "BIVF searches Hamming space (coarse probe is L2); "
+                    f"metric {metric!r} is not supported",
+                )
+            base = IVFBinaryIndex.train(
+                y, int(head[4:]), max_iters=max_iters, seed=seed,
+                max_list_size=opts.get("max_list_size"),
+                keep_corpus=keep_corpus,
+            )
         elif head == "SQ8":
             from vq_tpu.models.sq import PerDimScalarQuantizer
 
