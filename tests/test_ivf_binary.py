@@ -155,3 +155,27 @@ class TestLifecycle:
         f.add(corpus)
         ids, d = f.search(corpus[:3], k=4, nprobe=6)
         assert np.asarray(ids).shape == (3, 4)
+
+
+class TestRangeSearch:
+    def test_full_probe_matches_brute_hamming(self, corpus, idx):
+        q = corpus[:5] + 0.05
+        qp = np.asarray(pack_bits(q >= 0.0))
+        allp = np.asarray(idx._packed)
+        ham = np.asarray(hamming_distance(qp, allp))  # [Q, n]
+        r = 4.0
+        ids, vals, counts = idx.range_search(
+            q, r, nprobe=idx.nlist, max_results=2048
+        )
+        ids, vals, counts = (np.asarray(a) for a in (ids, vals, counts))
+        np.testing.assert_array_equal(counts, (ham <= r).sum(axis=1))
+        for row in range(q.shape[0]):
+            got = set(ids[row][ids[row] >= 0].tolist())
+            want = set(np.where(ham[row] <= r)[0].tolist())
+            assert got == want
+
+    def test_partial_probe_counts(self, corpus, idx):
+        q = corpus[:4]
+        _, _, c_full = idx.range_search(q, 6.0, nprobe=idx.nlist)
+        _, _, c_part = idx.range_search(q, 6.0, nprobe=2)
+        assert (np.asarray(c_part) <= np.asarray(c_full)).all()

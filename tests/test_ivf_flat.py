@@ -448,3 +448,110 @@ class TestIVFRQ:
             idx.search(corpus[:1])
         with pytest.raises(DimensionMismatch):
             idx.add(corpus[:2, :16])
+
+
+class TestIVFRangeSearch:
+    """range_search on the IVF scan ladder: full-probe results must equal
+    the brute-force radius scan over the decoded corpus; partial probes
+    return a subset with true probed-hit counts."""
+
+    def _decoded(self, idx, n):
+        return np.asarray(idx.reconstruct(np.arange(n)))
+
+    def _brute_hits(self, q, y, radius):
+        d = np.sum((y[None] - q[:, None]) ** 2, axis=-1)
+        return d, d <= radius
+
+    def _check_full_probe(self, idx, q, radius, max_results=256):
+        n = idx.ntotal
+        y = self._decoded(idx, n)
+        d, hits = self._brute_hits(np.asarray(q), y, radius)
+        ids, vals, counts = idx.range_search(
+            q, radius, nprobe=idx.nlist, max_results=max_results
+        )
+        ids, vals, counts = (np.asarray(a) for a in (ids, vals, counts))
+        np.testing.assert_array_equal(counts, hits.sum(axis=1))
+        for r in range(q.shape[0]):
+            got = set(ids[r][ids[r] >= 0].tolist())
+            want = set(np.where(hits[r])[0].tolist())
+            assert got == want  # counts <= max_results here
+            for c in range(max_results):
+                i = ids[r, c]
+                if i < 0:
+                    assert np.isinf(vals[r, c])
+                else:
+                    np.testing.assert_allclose(
+                        vals[r, c], d[r, i], rtol=1e-4, atol=1e-4
+                    )
+
+    def test_ivf_flat_full_probe(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=10, seed=1)
+        idx.add(corpus)
+        self._check_full_probe(idx, queries[:6], radius=20.0)
+
+    def test_ivf_sq_full_probe(self, corpus, queries):
+        idx = IVFSQIndex.train(corpus, nlist=10, seed=2)
+        idx.add(corpus)
+        self._check_full_probe(idx, queries[:6], radius=20.0)
+
+    def test_ivf_rq_full_probe(self, corpus, queries):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=10, num_stages=2, num_centroids=16,
+            max_iters=3, seed=3,
+        )
+        idx.add(corpus)
+        self._check_full_probe(idx, queries[:6], radius=20.0)
+
+    def test_partial_probe_is_subset(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=10, seed=4)
+        idx.add(corpus)
+        q = queries[:8]
+        ids_f, _, counts_f = idx.range_search(
+            q, 15.0, nprobe=idx.nlist, max_results=512
+        )
+        ids_p, _, counts_p = idx.range_search(
+            q, 15.0, nprobe=2, max_results=512
+        )
+        assert (np.asarray(counts_p) <= np.asarray(counts_f)).all()
+        for r in range(q.shape[0]):
+            full = set(np.asarray(ids_f)[r][np.asarray(ids_f)[r] >= 0].tolist())
+            part = set(np.asarray(ids_p)[r][np.asarray(ids_p)[r] >= 0].tolist())
+            assert part <= full
+
+    def test_counts_exceed_cap(self, corpus):
+        idx = IVFFlatIndex.train(corpus, nlist=8, seed=5)
+        idx.add(corpus)
+        # Huge radius: every probed row is a hit; counts report the true
+        # total even though only max_results come back.
+        ids, vals, counts = idx.range_search(
+            corpus[:3], 1e9, nprobe=8, max_results=16
+        )
+        assert ids.shape == (3, 16)
+        assert (np.asarray(counts) == idx.ntotal).all()
+        assert (np.asarray(ids) >= 0).all()
+
+    def test_dot_metric_threshold(self, corpus, queries):
+        idx = IVFFlatIndex.train(corpus, nlist=10, seed=6, metric="dot")
+        idx.add(corpus)
+        q = np.asarray(queries[:5])
+        r = 10.0
+        ids, vals, counts = idx.range_search(
+            q, r, nprobe=idx.nlist, max_results=1024
+        )
+        s = q @ np.asarray(self._decoded(idx, idx.ntotal)).T
+        want_counts = (s >= r).sum(axis=1)
+        np.testing.assert_array_equal(np.asarray(counts), want_counts)
+        vals = np.asarray(vals)
+        hits = np.asarray(ids) >= 0
+        assert (vals[hits] >= r - 1e-4).all()
+        assert np.isneginf(vals[~hits]).all()
+
+    def test_empty_and_bad_args(self, corpus):
+        idx = IVFFlatIndex.train(corpus, nlist=4, seed=7)
+        with pytest.raises(EmptyInput):
+            idx.range_search(corpus[:2], 1.0)
+        idx.add(corpus[:64])
+        with pytest.raises(InvalidParameter):
+            idx.range_search(corpus[:2], 1.0, max_results=0)

@@ -44,6 +44,7 @@ from vq_tpu.ivf_flat import (
     _coarse_probe,
     _merge_probe_topk,
     _pack_buckets,
+    _range_merge,
 )
 from vq_tpu.models.bq import BinaryQuantizer, packed_width
 from vq_tpu.ops.kmeans import assign, lloyd
@@ -65,16 +66,34 @@ def _ivf_binary_search_jit(
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
 
-    def body(p_col):  # [Q] list ids at one probe rank
-        codes = jnp.take(bucket_codes, p_col, axis=0)  # [Q, cap, words]
-        ids = jnp.take(bucket_ids, p_col, axis=0)  # [Q, cap]
+    body = _binary_scan_body(qp, bucket_codes, bucket_ids)
+    return _merge_probe_topk(
+        lambda p: body(p, p), Q, nprobe, k, probe.T
+    )
+
+
+def _binary_scan_body(qp, bucket_codes, bucket_ids):
+    def body(pg, pl):  # [Q] list ids at one probe rank
+        del pg
+        codes = jnp.take(bucket_codes, pl, axis=0)  # [Q, cap, words]
+        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
         x = jnp.bitwise_xor(codes, qp[:, None, :])
         ham = jnp.sum(
             jax.lax.population_count(x).astype(jnp.int32), axis=-1
         )
         return jnp.where(ids >= 0, ham.astype(jnp.float32), jnp.inf), ids
 
-    return _merge_probe_topk(body, Q, nprobe, k, probe.T)
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "fetch"))
+def _ivf_binary_range_jit(
+    q, qp, coarse, bucket_codes, bucket_ids, nprobe: int, fetch: int, radius
+):
+    Q = q.shape[0]
+    probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
+    body = _binary_scan_body(qp, bucket_codes, bucket_ids)
+    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
 
 
 class IVFBinaryIndex(_IVFScanBase):
@@ -233,6 +252,14 @@ class IVFBinaryIndex(_IVFScanBase):
                 out_d, ((0, 0), (0, pad)), constant_values=jnp.inf
             )
         return out_i, out_d
+
+    def _range(self, q, buckets, nprobe, fetch, radius):
+        # Hamming radius: hits are popcount <= radius among probed lists.
+        qp = self.bq.quantize_packed(q)
+        return _ivf_binary_range_jit(
+            q, qp, self.coarse, buckets["codes"], buckets["ids"],
+            nprobe, fetch, radius,
+        )
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded low/high vectors (or exact rows when the corpus is

@@ -98,6 +98,37 @@ def _merge_probe_topk(body, Q: int, nprobe: int, fetch: int, probe_axis_xs):
     return best_i, best_d
 
 
+def _range_merge(body, Q: int, nprobe: int, fetch: int, radius, probe_T):
+    """Probe-rank scan keeping the best ``fetch`` hits within ``radius``
+    (smaller-is-better domain) plus TRUE per-query hit counts."""
+
+    def step(carry, p_col):
+        best_d, best_i, counts = carry
+        d, ids = body(p_col, p_col)  # [Q, cap], pads already inf/-masked
+        hit = (d <= radius) & (ids >= 0)
+        counts = counts + jnp.sum(hit, axis=1, dtype=jnp.int32)
+        cat_d = jnp.concatenate(
+            [best_d, jnp.where(hit, d, jnp.inf)], axis=1
+        )
+        cat_i = jnp.concatenate(
+            [best_i, jnp.where(hit, ids, -1)], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, fetch)
+        return (
+            -neg,
+            jnp.take_along_axis(cat_i, pos, axis=1),
+            counts,
+        ), None
+
+    init = (
+        jnp.full((Q, fetch), jnp.inf, jnp.float32),
+        jnp.full((Q, fetch), -1, jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+    )
+    (best_d, best_i, counts), _ = jax.lax.scan(step, init, probe_T)
+    return best_i, best_d, counts
+
+
 def _flat_topk(d: jnp.ndarray, ids: jnp.ndarray, k: int):
     """Top-k over the flattened [Q, nprobe, cap] probe pool
     (smaller-is-better; pads already inf-masked)."""
@@ -419,6 +450,58 @@ def _ivf_rq_search_jit(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "fetch", "metric"))
+def _ivf_flat_range_jit(
+    q, coarse, bucket_rows, bucket_sqn, bucket_ids,
+    nprobe: int, fetch: int, radius, metric: str,
+):
+    Q = q.shape[0]
+    probe, _ = _coarse_probe(q, coarse, nprobe, metric)
+    qn2 = jnp.sum(q * q, axis=-1)
+    body = _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids)
+    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "fetch", "metric", "by_residual")
+)
+def _ivf_sq_range_jit(
+    q, coarse, lo, step, bucket_codes, bucket_sqn, bucket_ids,
+    nprobe: int, fetch: int, radius, metric: str, by_residual: bool,
+):
+    Q = q.shape[0]
+    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
+    body = _sq_scan_body(
+        q, qc, coarse, lo, step, metric, by_residual,
+        bucket_codes, bucket_sqn, bucket_ids,
+    )
+    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "fetch", "metric", "by_residual")
+)
+def _ivf_rq_range_jit(
+    q, coarse, codebooks, bucket_codes, bucket_sqn, bucket_cross,
+    bucket_ids, nprobe: int, fetch: int, radius, metric: str,
+    by_residual: bool,
+):
+    Q = q.shape[0]
+    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
+    tables = jnp.einsum(
+        "qd,skd->qsk", q, codebooks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qn2 = jnp.sum(q * q, axis=-1)
+    cc = jnp.sum(coarse * coarse, axis=-1)
+    body = _rq_scan_body(
+        q, qn2, qc, cc, tables, metric, by_residual,
+        bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+    )
+    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "cap"))
 def _pack_buckets_jit(lists: jnp.ndarray, payloads: tuple, nlist: int, cap: int):
     """Scatter flat per-row payload arrays into padded dense buckets.
@@ -719,6 +802,46 @@ class _IVFScanBase:
             dist = -dist  # back to descending scores; pads become -inf
         return ids, dist
 
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        nprobe: int = 8,
+        max_results: int = 1024,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All stored rows within ``radius`` of each query **among the
+        probed lists** (the faiss IVF ``range_search`` contract: recall
+        is bounded by the probe set — raise ``nprobe`` for completeness).
+
+        Same shape contract as the flat indexes' ``range_search``:
+        ``(ids, values, counts)`` with ``ids``/``values`` the best
+        ``max_results`` hits (``-1`` / ``inf`` pads; ``-inf`` scores for
+        ``dot``) and ``counts[q]`` the TRUE number of probed hits. A hit
+        is ``value <= radius`` for L2, ``score >= radius`` for ``dot``.
+        """
+        if self._flat_lists is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        buckets = self._build_buckets()
+        q = self._check_query(queries)
+        nprobe = min(int(nprobe), self.nlist)
+        pool = nprobe * int(buckets["ids"].shape[1])
+        fetch = min(int(max_results), pool)
+        r = float(radius)
+        r_internal = -r if self.metric == "dot" else r
+        ids, d, counts = self._range(
+            q, buckets, nprobe, fetch, jnp.float32(r_internal)
+        )
+        if ids.shape[1] < max_results:
+            pad = int(max_results) - ids.shape[1]
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        if self.metric == "dot":
+            d = -d  # back to descending scores; pads become -inf
+        return ids, d, counts
+
 
 class IVFFlatIndex(_IVFScanBase):
     """Inverted-file index over raw rows (the faiss ``IndexIVFFlat``
@@ -818,6 +941,12 @@ class IVFFlatIndex(_IVFScanBase):
         return _ivf_flat_search_jit(
             q, self.coarse, buckets["rows"], buckets["sqn"],
             buckets["ids"], nprobe, k, self.metric, use_pallas, interpret,
+        )
+
+    def _range(self, q, buckets, nprobe, fetch, radius):
+        return _ivf_flat_range_jit(
+            q, self.coarse, buckets["rows"], buckets["sqn"],
+            buckets["ids"], nprobe, fetch, radius, self.metric,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -1007,6 +1136,13 @@ class IVFSQIndex(_IVFScanBase):
             q, self.coarse, self.sq.mins, self.sq.steps,
             buckets["codes"], buckets["sqn"], buckets["ids"],
             nprobe, k, self.metric, self.by_residual, use_pallas, interpret,
+        )
+
+    def _range(self, q, buckets, nprobe, fetch, radius):
+        return _ivf_sq_range_jit(
+            q, self.coarse, self.sq.mins, self.sq.steps,
+            buckets["codes"], buckets["sqn"], buckets["ids"],
+            nprobe, fetch, radius, self.metric, self.by_residual,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
@@ -1239,6 +1375,14 @@ class IVFRQIndex(_IVFScanBase):
             buckets["codes"], buckets["sqn"], buckets["cross"],
             buckets["ids"], nprobe, k, self.metric, self.by_residual,
             use_pallas, interpret,
+        )
+
+    def _range(self, q, buckets, nprobe, fetch, radius):
+        return _ivf_rq_range_jit(
+            q, self.coarse, self.rq.codebooks,
+            buckets["codes"], buckets["sqn"], buckets["cross"],
+            buckets["ids"], nprobe, fetch, radius, self.metric,
+            self.by_residual,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
