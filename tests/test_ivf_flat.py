@@ -555,3 +555,16 @@ class TestIVFRangeSearch:
         idx.add(corpus[:64])
         with pytest.raises(InvalidParameter):
             idx.range_search(corpus[:2], 1.0, max_results=0)
+
+
+def test_spherical_coarse_training(corpus):
+    """spherical=True trains a unit-norm coarse quantizer (faiss
+    Clustering spherical analog) on every IVF train constructor."""
+    x = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = IVFFlatIndex.train(x, nlist=8, seed=1, spherical=True,
+                             metric="dot")
+    norms = np.linalg.norm(np.asarray(idx.coarse), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    idx.add(x)
+    ids, _ = idx.search(x[:3], k=2)
+    assert (np.asarray(ids)[:, 0] == np.arange(3)).all()

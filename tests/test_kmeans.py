@@ -218,3 +218,53 @@ class TestDeviceKMeansPlusPlus:
 
         with pytest.raises(InvalidParameter):
             kmeans_plusplus_init_device(np.ones((3, 2), np.float32), 5)
+
+
+class TestSphericalLloyd:
+    """faiss Clustering(spherical=True) analog: centroids stay on the
+    unit sphere and cluster unit-norm data by direction."""
+
+    def test_centroids_unit_norm(self):
+        import numpy as np
+        from vq_tpu.ops.kmeans import lloyd
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(0, 1, (600, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        res = lloyd(x, 8, max_iters=10, seed=1, spherical=True)
+        norms = np.linalg.norm(np.asarray(res.centroids), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    def test_recovers_directional_clusters(self):
+        import numpy as np
+        from vq_tpu.ops.kmeans import lloyd
+
+        rng = np.random.default_rng(12)
+        # Two directions, members at wildly different magnitudes: plain
+        # k-means splits by magnitude, spherical groups by direction.
+        dirs = np.array([[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14],
+                        np.float32)
+        which = rng.integers(0, 2, 500)
+        scale = rng.uniform(0.5, 20.0, (500, 1)).astype(np.float32)
+        x = dirs[which] * scale + rng.normal(0, 0.01, (500, 16)).astype(
+            np.float32
+        )
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        res = lloyd(xn, 2, max_iters=12, seed=2, spherical=True,
+                    init="kmeans++")
+        a = np.asarray(res.assignments)
+        # Perfect directional separation (up to label swap).
+        agree = (a == which).mean()
+        assert agree in (0.0, 1.0) or agree > 0.99 or agree < 0.01
+
+    def test_kmeanspp_spherical(self):
+        import numpy as np
+        from vq_tpu.ops.kmeans import lloyd
+
+        rng = np.random.default_rng(13)
+        x = rng.normal(0, 1, (400, 8)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        res = lloyd(x, 5, max_iters=6, seed=3, init="kmeans++",
+                    spherical=True)
+        norms = np.linalg.norm(np.asarray(res.centroids), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)

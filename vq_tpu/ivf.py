@@ -232,6 +232,7 @@ class IVFPQIndex:
         metric: str = "l2",
         anisotropic_threshold: float = 0.2,
         refine_iters: int = 5,
+        spherical: bool = False,
     ) -> "IVFPQIndex":
         """Fit the coarse quantizer and the (residual) PQ codebooks.
 
@@ -251,7 +252,8 @@ class IVFPQIndex:
         if by_residual is None:
             by_residual = metric == "l2"
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
+                    init="kmeans++", spherical=spherical)
         coarse = res.centroids
         if by_residual:
             assign = res.assignments

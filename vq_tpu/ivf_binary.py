@@ -128,11 +128,13 @@ class IVFBinaryIndex(_IVFScanBase):
         seed: int = 42,
         max_list_size: Optional[int] = None,
         keep_corpus: bool = False,
+        spherical: bool = False,
     ) -> "IVFBinaryIndex":
         """Fit the coarse partition (k-means++-seeded Lloyd's on the raw
         float vectors)."""
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
+                    init="kmeans++", spherical=spherical)
         return cls(
             res.centroids, threshold=threshold,
             max_list_size=max_list_size, keep_corpus=keep_corpus,

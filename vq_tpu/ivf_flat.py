@@ -880,10 +880,12 @@ class IVFFlatIndex(_IVFScanBase):
         metric: str = "l2",
         store_dtype: str = "float32",
         max_list_size: Optional[int] = None,
+        spherical: bool = False,
     ) -> "IVFFlatIndex":
         """Fit the coarse partition (k-means++-seeded Lloyd's)."""
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
+                    init="kmeans++", spherical=spherical)
         return cls(
             res.centroids, metric=metric, store_dtype=store_dtype,
             max_list_size=max_list_size,
@@ -1055,11 +1057,13 @@ class IVFSQIndex(_IVFScanBase):
         metric: str = "l2",
         by_residual: bool = True,
         max_list_size: Optional[int] = None,
+        spherical: bool = False,
     ) -> "IVFSQIndex":
         """Fit the coarse partition, then per-dimension SQ ranges on the
         residuals (or the raw vectors when ``by_residual=False``)."""
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
+                    init="kmeans++", spherical=spherical)
         sq_train = (
             x - jnp.take(res.centroids, res.assignments, axis=0)
             if by_residual else x
@@ -1279,13 +1283,15 @@ class IVFRQIndex(_IVFScanBase):
         by_residual: bool = True,
         beam: int = 1,
         max_list_size: Optional[int] = None,
+        spherical: bool = False,
     ) -> "IVFRQIndex":
         """Fit the coarse partition, then RQ stage codebooks on the
         residuals (or raw vectors when ``by_residual=False``)."""
         from vq_tpu.models.rq import ResidualQuantizer, rq_train
 
         x = jnp.asarray(training_data, jnp.float32)
-        res = lloyd(x, nlist, max_iters=max_iters, seed=seed, init="kmeans++")
+        res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
+                    init="kmeans++", spherical=spherical)
         rq_in = (
             x - jnp.take(res.centroids, res.assignments, axis=0)
             if by_residual else x

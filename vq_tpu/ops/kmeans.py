@@ -189,7 +189,15 @@ def _accumulate_dispatch(data, centroids, block_rows, use_pallas: bool):
     return _assign_accumulate(data, centroids, block_rows)
 
 
-def _lloyd_body_factory(data, k, eps, block_rows, use_pallas=False):
+def _normalize_rows(c: jnp.ndarray) -> jnp.ndarray:
+    """Project rows onto the unit sphere (zero rows pass through)."""
+    norm = jnp.sqrt(jnp.sum(c * c, axis=-1, keepdims=True))
+    return c / jnp.maximum(norm, 1e-12)
+
+
+def _lloyd_body_factory(
+    data, k, eps, block_rows, use_pallas=False, spherical=False
+):
     n = data.shape[0]
 
     def body(state):
@@ -203,6 +211,11 @@ def _lloyd_body_factory(data, k, eps, block_rows, use_pallas=False):
         reseed_idx = jax.random.randint(reseed_key, (k,), 0, n)
         reseeded = jnp.take(data, reseed_idx, axis=0)
         new_c = jnp.where(nonempty[:, None], means, reseeded)
+        if spherical:
+            # faiss Clustering(spherical=True): project centroids back to
+            # the unit sphere after every update so squared-L2 assignment
+            # of unit-norm data ranks by cosine/inner product.
+            new_c = _normalize_rows(new_c)
         moved = jnp.any(jnp.abs(new_c - centroids) >= eps, axis=-1)
         changed = jnp.any(jnp.where(nonempty, moved, True))
         return new_c, key, it + 1, changed
@@ -211,7 +224,8 @@ def _lloyd_body_factory(data, k, eps, block_rows, use_pallas=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "block_rows", "use_pallas")
+    jax.jit,
+    static_argnames=("k", "max_iters", "block_rows", "use_pallas", "spherical"),
 )
 def _lloyd_jit(
     data: jnp.ndarray,
@@ -221,13 +235,18 @@ def _lloyd_jit(
     eps: float,
     block_rows: int,
     use_pallas: bool = False,
+    spherical: bool = False,
 ):
     n = data.shape[0]
     init_idx = jax.random.choice(key, n, (k,), replace=False)
     centroids0 = jnp.take(data, init_idx, axis=0)
+    if spherical:
+        centroids0 = _normalize_rows(centroids0)
     key, loop_key = jax.random.split(key)
 
-    body = _lloyd_body_factory(data, k, eps, block_rows, use_pallas)
+    body = _lloyd_body_factory(
+        data, k, eps, block_rows, use_pallas, spherical
+    )
 
     def cond(state):
         _, _, it, changed = state
@@ -333,6 +352,7 @@ def lloyd(
     block_rows: Optional[int] = None,
     use_pallas: Optional[bool] = None,
     init: str = "sample",
+    spherical: bool = False,
 ) -> KMeansResult:
     """Train ``k`` centroids with Lloyd's algorithm (reference
     ``lbg_quantize``, src/core/vector.rs:390-461).
@@ -347,6 +367,12 @@ def lloyd(
     ``init``: ``"sample"`` (reference semantics — k distinct random rows,
     src/core/vector.rs:412-413) or ``"kmeans++"`` (D²-weighted seeding;
     better minima, deviation from the reference documented).
+
+    ``spherical=True`` (faiss ``Clustering`` spherical option, no
+    reference counterpart) projects the centroids back onto the unit
+    sphere after every update, so squared-L2 assignment of unit-norm
+    data ranks by cosine / inner product — the right coarse quantizer
+    for cosine retrieval and normalized-MIPS IVF.
     """
     data = check_training_matrix(data)
     n, d = data.shape
@@ -371,7 +397,7 @@ def lloyd(
         centroids, assignments, inertia, iterations, converged = (
             _lloyd_from_init_jit(
                 data, seeds, key, max_iters, float(eps),
-                int(block_rows), bool(use_pallas),
+                int(block_rows), bool(use_pallas), bool(spherical),
             )
         )
         return KMeansResult(
@@ -382,13 +408,15 @@ def lloyd(
             "init", f"expected 'sample' or 'kmeans++', got {init!r}"
         )
     centroids, assignments, inertia, iterations, converged = _lloyd_jit(
-        data, key, k, max_iters, float(eps), int(block_rows), bool(use_pallas)
+        data, key, k, max_iters, float(eps), int(block_rows),
+        bool(use_pallas), bool(spherical),
     )
     return KMeansResult(centroids, assignments, inertia, iterations, converged)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "block_rows", "use_pallas")
+    jax.jit,
+    static_argnames=("max_iters", "block_rows", "use_pallas", "spherical"),
 )
 def _lloyd_from_init_jit(
     data: jnp.ndarray,
@@ -398,11 +426,16 @@ def _lloyd_from_init_jit(
     eps: float,
     block_rows: int,
     use_pallas: bool = False,
+    spherical: bool = False,
 ):
     """Lloyd refinement from explicit initial centroids."""
     k = centroids0.shape[0]
+    if spherical:
+        centroids0 = _normalize_rows(centroids0)
     _, loop_key = jax.random.split(key)
-    body = _lloyd_body_factory(data, k, eps, block_rows, use_pallas)
+    body = _lloyd_body_factory(
+        data, k, eps, block_rows, use_pallas, spherical
+    )
 
     def cond(state):
         _, _, it, changed = state
