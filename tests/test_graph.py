@@ -1,0 +1,174 @@
+"""GraphIndex: Vamana-style build + batched beam search.
+
+Ground truth throughout is the exact brute-force scan; graph search is
+approximate, so assertions are recall bounds (high on these sizes) plus
+exact contracts for persistence, padding, and argument validation.
+"""
+
+import numpy as np
+import pytest
+
+from vq_tpu import GraphIndex
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # Own seeded rng: the session `rng` fixture's stream is consumed in
+    # file order, so drawing from it here would shift every later
+    # file's data (and their boundary-tuned assertions).
+    r = np.random.default_rng(77)
+    centers = r.normal(0, 3.0, (20, 32)).astype(np.float32)
+    which = r.integers(0, 20, 5000)
+    return (centers[which] + r.normal(0, 0.5, (5000, 32))).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    r = np.random.default_rng(78)
+    return corpus[:48] + r.normal(0, 0.01, (48, 32)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def gt(corpus, queries):
+    d = np.sum((corpus[None] - queries[:, None]) ** 2, axis=-1)
+    return np.argsort(d, kind="stable", axis=1)[:, :10]
+
+
+@pytest.fixture(scope="module")
+def idx(corpus):
+    return GraphIndex.build(corpus, degree=24, alpha=1.2, seed=1)
+
+
+def recall(ids, gt):
+    k = gt.shape[1]
+    return np.mean(
+        [
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / k
+            for i in range(gt.shape[0])
+        ]
+    )
+
+
+class TestSearch:
+    def test_high_recall_at_default_beam(self, idx, queries, gt):
+        ids, d = idx.search(queries, k=10, beam=64)
+        assert recall(np.asarray(ids), gt) >= 0.95
+        # distances are exact squared-L2 to the returned rows
+        ids_np, d_np = np.asarray(ids), np.asarray(d)
+        r = np.asarray(idx.reconstruct(np.maximum(ids_np, 0)))
+        want = np.sum((r - np.asarray(queries)[:, None]) ** 2, axis=-1)
+        ok = ids_np >= 0
+        # atol 1e-3: the qn² − 2qy + ||y||² assembly cancels O(100)
+        # terms, so tiny distances carry ~1e-4 absolute fp noise.
+        np.testing.assert_allclose(
+            d_np[ok], want[ok], rtol=1e-4, atol=1e-3
+        )
+        assert np.isinf(d_np[~ok]).all()
+
+    def test_beam_monotone(self, idx, queries, gt):
+        r_small = recall(
+            np.asarray(idx.search(queries, k=10, beam=16)[0]), gt
+        )
+        r_big = recall(
+            np.asarray(idx.search(queries, k=10, beam=96)[0]), gt
+        )
+        assert r_big >= r_small - 0.02  # approximate, allow tiny noise
+        assert r_big >= 0.95
+
+    def test_single_query_vector(self, idx, corpus):
+        ids, d = idx.search(corpus[7], k=3)
+        assert ids.shape == (1, 3)
+        assert int(np.asarray(ids)[0, 0]) == 7
+        # self-distance computed as qn² − 2qy + ‖y‖² — fp noise, not 0
+        assert float(np.asarray(d)[0, 0]) < 1e-3
+
+    def test_k_larger_than_ntotal_pads(self, corpus):
+        gi = GraphIndex.build(corpus[:30], degree=8)
+        ids, d = gi.search(corpus[:2], k=50, beam=64)
+        assert ids.shape == (2, 50)
+        assert (np.asarray(ids)[:, 30:] == -1).all()
+        assert np.isinf(np.asarray(d)[:, 30:]).all()
+
+    def test_dim_mismatch(self, idx):
+        with pytest.raises(DimensionMismatch):
+            idx.search(np.zeros((2, 5), np.float32), k=3)
+
+
+class TestBuild:
+    def test_adjacency_shape_and_validity(self, idx, corpus):
+        g = np.asarray(idx.graph)
+        assert g.shape == (corpus.shape[0], 48)  # 2 * degree
+        assert g.max() < corpus.shape[0]
+        assert (g >= -1).all()
+        # no self-loops in the forward half
+        fwd = g[:, :24]
+        rows = np.arange(corpus.shape[0])[:, None]
+        assert not (fwd == rows).any()
+
+    def test_ivf_assisted_candidates(self, corpus, queries, gt):
+        gi = GraphIndex.build(
+            corpus, degree=24, alpha=1.2, exact_threshold=1000, seed=2
+        )
+        ids, _ = gi.search(queries, k=10, beam=64)
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+    def test_bf16_storage(self, corpus, queries, gt):
+        gi = GraphIndex.build(corpus, degree=24, store_dtype="bfloat16")
+        ids, _ = gi.search(queries, k=10, beam=64)
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+    def test_bad_args(self, corpus):
+        with pytest.raises(InvalidParameter):
+            GraphIndex.build(np.zeros((0, 4), np.float32))
+        with pytest.raises(InvalidParameter):
+            GraphIndex.build(corpus[:50], degree=0)
+        with pytest.raises(InvalidParameter):
+            GraphIndex.build(corpus[:50], alpha=0.5)
+
+    def test_alpha_one_is_plain_prune(self, corpus, queries, gt):
+        gi = GraphIndex.build(corpus, degree=24, alpha=1.0, seed=3)
+        ids, _ = gi.search(queries, k=10, beam=64)
+        assert recall(np.asarray(ids), gt) >= 0.85
+
+
+class TestLifecycle:
+    def test_save_load_roundtrip(self, idx, queries, tmp_path):
+        p = idx.save(str(tmp_path / "g.npz"))
+        back = GraphIndex.load(p)
+        ids0, d0 = idx.search(queries, k=5)
+        ids1, d1 = back.search(queries, k=5)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+    def test_generic_load_index(self, idx, tmp_path):
+        from vq_tpu import load_index
+
+        p = idx.save(str(tmp_path / "g2.npz"))
+        back = load_index(p)
+        assert isinstance(back, GraphIndex)
+        assert back.ntotal == idx.ntotal
+
+    def test_wrong_kind_rejected(self, corpus, tmp_path):
+        from vq_tpu.search import FlatIndex
+
+        f = FlatIndex.from_data(corpus[:50])
+        p = f.save(str(tmp_path / "flat.npz"))
+        with pytest.raises(InvalidData):
+            GraphIndex.load(p)
+
+    def test_empty_search_raises(self):
+        gi = GraphIndex(
+            np.zeros((0, 4), np.float32),
+            np.zeros((0, 2), np.int32),
+            np.zeros((0,), np.int32),
+        )
+        with pytest.raises(EmptyInput):
+            gi.search(np.zeros((1, 4), np.float32))

@@ -43,6 +43,7 @@ from vq_tpu.models.sq import PerDimScalarQuantizer, ScalarQuantizer
 from vq_tpu.models.tsvq import TSVQ, TSVQTree, tsvq_build
 from vq_tpu.ops.distance import Distance, Metric, distance, nearest, pairwise, rowwise
 from vq_tpu.ivf import IVFPQIndex
+from vq_tpu.graph import GraphIndex
 from vq_tpu.ivf_binary import IVFBinaryIndex
 from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
 from vq_tpu.ops.kmeans import (
@@ -159,6 +160,7 @@ __all__ = [
     "unpack_codes",
     "knn_graph",
     "IVFPQIndex",
+    "GraphIndex",
     "IVFBinaryIndex",
     "IVFFlatIndex",
     "IVFSQIndex",

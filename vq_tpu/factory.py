@@ -56,6 +56,7 @@ __all__ = ["index_factory", "load_index", "IdMapIndex"]
 def load_index(path: str):
     """Load any saved vq_tpu index, dispatching on the checkpoint kind."""
     kind, _, _ = _from_npz(path)
+    from vq_tpu.graph import GraphIndex
     from vq_tpu.ivf import IVFPQIndex
     from vq_tpu.ivf_binary import IVFBinaryIndex
     from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
@@ -79,6 +80,7 @@ def load_index(path: str):
         "ivfsq_index": IVFSQIndex.load,
         "ivfrq_index": IVFRQIndex.load,
         "ivfbinary_index": IVFBinaryIndex.load,
+        "graph_index": GraphIndex.load,
         "transformed_index": TransformedIndex.load,
         "idmap_index": IdMapIndex.load,
     }

@@ -1,0 +1,537 @@
+"""GraphIndex: TPU-native navigating-graph ANN search (Vamana/DiskANN
+family — the faiss ``IndexHNSW`` role).
+
+Graph methods are usually written as pointer-chasing with dynamic
+visited sets — the least TPU-shaped code imaginable. This module keeps
+the *math* of Vamana (alpha-pruned navigable graph + best-first beam
+search) but restructures both phases as fixed-shape dataflow:
+
+**Build** (:meth:`GraphIndex.build`):
+
+1. k-NN candidates per node — exact (:func:`vq_tpu.ops.knn.knn_graph`,
+   one MXU scan) for small corpora, IVF-assisted for large ones (the
+   corpus queries its own :class:`~vq_tpu.ivf_flat.IVFFlatIndex`; the
+   probe kernel does the heavy lifting).
+2. **Alpha-pruning (robust prune)**, vectorized: for a chunk of nodes,
+   gather the ``[C, R0, d]`` candidate vectors, form the ``[C, R0, R0]``
+   candidate-pairwise distances with one batched matmul, then run the
+   greedy dominance scan as a ``lax.fori_loop`` over the R0 ranks with
+   ``[C, R0]`` boolean state — the classic sequential prune, applied to
+   every node in the chunk at once. A candidate ``v`` is pruned when a
+   kept closer candidate ``u`` has ``alpha * d(u, v) <= d(p, v)``.
+3. Reverse edges via the same sort+scatter bucket packing the IVF
+   indexes use (no host round-trip); the final adjacency is
+   ``[n, 2*degree]`` = forward ∪ reverse, −1-padded.
+
+**Search** (:meth:`GraphIndex.search`): batched best-first beam search,
+one jit, no data-dependent shapes: a ``[Q, L]`` candidate pool, a
+``[Q, T*B]`` visited list, and T fixed expansion steps. Each step picks
+the best B unvisited pool entries (top-k over a masked pool), gathers
+their ``[Q, B*deg]`` neighbor ids, computes distances with one batched
+matmul, and merges via sort-based dedup (``jnp.lexsort`` by (id, d),
+mask adjacent duplicates, re-top-L). Every query in the batch walks the
+graph simultaneously; per-step work is a few hundred lanes per query, so
+the whole beam search is latency- not bandwidth-bound — the regime graphs
+win in.
+
+No reference counterpart (the reference has no index layer); the faiss
+analog is ``IndexHNSWFlat``. L2 metric (graph navigability is defined by
+the build metric; for cosine, L2-normalize first — see
+``NormalizeTransform``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
+from vq_tpu.utils.serialize import _from_npz, _to_npz
+
+__all__ = ["GraphIndex"]
+
+_STORE_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+# ---------------------------------------------------------------------------
+# Build: vectorized robust prune
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _augment_candidates_chunk(
+    node_rows: jnp.ndarray,  # [C, d] f32
+    node_ids: jnp.ndarray,  # [C] int32
+    knn_ids: jnp.ndarray,  # [C, R0] int32, -1 pad
+    knn_d: jnp.ndarray,  # [C, R0] f32
+    rand_ids: jnp.ndarray,  # [C, Rr] int32
+    rand_rows: jnp.ndarray,  # [C, Rr, d] f32
+):
+    """Merge k-NN candidates with random long-range candidates, sorted by
+    distance with duplicates (and the node itself) masked out.
+
+    A pure k-NN graph over clustered data is DISCONNECTED — every
+    neighbor of every node sits inside the node's own cluster and beam
+    search can never leave the entry's basin. Random candidates give the
+    alpha-prune long edges to choose from: a faraway candidate ``v`` has
+    ``d(u, v) ≈ d(p, v)`` for every kept near-``p`` ``u``, so with
+    ``alpha > 1`` it is never dominated and at least one shortcut per
+    node survives — the small-world wiring NSW/Vamana rely on.
+    """
+    rn = jnp.sum(rand_rows * rand_rows, axis=-1)
+    qy = jnp.einsum(
+        "cd,crd->cr", node_rows, rand_rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nn2 = jnp.sum(node_rows * node_rows, axis=-1)
+    rd = jnp.maximum(nn2[:, None] - 2.0 * qy + rn, 0.0)
+    rd = jnp.where(rand_ids == node_ids[:, None], jnp.inf, rd)
+
+    cat_i = jnp.concatenate([knn_ids, rand_ids], axis=1)
+    cat_d = jnp.concatenate([knn_d, rd], axis=1)
+    order = jnp.argsort(cat_d, axis=1)
+    si = jnp.take_along_axis(cat_i, order, axis=1)
+    sd = jnp.take_along_axis(cat_d, order, axis=1)
+    # Mask later copies of duplicate ids (M is small: O(M²) compare).
+    M = si.shape[1]
+    eq = si[:, None, :] == si[:, :, None]  # [C, j, i]
+    earlier = (
+        jnp.arange(M)[None, :] < jnp.arange(M)[:, None]
+    )  # [j, i]: i < j
+    dup = jnp.any(eq & earlier[None], axis=-1) & (si >= 0)
+    sd = jnp.where(dup, jnp.inf, sd)
+    si = jnp.where(dup | jnp.isinf(sd), -1, si)
+    return si, sd
+
+
+@functools.partial(jax.jit, static_argnames=("R",))
+def _robust_prune_chunk(
+    node_rows: jnp.ndarray,  # [C, d] f32
+    cand_ids: jnp.ndarray,  # [C, R0] int32 ascending-by-distance, -1 pad
+    cand_d: jnp.ndarray,  # [C, R0] f32 d(p, cand), inf at pads
+    cand_rows: jnp.ndarray,  # [C, R0, d] f32
+    alpha: jnp.ndarray,  # [] f32
+    R: int,
+):
+    """Vamana robust prune for a chunk of nodes at once -> [C, R] ids.
+
+    Kept edges are the greedy alpha-dominant set; if fewer than R
+    survive, backfills with the nearest pruned candidates (standard
+    practice — a full graph navigates better than a sparse one).
+    """
+    C, R0 = cand_ids.shape
+    valid = cand_ids >= 0
+
+    # Candidate-pairwise squared distances [C, R0, R0] (one batched matmul).
+    cc = jnp.sum(cand_rows * cand_rows, axis=-1)  # [C, R0]
+    dots = jnp.einsum(
+        "crd,csd->crs", cand_rows, cand_rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pd = jnp.maximum(cc[:, :, None] - 2.0 * dots + cc[:, None, :], 0.0)
+
+    ranks = jnp.arange(R0)
+
+    def step(j, state):
+        pruned, keep = state
+        active = (~pruned[:, j]) & valid[:, j]  # [C]
+        keep = keep.at[:, j].set(active)
+        # u = candidate j dominates v when alpha*d(u,v) <= d(p,v).
+        dom = (alpha * pd[:, j, :] <= cand_d) & (ranks[None, :] > j)
+        pruned = pruned | (dom & active[:, None])
+        return pruned, keep
+
+    pruned0 = ~valid
+    keep0 = jnp.zeros((C, R0), bool)
+    _, keep = jax.lax.fori_loop(0, R0, step, (pruned0, keep0))
+
+    # Kept first (distance order), then pruned (distance order), pads last.
+    priority = jnp.where(keep, ranks[None, :], ranks[None, :] + R0)
+    priority = jnp.where(valid, priority, 3 * R0)
+    order = jnp.argsort(priority, axis=1)[:, :R]
+    out = jnp.take_along_axis(cand_ids, order, axis=1)
+    out_ok = jnp.take_along_axis(valid, order, axis=1)
+    return jnp.where(out_ok, out, -1)
+
+
+def _reverse_edges(fwd: jnp.ndarray, n: int, cap: int) -> jnp.ndarray:
+    """[n, R] forward edges -> [n, cap] reverse edges (who points at me),
+    via the shared sort+scatter bucket packing (device-resident)."""
+    from vq_tpu.ivf_flat import _pack_buckets_jit
+
+    R = fwd.shape[1]
+    src = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, R)
+    ).reshape(-1)
+    dst = fwd.reshape(-1)
+    # Route -1 (pad) edges to a scratch bucket n, sliced off below.
+    lists = jnp.where(dst >= 0, dst, n)
+    (packed,), _ = _pack_buckets_jit(
+        lists, (src[:, None],), n + 1, cap
+    )
+    # Bucket payload order is stable by flat edge index; ids come from the
+    # packed "ids" slot of the same call — but we want the src payload.
+    rev = packed[:n, :, 0]
+    counts = jnp.bincount(lists, length=n + 1)[:n]
+    pos = jnp.arange(cap)[None, :]
+    return jnp.where(pos < counts[:, None], rev, -1)
+
+
+# ---------------------------------------------------------------------------
+# Search: batched best-first beam
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "T", "B"))
+def _graph_search_jit(
+    q: jnp.ndarray,  # [Q, d] f32
+    rows: jnp.ndarray,  # [n, d] stored width
+    sqn: jnp.ndarray,  # [n] f32 stored-row norms
+    graph: jnp.ndarray,  # [n, deg] int32, -1 pad
+    entry: jnp.ndarray,  # [e] int32 entry ids
+    k: int,
+    L: int,
+    T: int,
+    B: int,
+):
+    Q, d = q.shape
+    deg = graph.shape[1]
+    qn2 = jnp.sum(q * q, axis=-1)  # [Q]
+
+    def dist_to(ids):  # [Q, M] -> [Q, M] squared-L2, inf at -1
+        r = jnp.take(rows, jnp.maximum(ids, 0), axis=0).astype(
+            jnp.float32
+        )  # [Q, M, d]
+        qy = jnp.einsum(
+            "qd,qmd->qm", q, r,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dd = qn2[:, None] - 2.0 * qy + jnp.take(
+            sqn, jnp.maximum(ids, 0), axis=0
+        )
+        return jnp.where(ids >= 0, jnp.maximum(dd, 0.0), jnp.inf)
+
+    e = entry.shape[0]
+    pool_i = jnp.full((Q, L), -1, jnp.int32)
+    pool_i = pool_i.at[:, :e].set(
+        jnp.broadcast_to(entry[None, :], (Q, e))
+    )
+    pool_d = dist_to(pool_i)
+    visited = jnp.full((Q, T * B), -1, jnp.int32)
+
+    def dedup_topL(cat_i, cat_d):
+        # Sort by (id, d): duplicates become adjacent with the best copy
+        # first; mask the rest, then keep the best L by distance.
+        order = jnp.lexsort((cat_d, cat_i), axis=1)
+        si = jnp.take_along_axis(cat_i, order, axis=1)
+        sd = jnp.take_along_axis(cat_d, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((Q, 1), bool), (si[:, 1:] == si[:, :-1])], axis=1
+        ) & (si >= 0)
+        sd = jnp.where(dup, jnp.inf, sd)
+        si = jnp.where(dup, -1, si)
+        neg, pos = jax.lax.top_k(-sd, L)
+        return jnp.take_along_axis(si, pos, axis=1), -neg
+
+    def step(carry, t):
+        pool_i, pool_d, visited = carry
+        seen = jnp.any(
+            pool_i[:, :, None] == visited[:, None, :], axis=-1
+        )  # [Q, L]
+        open_d = jnp.where(seen | (pool_i < 0), jnp.inf, pool_d)
+        _, sel = jax.lax.top_k(-open_d, B)  # [Q, B] pool positions
+        picked = jnp.take_along_axis(pool_i, sel, axis=1)  # [Q, B]
+        picked_open = jnp.take_along_axis(open_d, sel, axis=1) < jnp.inf
+        picked = jnp.where(picked_open, picked, -1)
+        visited = jax.lax.dynamic_update_slice(
+            visited, picked, (0, t * B)
+        )
+        nbrs = jnp.take(
+            graph, jnp.maximum(picked, 0), axis=0
+        )  # [Q, B, deg]
+        nbrs = jnp.where(
+            picked_open[:, :, None], nbrs, -1
+        ).reshape(Q, B * deg)
+        nd = dist_to(nbrs)
+        new_i, new_d = dedup_topL(
+            jnp.concatenate([pool_i, nbrs], axis=1),
+            jnp.concatenate([pool_d, nd], axis=1),
+        )
+        return (new_i, new_d, visited), None
+
+    (pool_i, pool_d, _), _ = jax.lax.scan(
+        step, (pool_i, pool_d, visited), jnp.arange(T)
+    )
+    neg, pos = jax.lax.top_k(-pool_d, k)
+    return jnp.take_along_axis(pool_i, pos, axis=1), -neg
+
+
+class GraphIndex:
+    """Navigable-graph ANN index (Vamana-style build, batched beam
+    search). Build once with :meth:`build`; no incremental ``add`` —
+    graph quality comes from the global prune (rebuild to grow, or use
+    an IVF index for append-heavy workloads)."""
+
+    def __init__(
+        self,
+        rows,
+        graph,
+        entry,
+        *,
+        store_dtype: str = "float32",
+    ):
+        self._rows = jnp.asarray(rows)
+        self.graph = jnp.asarray(graph, jnp.int32)
+        self.entry = jnp.asarray(entry, jnp.int32).reshape(-1)
+        self.store_dtype = store_dtype
+        self._sqn = jnp.sum(
+            self._rows.astype(jnp.float32) ** 2, axis=-1
+        )
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        data,
+        *,
+        degree: int = 32,
+        alpha: float = 1.2,
+        knn_k: Optional[int] = None,
+        store_dtype: str = "float32",
+        exact_threshold: int = 200_000,
+        prune_chunk: int = 1024,
+        seed: int = 0,
+    ) -> "GraphIndex":
+        """Build the pruned graph over ``data`` ([n, d] f32).
+
+        ``degree`` bounds forward edges per node (adjacency is
+        ``2*degree`` wide after the reverse-edge union); ``alpha > 1``
+        keeps longer-range shortcut edges (Vamana's robustness knob);
+        ``knn_k`` is the candidate count per node (default
+        ``2*degree``). Corpora larger than ``exact_threshold`` generate
+        candidates through a temporary IVF-Flat index instead of the
+        exact O(n²) scan.
+        """
+        x = jnp.asarray(data, jnp.float32)
+        if x.ndim != 2 or x.shape[0] == 0:
+            raise InvalidParameter("data", "expected a non-empty [n, d] array")
+        n, d = x.shape
+        degree = int(degree)
+        if degree < 1:
+            raise InvalidParameter("degree", "must be >= 1")
+        if alpha < 1.0:
+            raise InvalidParameter("alpha", "must be >= 1.0")
+        R0 = int(knn_k) if knn_k is not None else min(2 * degree, n - 1)
+        R0 = max(min(R0, n - 1), 1)
+        R = min(degree, R0)
+
+        cand_ids, cand_d = cls._candidates(x, R0, exact_threshold, seed)
+
+        # Random long-range candidates (small-world shortcuts — see
+        # _augment_candidates_chunk). Seeded, a quarter of the k-NN count.
+        Rr = max(4, R0 // 4)
+        rand_all = jax.random.randint(
+            jax.random.PRNGKey(int(seed) + 1), (n, Rr), 0, n,
+            dtype=jnp.int32,
+        )
+
+        # Chunked vectorized prune (one compiled shape, padded tail).
+        # The dominance test runs in the squared-L2 domain, so standard
+        # Vamana alpha semantics (alpha * d(u,v) <= d(p,v)) need alpha².
+        C = min(int(prune_chunk), n)
+        fwd = np.empty((n, R), np.int32)
+        a2 = jnp.float32(float(alpha) ** 2)
+        for start in range(0, n, C):
+            stop = min(start + C, n)
+            sl = slice(start, stop)
+            ids_c = cand_ids[sl]
+            d_c = cand_d[sl]
+            node_c = x[sl]
+            rand_c = rand_all[sl]
+            nid_c = jnp.arange(start, stop, dtype=jnp.int32)
+            if stop - start < C:
+                pad = C - (stop - start)
+                ids_c = jnp.pad(ids_c, ((0, pad), (0, 0)), constant_values=-1)
+                d_c = jnp.pad(d_c, ((0, pad), (0, 0)), constant_values=jnp.inf)
+                node_c = jnp.pad(node_c, ((0, pad), (0, 0)))
+                rand_c = jnp.pad(rand_c, ((0, pad), (0, 0)), constant_values=-1)
+                nid_c = jnp.pad(nid_c, (0, pad), constant_values=-1)
+            ids_c, d_c = _augment_candidates_chunk(
+                node_c, nid_c, ids_c, d_c, rand_c,
+                jnp.take(x, jnp.maximum(rand_c, 0), axis=0),
+            )
+            rows_c = jnp.take(x, jnp.maximum(ids_c, 0), axis=0)
+            out = _robust_prune_chunk(node_c, ids_c, d_c, rows_c, a2, R)
+            fwd[sl] = np.asarray(out[: stop - start])
+
+        fwd = jnp.asarray(fwd)
+        rev = _reverse_edges(fwd, n, R)
+        graph = jnp.concatenate([fwd, rev], axis=1)  # [n, 2R]
+
+        # Entry points: the medoid plus a few seeded random rows — with
+        # the shortcut edges one connected entry suffices, the extras are
+        # cheap insurance on multi-modal data.
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        medoid = jnp.argmin(
+            jnp.sum((x - mean) ** 2, axis=-1)
+        ).astype(jnp.int32)
+        extra = jax.random.randint(
+            jax.random.PRNGKey(int(seed) + 2), (min(4, n),), 0, n,
+            dtype=jnp.int32,
+        )
+        entry = jnp.concatenate([medoid[None], extra])
+        return cls(
+            x.astype(_STORE_DTYPES[store_dtype]), graph,
+            entry, store_dtype=store_dtype,
+        )
+
+    @staticmethod
+    def _candidates(x, R0, exact_threshold, seed):
+        from vq_tpu.ops.knn import knn_graph
+
+        n = x.shape[0]
+        if n <= int(exact_threshold):
+            return knn_graph(x, k=R0)
+        # IVF-assisted candidates: the corpus queries its own coarse
+        # partition (probe kernel on TPU); recall of the candidate set is
+        # bounded by nprobe but the prune only needs good-enough locality.
+        from vq_tpu.ivf_flat import IVFFlatIndex
+
+        nlist = max(64, int(np.sqrt(n)) * 2)
+        sample = x[: min(n, 200_000)]
+        idx = IVFFlatIndex.train(
+            sample, nlist, max_iters=8, seed=seed,
+            store_dtype="bfloat16",
+        )
+        idx.add(x)
+        qb = 8192
+        out_i, out_d = [], []
+        for start in range(0, n, qb):
+            stop = min(start + qb, n)
+            q = x[start:stop]
+            if stop - start < qb:
+                q = jnp.pad(q, ((0, qb - (stop - start)), (0, 0)))
+            ids, vals = idx.search(q, k=R0 + 1, nprobe=8)
+            ids = ids[: stop - start]
+            vals = vals[: stop - start]
+            rows_ids = jnp.arange(start, stop, dtype=jnp.int32)[:, None]
+            self_m = ids == rows_ids
+            # Drop the self match, shift left one slot.
+            keep = jnp.where(self_m, jnp.inf, vals)
+            order = jnp.argsort(keep, axis=1)[:, :R0]
+            out_i.append(jnp.take_along_axis(ids, order, axis=1))
+            out_d.append(jnp.take_along_axis(keep, order, axis=1))
+        return jnp.concatenate(out_i), jnp.concatenate(out_d)
+
+    # -- queries ------------------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return int(self._rows.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self._rows.shape[1])
+
+    @property
+    def degree(self) -> int:
+        return int(self.graph.shape[1])
+
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        *,
+        beam: int = 64,
+        iters: Optional[int] = None,
+        picks_per_iter: int = 4,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-k ``(ids, squared-L2)`` by batched beam search.
+
+        ``beam`` (L) is the candidate-pool width — the recall knob;
+        ``iters`` is the number of expansion steps (default
+        ``ceil(1.5 * beam / picks_per_iter)``, enough to visit ~1.5L
+        nodes); ``picks_per_iter`` (B) trades sequential steps for wider
+        per-step expansion (TPU likes B > 1)."""
+        if self.ntotal == 0:
+            raise EmptyInput("index is empty")
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        L = max(int(beam), int(k))
+        B = max(1, int(picks_per_iter))
+        T = (
+            int(iters) if iters is not None
+            else max(4, -(-3 * L // (2 * B)))
+        )
+        k_eff = min(int(k), self.ntotal)
+        ids, dist = _graph_search_jit(
+            q, self._rows, self._sqn, self.graph, self.entry,
+            k_eff, L, T, B,
+        )
+        if k_eff < k:
+            pad = int(k) - k_eff
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            dist = jnp.pad(
+                dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+            )
+        return ids, dist
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        return jnp.take(
+            self._rows, jnp.asarray(ids, jnp.int32), axis=0
+        ).astype(jnp.float32)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> str:
+        rows = np.asarray(self._rows)
+        if self.store_dtype == "bfloat16":
+            rows = rows.view(np.uint16)
+        return _to_npz(
+            path,
+            "graph_index",
+            {"store_dtype": self.store_dtype},
+            {
+                "rows": rows,
+                "graph": np.asarray(self.graph),
+                "entry": np.asarray(self.entry),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GraphIndex":
+        kind, config, arrays = _from_npz(path)
+        if kind != "graph_index":
+            raise InvalidData(
+                f"expected a graph_index checkpoint, got {kind!r}"
+            )
+        rows = arrays["rows"]
+        if config["store_dtype"] == "bfloat16":
+            rows = rows.view(jnp.bfloat16.dtype)
+        return cls(
+            rows, arrays["graph"], arrays["entry"],
+            store_dtype=config["store_dtype"],
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"GraphIndex(ntotal={self.ntotal}, dim={self.dim}, "
+            f"degree={self.degree}, store_dtype={self.store_dtype!r})"
+        )
