@@ -268,3 +268,36 @@ class TestSphericalLloyd:
                     spherical=True)
         norms = np.linalg.norm(np.asarray(res.centroids), axis=1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+class TestFusedBlockCap:
+    """VMEM sizing for the fused Lloyd accumulate: large k must shrink
+    the data tile (k=2000 at TN=1024 blew the 16 MB scoped-vmem limit on
+    hardware) and huge k must fall back to the XLA scan."""
+
+    def test_small_k_keeps_full_tile(self):
+        from vq_tpu.ops.kmeans import _fused_accumulate_block_cap
+
+        assert _fused_accumulate_block_cap(256, 128) == 1024
+
+    def test_large_k_shrinks_tile(self):
+        from vq_tpu.ops.kmeans import _fused_accumulate_block_cap
+
+        cap = _fused_accumulate_block_cap(2000, 128)
+        assert 64 <= cap < 1024
+        # estimated onehot footprint stays well under the scoped limit
+        assert cap * 2048 * 4 <= 8 * 1024 * 1024
+
+    def test_huge_k_falls_back(self):
+        from vq_tpu.ops.kmeans import _fused_accumulate_block_cap
+
+        assert _fused_accumulate_block_cap(20_000, 128) == 0
+
+    def test_lloyd_runs_at_large_k(self):
+        import numpy as np
+        from vq_tpu.ops.kmeans import lloyd
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (4096, 16)).astype(np.float32)
+        res = lloyd(x, 2000, max_iters=2, seed=1)
+        assert res.centroids.shape == (2000, 16)

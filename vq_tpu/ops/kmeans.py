@@ -178,14 +178,42 @@ def assign(
     return _assign_codes(data, centroids, block_rows)
 
 
+def _fused_accumulate_block_cap(k: int, d: int) -> int:
+    """Largest safe data-tile height for the fused Lloyd accumulate.
+
+    The kernel materializes a ``[TN, k_pad]`` one-hot in VMEM next to the
+    ``[k_pad, d]`` sums/centroids blocks; at large k a fixed TN=1024
+    blows the ~16 MB scoped-vmem limit (observed: k=2000, d=128 fails
+    compile with a 19.6 MB stack allocation). Returns 0 when no tile
+    height fits (caller falls back to the XLA scan).
+    """
+    k_pad = -(-max(int(k), 128) // 128) * 128
+    fixed = 2 * k_pad * d * 4  # sums + centroids resident blocks
+    budget = 10 * 1024 * 1024 - fixed
+    if budget <= 0:
+        return 0
+    per_row = (k_pad + 512 + d) * 8  # onehot + score tile + x, 2x slack
+    tn = budget // per_row
+    if tn < 64:
+        return 0
+    return int(min(1024, tn // 8 * 8))
+
+
 def _accumulate_dispatch(data, centroids, block_rows, use_pallas: bool):
     """Pick the accumulate implementation: fused Pallas kernel on TPU, the
     XLA scan elsewhere. Both return (sums [k, d], counts [k], inertia [])
     with identical assignments (HIGHEST-precision matmuls in both)."""
     if use_pallas:
-        from vq_tpu.ops.pallas_kernels import lloyd_accumulate_fused
+        cap = _fused_accumulate_block_cap(
+            centroids.shape[0], data.shape[1]
+        )
+        if cap:
+            from vq_tpu.ops.pallas_kernels import lloyd_accumulate_fused
 
-        return lloyd_accumulate_fused(data, centroids, block_rows=block_rows)
+            return lloyd_accumulate_fused(
+                data, centroids, block_rows=min(block_rows, cap)
+            )
+        # k·d too large for the one-hot accumulate in VMEM.
     return _assign_accumulate(data, centroids, block_rows)
 
 
