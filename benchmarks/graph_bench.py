@@ -1,0 +1,208 @@
+"""GraphIndex at 1M rows on real TPU: build cost, search QPS, recall.
+
+Builds the Vamana-style graph over a 1M x 128 clustered corpus
+(IVF-assisted candidates), then measures batched beam-search QPS at
+several beam widths — both the single-dispatch rate a tunnel client sees
+and the dispatch-amortized device rate (T=16 chained searches in one
+jit, per the verify skill's tunnel-RPC finding) — plus recall@10 against
+an exact device-side ground truth.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/graph_bench.py
+
+Env: GRAPH_BENCH_N (default 1_000_000), GRAPH_BENCH_DEGREE (32).
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("GRAPH_BENCH_N", 1_000_000))
+D, NLIST = 128, 1000
+DEGREE = int(os.environ.get("GRAPH_BENCH_DEGREE", 32))
+Q, TOPK = 128, 10
+# Cluster tightness. 0.15 makes 1000 *concentrated* clusters — the
+# adversarial regime for ANY graph method (all ~1000 cluster members are
+# nearly equidistant from a query, so the exact 10-NN requires scanning
+# the cluster, which IVF does and a ~100-visit beam cannot). 1.0 gives
+# overlapping clusters — the smooth-density regime graphs are built for.
+NOISE = float(os.environ.get("GRAPH_BENCH_NOISE", "1.0"))
+
+print("backend:", jax.default_backend(), flush=True)
+
+kc, kw, kn, kq = jax.random.split(jax.random.PRNGKey(66), 4)
+centers = jax.random.normal(kc, (NLIST, D)) * 2.0
+which = jax.random.randint(kw, (N,), 0, NLIST)
+data = (
+    jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(kn, (N, D))
+).astype(jnp.float32)
+queries = data[:Q] + 0.01 * jax.random.normal(kq, (Q, D), jnp.float32)
+del centers, which
+
+
+@jax.jit
+def probe_sum(x):
+    return jnp.sum(jnp.float32(x[:2, :]))
+
+
+def per_call(label, fn, reps=(2, 8)):
+    out = fn()
+    float(probe_sum(out))
+
+    def run(r):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(r)]
+        for o in outs:
+            float(probe_sum(o))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = min(run(reps[0]) for _ in range(2))
+    t2 = min(run(reps[1]) for _ in range(2))
+    ms = max((t2 - t1) / (reps[1] - reps[0]), 1e-9) * 1000
+    print(f"{label}: {ms:.2f} ms / {Q} queries = {Q*1000/ms:.0f} QPS",
+          flush=True)
+    return ms
+
+
+# Exact top-10 ground truth (blockwise device scan).
+@jax.jit
+def exact_topk(q, x):
+    def body(carry, xs):
+        bd, bi = carry
+        chunk, cidx = xs
+        d = (
+            jnp.sum(q * q, axis=-1, keepdims=True)
+            - 2.0 * q @ chunk.T
+            + jnp.sum(chunk * chunk, axis=-1)[None, :]
+        )
+        ids = cidx * chunk.shape[0] + jnp.arange(chunk.shape[0])
+        cat_d = jnp.concatenate([bd, d], axis=1)
+        cat_i = jnp.concatenate(
+            [bi, jnp.broadcast_to(ids[None], d.shape)], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, TOPK)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    chunks = x.reshape(-1, 10_000, x.shape[1])
+    (bd, bi), _ = jax.lax.scan(
+        body,
+        (
+            jnp.full((q.shape[0], TOPK), jnp.inf),
+            jnp.full((q.shape[0], TOPK), -1, jnp.int32),
+        ),
+        (chunks, jnp.arange(chunks.shape[0])),
+    )
+    return bi
+
+
+t0 = time.perf_counter()
+gt = exact_topk(queries, data)
+float(probe_sum(gt))
+print(f"exact top-{TOPK} ground truth: {time.perf_counter()-t0:.1f} s",
+      flush=True)
+
+from vq_tpu.graph import GraphIndex, _graph_search_jit  # noqa: E402
+
+t0 = time.perf_counter()
+gi = GraphIndex.build(
+    data, degree=DEGREE, alpha=1.2, store_dtype="float32", seed=1
+)
+print(f"build ({N} rows, degree {DEGREE}): {time.perf_counter()-t0:.1f} s",
+      flush=True)
+
+
+def recall(ids):
+    a, b = np.asarray(ids), np.asarray(gt)
+    return np.mean(
+        [len(set(a[i].tolist()) & set(b[i].tolist())) / TOPK
+         for i in range(Q)]
+    )
+
+
+for beam in (32, 64, 128):
+    ids, _ = gi.search(queries, k=TOPK, beam=beam)
+    r = recall(ids)
+    per_call(
+        f"beam={beam} (recall@10={r:.3f})",
+        lambda beam=beam: gi.search(queries, k=TOPK, beam=beam)[1],
+    )
+
+if os.environ.get("GRAPH_BENCH_DIAG") == "1":
+    ids, dist = gi.search(queries, k=TOPK, beam=64)
+    a, b = np.asarray(ids), np.asarray(gt)
+    rq = np.array(
+        [len(set(a[i].tolist()) & set(b[i].tolist())) / TOPK
+         for i in range(Q)]
+    )
+    hist = np.histogram(rq, bins=[0, .101, .51, .91, 1.01])[0]
+    print("recall dist [0-.1/.1-.5/.5-.9/.9-1]:", hist.tolist(), flush=True)
+    top1 = (a[:, 0] == b[:, 0]).mean()
+    print("top-1 found:", float(top1), flush=True)
+    # entry sanity: distance of best per-query entry vs true NN distance
+    from vq_tpu.graph import _entry_select_jit
+
+    near = _entry_select_jit(queries, gi._rows, gi._sqn, gi.sample, 1)
+    er = np.asarray(
+        jnp.sum(
+            (jnp.take(data, near[:, 0], axis=0) - queries) ** 2, axis=-1
+        )
+    )
+    gd = np.asarray(
+        jnp.sum(
+            (jnp.take(data, jnp.asarray(b[:, 0]), axis=0) - queries)
+            ** 2, axis=-1,
+        )
+    )
+    print(
+        "entry->q dist: med", float(np.median(er)),
+        " gtNN->q dist: med", float(np.median(gd)),
+        " frac entry/gt < 3x:", float((er < 3 * (gd + 1.0)).mean()),
+        flush=True,
+    )
+    bad = np.where(rq < 0.5)[0][:4]
+    for i in bad:
+        print(
+            f"  q{i}: recall={rq[i]:.1f} entry_d={er[i]:.2f} "
+            f"gt_d={gd[i]:.2f} got={a[i][:4].tolist()} "
+            f"want={b[i][:4].tolist()}", flush=True,
+        )
+
+# Dispatch-amortized device rate at beam 64.
+T = 16
+L, B = 64, 4
+TT = max(4, -(-3 * L // (2 * B)))
+
+
+from vq_tpu.graph import _entry_select_jit as _esel  # noqa: E402
+
+
+@jax.jit
+def scan_search(qs, rows, sqn, graph, sample):
+    def step(_, q):
+        near = _esel(q, rows, sqn, sample, 8)
+        ids, d = _graph_search_jit(
+            q, rows, sqn, graph, near, TOPK, L, TT, B
+        )
+        return None, d
+
+    _, d = jax.lax.scan(step, None, qs)
+    return d
+
+
+qbatches = jnp.broadcast_to(queries, (T, Q, D)) + 1e-4 * jax.random.normal(
+    jax.random.PRNGKey(9), (T, Q, D)
+)
+ms = per_call(
+    f"scan{T} beam={L}",
+    lambda: scan_search(qbatches, gi._rows, gi._sqn, gi.graph, gi.sample),
+    reps=(2, 6),
+)
+print(
+    f"device time per {Q}-query batch (amortized over {T}): "
+    f"{ms/T:.2f} ms -> {Q*T*1000/ms:.0f} QPS", flush=True,
+)
+print("done", flush=True)

@@ -197,13 +197,31 @@ def _reverse_edges(fwd: jnp.ndarray, n: int, cap: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("e_top",))
+def _entry_select_jit(q, rows, sqn, sample, e_top: int):
+    """Per-query entry points: brute-force the sampled routing set (one
+    [Q, S] matmul) and take the nearest ``e_top`` — a flattened HNSW
+    hierarchy. With S ~ thousands the sample covers every basin of a
+    clustered corpus, so beam search starts next to the answer instead
+    of routing across the whole graph through shortcut edges."""
+    srows = jnp.take(rows, sample, axis=0).astype(jnp.float32)
+    qy = jax.lax.dot_general(
+        q, srows, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = jnp.take(sqn, sample)[None, :] - 2.0 * qy  # + qn² (argmin-invariant)
+    _, pos = jax.lax.top_k(-d, e_top)
+    return jnp.take(sample, pos)  # [Q, e_top]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "L", "T", "B"))
 def _graph_search_jit(
     q: jnp.ndarray,  # [Q, d] f32
     rows: jnp.ndarray,  # [n, d] stored width
     sqn: jnp.ndarray,  # [n] f32 stored-row norms
     graph: jnp.ndarray,  # [n, deg] int32, -1 pad
-    entry: jnp.ndarray,  # [e] int32 entry ids
+    entry: jnp.ndarray,  # [Q, e] int32 per-query entry ids
     k: int,
     L: int,
     T: int,
@@ -227,11 +245,9 @@ def _graph_search_jit(
         )
         return jnp.where(ids >= 0, jnp.maximum(dd, 0.0), jnp.inf)
 
-    e = entry.shape[0]
+    e = min(entry.shape[1], L)
     pool_i = jnp.full((Q, L), -1, jnp.int32)
-    pool_i = pool_i.at[:, :e].set(
-        jnp.broadcast_to(entry[None, :], (Q, e))
-    )
+    pool_i = pool_i.at[:, :e].set(entry[:, :e])
     pool_d = dist_to(pool_i)
     visited = jnp.full((Q, T * B), -1, jnp.int32)
 
@@ -294,11 +310,16 @@ class GraphIndex:
         graph,
         entry,
         *,
+        sample=None,
         store_dtype: str = "float32",
     ):
         self._rows = jnp.asarray(rows)
         self.graph = jnp.asarray(graph, jnp.int32)
         self.entry = jnp.asarray(entry, jnp.int32).reshape(-1)
+        self.sample = (
+            jnp.asarray(sample, jnp.int32).reshape(-1)
+            if sample is not None else self.entry
+        )
         self.store_dtype = store_dtype
         self._sqn = jnp.sum(
             self._rows.astype(jnp.float32) ** 2, axis=-1
@@ -350,6 +371,16 @@ class GraphIndex:
             jax.random.PRNGKey(int(seed) + 1), (n, Rr), 0, n,
             dtype=jnp.int32,
         )
+        # RESERVED long edges: when clusters are tight relative to their
+        # separation, every near candidate survives the alpha test (no
+        # kept point is within d(p,v)/alpha of another) and the degree
+        # budget fills with intra-cluster edges before any shortcut —
+        # at which point beam search can never leave the entry's basin
+        # (observed: recall 0.005 at 1M rows / 1000 tight clusters).
+        # So a slice of the budget is unconditionally random (Kleinberg
+        # small-world wiring) instead of prune-contested.
+        R_far = min(max(2, R // 8), Rr) if n > R0 + 1 else 0
+        R_near = R - R_far
 
         # Chunked vectorized prune (one compiled shape, padded tail).
         # The dominance test runs in the squared-L2 domain, so standard
@@ -377,7 +408,15 @@ class GraphIndex:
                 jnp.take(x, jnp.maximum(rand_c, 0), axis=0),
             )
             rows_c = jnp.take(x, jnp.maximum(ids_c, 0), axis=0)
-            out = _robust_prune_chunk(node_c, ids_c, d_c, rows_c, a2, R)
+            out = _robust_prune_chunk(
+                node_c, ids_c, d_c, rows_c, a2, R_near
+            )
+            if R_far:
+                far = jnp.where(
+                    rand_c[:, :R_far] == nid_c[:, None],
+                    -1, rand_c[:, :R_far],
+                )
+                out = jnp.concatenate([out, far], axis=1)
             fwd[sl] = np.asarray(out[: stop - start])
 
         fwd = jnp.asarray(fwd)
@@ -392,13 +431,19 @@ class GraphIndex:
             jnp.sum((x - mean) ** 2, axis=-1)
         ).astype(jnp.int32)
         extra = jax.random.randint(
-            jax.random.PRNGKey(int(seed) + 2), (min(4, n),), 0, n,
+            jax.random.PRNGKey(int(seed) + 2), (min(15, n),), 0, n,
             dtype=jnp.int32,
         )
         entry = jnp.concatenate([medoid[None], extra])
+        # Routing sample (flattened hierarchy — see _entry_select_jit):
+        # seeded permutation so large corpora get basin-covering entries.
+        S = min(4096, n)
+        sample = jax.random.permutation(
+            jax.random.PRNGKey(int(seed) + 3), n
+        )[:S].astype(jnp.int32)
         return cls(
             x.astype(_STORE_DTYPES[store_dtype]), graph,
-            entry, store_dtype=store_dtype,
+            entry, sample=sample, store_dtype=store_dtype,
         )
 
     @staticmethod
@@ -482,8 +527,21 @@ class GraphIndex:
             else max(4, -(-3 * L // (2 * B)))
         )
         k_eff = min(int(k), self.ntotal)
+        e_top = min(8, int(self.sample.shape[0]))
+        near = _entry_select_jit(
+            q, self._rows, self._sqn, self.sample, e_top
+        )  # [Q, e_top] basin-covering entries
+        entry = jnp.concatenate(
+            [
+                near,
+                jnp.broadcast_to(
+                    self.entry[None, :], (q.shape[0], self.entry.shape[0])
+                ),
+            ],
+            axis=1,
+        )
         ids, dist = _graph_search_jit(
-            q, self._rows, self._sqn, self.graph, self.entry,
+            q, self._rows, self._sqn, self.graph, entry,
             k_eff, L, T, B,
         )
         if k_eff < k:
@@ -512,6 +570,7 @@ class GraphIndex:
                 "rows": rows,
                 "graph": np.asarray(self.graph),
                 "entry": np.asarray(self.entry),
+                "sample": np.asarray(self.sample),
             },
         )
 
@@ -527,6 +586,7 @@ class GraphIndex:
             rows = rows.view(jnp.bfloat16.dtype)
         return cls(
             rows, arrays["graph"], arrays["entry"],
+            sample=arrays.get("sample"),
             store_dtype=config["store_dtype"],
         )
 
