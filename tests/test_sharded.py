@@ -367,3 +367,41 @@ class TestShardedIVFScanSearch:
         idx.add(corpus)
         with pytest.raises(TypeError):
             sharded_ivf_scan_search(idx, corpus[:2], k=3)
+
+
+class TestShardedGraphSearch:
+    """Query-parallel GraphIndex serving: sharded batch, replicated
+    index, identical results to the single-device search."""
+
+    @pytest.fixture(scope="class")
+    def graph_setup(self):
+        from vq_tpu import GraphIndex
+
+        r = np.random.default_rng(81)
+        centers = r.normal(0, 3.0, (12, 24)).astype(np.float32)
+        which = r.integers(0, 12, 3000)
+        x = (centers[which] + r.normal(0, 0.4, (3000, 24))).astype(
+            np.float32
+        )
+        return x, GraphIndex.build(x, degree=16, seed=2)
+
+    def test_matches_single_device(self, graph_setup):
+        from vq_tpu.parallel import sharded_graph_search
+
+        x, gi = graph_setup
+        q = x[:24] + 0.01
+        ids_1, d_1 = gi.search(q, k=6, beam=32)
+        ids_s, d_s = sharded_graph_search(gi, q, k=6, beam=32)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(d_s), np.asarray(d_1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_query_count_not_divisible(self, graph_setup):
+        from vq_tpu.parallel import sharded_graph_search
+
+        x, gi = graph_setup
+        q = x[:13]  # 13 over 8 devices -> padded internally
+        ids_1, _ = gi.search(q, k=4, beam=32)
+        ids_s, _ = sharded_graph_search(gi, q, k=4, beam=32)
+        np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
