@@ -245,25 +245,30 @@ def _graph_search_jit(
         )
         return jnp.where(ids >= 0, jnp.maximum(dd, 0.0), jnp.inf)
 
+    # Entry set deduped ONCE (lexsort by (id, d), keep best copy). The
+    # pool then stays duplicate-free by invariant: each step masks new
+    # neighbors already in the pool, already visited, or repeated within
+    # the step — pure elementwise compares (no per-step sort, which
+    # dominated the device profile of the sort-based formulation).
     e = min(entry.shape[1], L)
     pool_i = jnp.full((Q, L), -1, jnp.int32)
     pool_i = pool_i.at[:, :e].set(entry[:, :e])
     pool_d = dist_to(pool_i)
+    order = jnp.lexsort((pool_d, pool_i), axis=1)
+    si = jnp.take_along_axis(pool_i, order, axis=1)
+    sd = jnp.take_along_axis(pool_d, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((Q, 1), bool), (si[:, 1:] == si[:, :-1])], axis=1
+    ) & (si >= 0)
+    neg, pos = jax.lax.top_k(-jnp.where(dup, jnp.inf, sd), L)
+    pool_i = jnp.take_along_axis(jnp.where(dup, -1, si), pos, axis=1)
+    pool_d = -neg
     visited = jnp.full((Q, T * B), -1, jnp.int32)
 
-    def dedup_topL(cat_i, cat_d):
-        # Sort by (id, d): duplicates become adjacent with the best copy
-        # first; mask the rest, then keep the best L by distance.
-        order = jnp.lexsort((cat_d, cat_i), axis=1)
-        si = jnp.take_along_axis(cat_i, order, axis=1)
-        sd = jnp.take_along_axis(cat_d, order, axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((Q, 1), bool), (si[:, 1:] == si[:, :-1])], axis=1
-        ) & (si >= 0)
-        sd = jnp.where(dup, jnp.inf, sd)
-        si = jnp.where(dup, -1, si)
-        neg, pos = jax.lax.top_k(-sd, L)
-        return jnp.take_along_axis(si, pos, axis=1), -neg
+    BD = B * deg
+    tri = (
+        jnp.arange(BD)[None, :] < jnp.arange(BD)[:, None]
+    )  # [j, i]: i earlier than j
 
     def step(carry, t):
         pool_i, pool_d, visited = carry
@@ -283,13 +288,26 @@ def _graph_search_jit(
         )  # [Q, B, deg]
         nbrs = jnp.where(
             picked_open[:, :, None], nbrs, -1
-        ).reshape(Q, B * deg)
-        nd = dist_to(nbrs)
-        new_i, new_d = dedup_topL(
-            jnp.concatenate([pool_i, nbrs], axis=1),
-            jnp.concatenate([pool_d, nd], axis=1),
+        ).reshape(Q, BD)
+        # Mask already-known ids before they enter the pool.
+        in_pool = jnp.any(
+            nbrs[:, :, None] == pool_i[:, None, :], axis=-1
         )
-        return (new_i, new_d, visited), None
+        in_vis = jnp.any(
+            nbrs[:, :, None] == visited[:, None, :], axis=-1
+        )
+        dup_new = jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :]) & tri[None], axis=-1
+        )
+        fresh = ~(in_pool | in_vis | dup_new) & (nbrs >= 0)
+        nd = jnp.where(fresh, dist_to(nbrs), jnp.inf)
+        nbrs = jnp.where(fresh, nbrs, -1)
+        cat_d = jnp.concatenate([pool_d, nd], axis=1)
+        cat_i = jnp.concatenate([pool_i, nbrs], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, L)
+        return (
+            jnp.take_along_axis(cat_i, pos, axis=1), -neg, visited
+        ), None
 
     (pool_i, pool_d, _), _ = jax.lax.scan(
         step, (pool_i, pool_d, visited), jnp.arange(T)
