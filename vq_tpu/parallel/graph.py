@@ -36,7 +36,7 @@ def sharded_graph_search(
     *,
     beam: int = 64,
     iters: Optional[int] = None,
-    picks_per_iter: int = 4,
+    picks_per_iter: int = 8,
     mesh: Optional[Mesh] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a replicated :class:`GraphIndex` with the query batch
