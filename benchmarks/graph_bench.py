@@ -23,6 +23,7 @@ import numpy as np
 N = int(os.environ.get("GRAPH_BENCH_N", 1_000_000))
 D, NLIST = 128, 1000
 DEGREE = int(os.environ.get("GRAPH_BENCH_DEGREE", 32))
+DTYPE = os.environ.get("GRAPH_BENCH_DTYPE", "float32")
 Q, TOPK = 128, 10
 # Cluster tightness. 0.15 makes 1000 *concentrated* clusters — the
 # adversarial regime for ANY graph method (all ~1000 cluster members are
@@ -109,7 +110,7 @@ from vq_tpu.graph import GraphIndex, _graph_search_jit  # noqa: E402
 
 t0 = time.perf_counter()
 gi = GraphIndex.build(
-    data, degree=DEGREE, alpha=1.2, store_dtype="float32", seed=1
+    data, degree=DEGREE, alpha=1.2, store_dtype=DTYPE, seed=1
 )
 print(f"build ({N} rows, degree {DEGREE}): {time.perf_counter()-t0:.1f} s",
       flush=True)
@@ -173,7 +174,7 @@ if os.environ.get("GRAPH_BENCH_DIAG") == "1":
 
 # Dispatch-amortized device rate at beam 64.
 T = 16
-L, B = 64, 4
+L, B = 64, 8
 TT = max(4, -(-3 * L // (2 * B)))
 
 

@@ -169,6 +169,51 @@ def _robust_prune_chunk(
     return jnp.where(out_ok, out, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("R", "R_far", "C"))
+def _prune_all_jit(x, cand_ids, cand_d, rand_all, a2, R: int, R_far: int, C: int):
+    """Augment + robust-prune every node in one dispatch: lax.scan over
+    node chunks of ``C`` (per-chunk shapes stay VMEM/compile-friendly),
+    returning the ``[n, R + R_far]`` forward adjacency."""
+    n = x.shape[0]
+    pad = (-n) % C
+    ids_p = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    d_p = jnp.pad(cand_d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    rand_p = jnp.pad(rand_all, ((0, pad), (0, 0)), constant_values=-1)
+    node_p = jnp.pad(x, ((0, pad), (0, 0)))
+    nid_p = jnp.pad(
+        jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=-1
+    )
+    nb = (n + pad) // C
+
+    def body(_, xs):
+        node_c, nid_c, ids_c, d_c, rand_c = xs
+        ids_c, d_c = _augment_candidates_chunk(
+            node_c, nid_c, ids_c, d_c, rand_c,
+            jnp.take(x, jnp.maximum(rand_c, 0), axis=0),
+        )
+        rows_c = jnp.take(x, jnp.maximum(ids_c, 0), axis=0)
+        out = _robust_prune_chunk(node_c, ids_c, d_c, rows_c, a2, R)
+        if R_far:
+            far = jnp.where(
+                rand_c[:, :R_far] == nid_c[:, None], -1, rand_c[:, :R_far]
+            )
+            out = jnp.concatenate([out, far], axis=1)
+        return None, out
+
+    _, fwd = jax.lax.scan(
+        body,
+        None,
+        (
+            node_p.reshape(nb, C, -1),
+            nid_p.reshape(nb, C),
+            ids_p.reshape(nb, C, -1),
+            d_p.reshape(nb, C, -1),
+            rand_p.reshape(nb, C, -1),
+        ),
+    )
+    return fwd.reshape(nb * C, -1)[:n]
+
+
 def _reverse_edges(fwd: jnp.ndarray, n: int, cap: int) -> jnp.ndarray:
     """[n, R] forward edges -> [n, cap] reverse edges (who points at me),
     via the shared sort+scatter bucket packing (device-resident)."""
@@ -400,44 +445,17 @@ class GraphIndex:
         R_far = min(max(2, R // 8), Rr) if n > R0 + 1 else 0
         R_near = R - R_far
 
-        # Chunked vectorized prune (one compiled shape, padded tail).
-        # The dominance test runs in the squared-L2 domain, so standard
-        # Vamana alpha semantics (alpha * d(u,v) <= d(p,v)) need alpha².
+        # Vectorized prune over all nodes as ONE jit: a lax.scan over
+        # node chunks (977 separate dispatches + per-chunk host readbacks
+        # cost ~150 s of a 1M build through the tunnel; one dispatch
+        # costs device time only). The dominance test runs in the
+        # squared-L2 domain, so standard Vamana alpha semantics
+        # (alpha * d(u,v) <= d(p,v)) need alpha².
         C = min(int(prune_chunk), n)
-        fwd = np.empty((n, R), np.int32)
         a2 = jnp.float32(float(alpha) ** 2)
-        for start in range(0, n, C):
-            stop = min(start + C, n)
-            sl = slice(start, stop)
-            ids_c = cand_ids[sl]
-            d_c = cand_d[sl]
-            node_c = x[sl]
-            rand_c = rand_all[sl]
-            nid_c = jnp.arange(start, stop, dtype=jnp.int32)
-            if stop - start < C:
-                pad = C - (stop - start)
-                ids_c = jnp.pad(ids_c, ((0, pad), (0, 0)), constant_values=-1)
-                d_c = jnp.pad(d_c, ((0, pad), (0, 0)), constant_values=jnp.inf)
-                node_c = jnp.pad(node_c, ((0, pad), (0, 0)))
-                rand_c = jnp.pad(rand_c, ((0, pad), (0, 0)), constant_values=-1)
-                nid_c = jnp.pad(nid_c, (0, pad), constant_values=-1)
-            ids_c, d_c = _augment_candidates_chunk(
-                node_c, nid_c, ids_c, d_c, rand_c,
-                jnp.take(x, jnp.maximum(rand_c, 0), axis=0),
-            )
-            rows_c = jnp.take(x, jnp.maximum(ids_c, 0), axis=0)
-            out = _robust_prune_chunk(
-                node_c, ids_c, d_c, rows_c, a2, R_near
-            )
-            if R_far:
-                far = jnp.where(
-                    rand_c[:, :R_far] == nid_c[:, None],
-                    -1, rand_c[:, :R_far],
-                )
-                out = jnp.concatenate([out, far], axis=1)
-            fwd[sl] = np.asarray(out[: stop - start])
-
-        fwd = jnp.asarray(fwd)
+        fwd = _prune_all_jit(
+            x, cand_ids, cand_d, rand_all, a2, R_near, R_far, C
+        )
         rev = _reverse_edges(fwd, n, R)
         graph = jnp.concatenate([fwd, rev], axis=1)  # [n, 2R]
 
