@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidData
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
 from vq_tpu.ivf import IVFPQIndex
 
 
@@ -271,3 +276,63 @@ class TestRebalance:
         idx, _ = skewed_index
         info = idx.rebalance(target_max=10**9)
         assert info == {"split": 0, "retired": 0, "new_nlist": idx.nlist}
+
+
+class TestIVFPQRangeSearch:
+    """range_search on IVF-PQ: hits are ADC values within radius among
+    the probed lists; counts are true probed-hit counts."""
+
+    @pytest.fixture(scope="class")
+    def built(self):
+        rng = np.random.default_rng(57)
+        centers = rng.normal(0, 3.0, (12, 32)).astype(np.float32)
+        which = rng.integers(0, 12, 3000)
+        x = (centers[which] + rng.normal(0, 0.3, (3000, 32))).astype(
+            np.float32
+        )
+        idx = IVFPQIndex.train(
+            x, nlist=12, num_subspaces=4, num_centroids=16, max_iters=4,
+        )
+        idx.add(x)
+        return x, idx
+
+    def _adc_values(self, idx, q):
+        """Dense ADC values of every stored row (decoded via residual
+        reconstruction) — the oracle for what range_search thresholds."""
+        codes = np.asarray(idx._flat_codes)
+        lists = np.asarray(idx._flat_lists)
+        cb = np.asarray(idx.pq.codebooks)  # [m, k, s]
+        m, k, s = cb.shape
+        rec = cb[np.arange(m)[None, :], codes, :].reshape(len(codes), -1)
+        if idx.by_residual:
+            rec = rec + np.asarray(idx.coarse)[lists]
+        return ((rec[None] - q[:, None]) ** 2).sum(-1)
+
+    def test_full_probe_counts_match_dense_adc(self, built):
+        x, idx = built
+        q = np.asarray(x[:5]) + 0.01
+        ref = self._adc_values(idx, q)
+        radius = float(np.quantile(ref, 0.02))
+        ids, vals, counts = idx.range_search(
+            q, radius, nprobe=idx.nlist, max_results=512
+        )
+        got = np.asarray(counts)
+        expect = (ref <= radius).sum(1)
+        # fp boundary ties allowed (ADC sums reassociate)
+        assert (np.abs(got - expect) <= np.maximum(1, 0.02 * expect)).all()
+        ids_np = np.asarray(ids)
+        core = set(np.nonzero(ref[0] <= radius - 1e-3)[0].tolist())
+        assert core <= set(ids_np[0][ids_np[0] >= 0].tolist())
+
+    def test_partial_probe_subset(self, built):
+        x, idx = built
+        q = np.asarray(x[:6])
+        _, _, c_full = idx.range_search(q, 5.0, nprobe=idx.nlist)
+        _, _, c_part = idx.range_search(q, 5.0, nprobe=3)
+        assert (np.asarray(c_part) <= np.asarray(c_full)).all()
+
+    def test_bad_args(self, built):
+        _, idx = built
+        with pytest.raises(InvalidParameter):
+            idx.range_search(np.zeros((1, 32), np.float32), 1.0,
+                             max_results=0)

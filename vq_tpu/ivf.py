@@ -62,29 +62,14 @@ from vq_tpu.utils.serialize import _from_npz, _to_npz
 __all__ = ["IVFPQIndex"]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nprobe", "k", "use_pallas", "interpret", "metric", "by_residual"
-    ),
-)
-def _ivf_search_jit(
-    q: jnp.ndarray,  # [Q, d]
-    coarse: jnp.ndarray,  # [nlist, d]
-    cb: jnp.ndarray,  # [m, kk, s]
-    bucket_codes: jnp.ndarray,  # [nlist, cap, m] u8/int32
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
-    nprobe: int,
-    k: int,
-    use_pallas: bool = False,
-    interpret: bool = False,
-    metric: str = "l2",
-    by_residual: bool = True,
+def _ivf_probe_dists(
+    q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+    use_pallas, interpret, metric, by_residual,
 ):
-    """Probe + ADC + merge. Internally everything is "smaller is better":
-    for ``metric="dot"`` the tables are negated scores, so the same probe
-    kernel, inf-masking, and top-k machinery serve both metrics; the caller
-    negates back."""
+    """Probe + ADC scoring shared by search and range_search:
+    returns ``(ids [Q, np, cap], dist [Q, np, cap])`` — smaller is
+    better, pads inf-masked (``metric="dot"`` tables are negated
+    scores; the caller negates back)."""
     Q, d = q.shape
     m, kk, s = cb.shape
 
@@ -159,12 +144,68 @@ def _ivf_search_jit(
         qc_probe = jnp.take_along_axis(qc, probe, axis=1)  # [Q, np]
         dist = dist - qc_probe[..., None]
     dist = jnp.where(ids >= 0, dist, jnp.inf)
+    return ids, dist
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "use_pallas", "interpret", "metric", "by_residual"
+    ),
+)
+def _ivf_search_jit(
+    q: jnp.ndarray,  # [Q, d]
+    coarse: jnp.ndarray,  # [nlist, d]
+    cb: jnp.ndarray,  # [m, kk, s]
+    bucket_codes: jnp.ndarray,  # [nlist, cap, m] u8/int32
+    bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
+    nprobe: int,
+    k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    metric: str = "l2",
+    by_residual: bool = True,
+):
+    """Probe + ADC + top-k merge."""
+    Q = q.shape[0]
+    ids, dist = _ivf_probe_dists(
+        q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+        use_pallas, interpret, metric, by_residual,
+    )
     flat_dist = dist.reshape(Q, -1)
     flat_ids = ids.reshape(Q, -1)
     neg_top, pos = jax.lax.top_k(-flat_dist, k)
     found = jnp.take_along_axis(flat_ids, pos, axis=1)
     return found, -neg_top
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "fetch", "use_pallas", "interpret", "metric",
+        "by_residual",
+    ),
+)
+def _ivf_range_jit(
+    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, fetch: int,
+    radius, use_pallas: bool, interpret: bool, metric: str,
+    by_residual: bool,
+):
+    """Probe + ADC radius scan: best ``fetch`` hits within ``radius``
+    (smaller-is-better domain) plus TRUE per-query probed-hit counts."""
+    Q = q.shape[0]
+    ids, dist = _ivf_probe_dists(
+        q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+        use_pallas, interpret, metric, by_residual,
+    )
+    flat_d = dist.reshape(Q, -1)
+    flat_i = ids.reshape(Q, -1)
+    hit = (flat_d <= radius) & (flat_i >= 0)
+    counts = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    flat_d = jnp.where(hit, flat_d, jnp.inf)
+    flat_i = jnp.where(hit, flat_i, -1)
+    neg, pos = jax.lax.top_k(-flat_d, fetch)
+    return jnp.take_along_axis(flat_i, pos, axis=1), -neg, counts
 
 
 class IVFPQIndex:
@@ -611,6 +652,52 @@ class IVFPQIndex:
         if self.metric == "dot":
             dist = -dist  # back to descending scores; pads become -inf
         return ids, dist
+
+    def range_search(
+        self,
+        queries,
+        radius: float,
+        *,
+        nprobe: int = 8,
+        max_results: int = 1024,
+        use_pallas: Optional[bool] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """All probed rows whose ADC value is within ``radius`` (the
+        faiss IVF ``range_search`` contract — recall bounded by the probe
+        set, values are the asymmetric PQ approximations, not exact
+        distances). Returns ``(ids, values, counts)`` with the family's
+        static-shape contract: best ``max_results`` hits padded with
+        ``-1`` / ``inf`` (``-inf`` scores for ``dot``), ``counts[q]`` the
+        TRUE number of probed hits. A hit is ``value <= radius`` for L2,
+        ``score >= radius`` for ``dot``.
+        """
+        if int(max_results) < 1:
+            raise InvalidParameter("max_results", "must be >= 1")
+        bucket_codes, bucket_ids = self._build_buckets()
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.pq.dim:
+            raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
+        nprobe = min(int(nprobe), self.nlist)
+        pool = nprobe * int(bucket_ids.shape[1])
+        fetch = min(int(max_results), pool)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        r = float(radius)
+        r_internal = -r if self.metric == "dot" else r
+        ids, d, counts = _ivf_range_jit(
+            q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
+            nprobe, fetch, jnp.float32(r_internal), bool(use_pallas),
+            False, self.metric, self.by_residual,
+        )
+        if ids.shape[1] < max_results:
+            pad = int(max_results) - ids.shape[1]
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        if self.metric == "dot":
+            d = -d  # back to descending scores; pads become -inf
+        return ids, d, counts
 
     # -- persistence --------------------------------------------------------
 
