@@ -329,3 +329,72 @@ class TestIdMapIndex:
         idx = IdMapIndex(FlatIndex(8))
         with pytest.raises(EmptyInput):
             idx.remove_ids([1])
+
+
+class TestLSH:
+    """faiss IndexLSH analog: LSH{nbits} = seeded random orthonormal
+    projection + sign bits + packed Hamming search."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        r = np.random.default_rng(91)
+        centers = r.normal(0, 3.0, (8, 48)).astype(np.float32)
+        which = r.integers(0, 8, 2000)
+        return (centers[which] + r.normal(0, 0.4, (2000, 48))).astype(
+            np.float32
+        )
+
+    def test_projection_orthonormal_columns(self):
+        from vq_tpu.transforms import RotationTransform
+
+        t = RotationTransform.random(48, seed=3, d_out=16)
+        m = np.asarray(t.matrix)
+        assert m.shape == (48, 16)
+        np.testing.assert_allclose(m.T @ m, np.eye(16), atol=1e-5)
+
+    def test_factory_lsh_builds_and_searches(self, corpus):
+        from vq_tpu import index_factory
+
+        f = index_factory(48, "LSH48")
+        assert f.is_trained  # seeded projection, nothing to fit
+        f.add(corpus)
+        ids, ham = f.search(corpus[:16], k=10)
+        assert np.asarray(ids).shape == (16, 10)
+        # LSH preserves locality: self-match must rank first for most
+        # queries (sign bits of a row match themselves exactly).
+        assert (np.asarray(ids)[:, 0] == np.arange(16)).mean() >= 0.9
+        # LSH's guarantee is bucket locality, not fine ranking: sign
+        # bits can't order same-cluster near-ties, so assert the top-10
+        # come from the query's true cluster (sign-pattern locality),
+        # plus a loose recall floor far above random (~0.005).
+        d = np.sum((corpus[None] - corpus[:16, None]) ** 2, -1)
+        gt = np.argsort(d, 1)[:, :10]
+        got = np.asarray(ids)
+        rec = np.mean([
+            len(set(got[i].tolist()) & set(gt[i].tolist())) / 10
+            for i in range(16)
+        ])
+        assert rec > 0.05
+        same_cluster = np.mean([
+            (d[i, got[i]] < 2.0 * np.median(d[i])).mean()
+            for i in range(16)
+        ])
+        assert same_cluster > 0.95
+
+    def test_lsh_exceeding_dim_rejected(self):
+        from vq_tpu import index_factory
+        from vq_tpu.errors import InvalidParameter
+
+        with pytest.raises(InvalidParameter):
+            index_factory(16, "LSH32").train(None)
+
+    def test_lsh_save_load(self, corpus, tmp_path):
+        from vq_tpu import index_factory, load_index
+
+        f = index_factory(48, "LSH16")
+        f.add(corpus[:200])
+        p = f.index.save(str(tmp_path / "lsh.npz"))
+        back = load_index(p)
+        ids0, _ = f.search(corpus[:4], k=3)
+        ids1, _ = back.search(corpus[:4], k=3)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))

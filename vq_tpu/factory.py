@@ -27,6 +27,9 @@ stage              meaning
 ``PQ8``/``PQ8x4``  product codes, m x 2^nbits (:class:`PQIndex`)
 ``RQ4``/``RQ4x8``  additive residual codes (:class:`RQIndex`)
 ``BFlat``          packed sign bits (:class:`BinaryIndex`)
+``LSH32``          faiss ``IndexLSH``: seeded random orthonormal
+                   projection to nbits dims (nbits <= d), sign bits,
+                   packed Hamming search
 ``BIVF256``        inverted file over packed sign bits
                    (:class:`~vq_tpu.ivf_binary.IVFBinaryIndex`; the
                    faiss ``index_binary_factory`` ``BIVF`` spec)
@@ -317,6 +320,8 @@ class FactoryIndex:
             return
         if re.fullmatch(r"BIVF\d+", head):  # faiss index_binary_factory
             return
+        if re.fullmatch(r"LSH\d+", head):  # faiss IndexLSH
+            return
         if head.startswith("PQ"):
             _parse_pq(head)
             return
@@ -332,6 +337,8 @@ class FactoryIndex:
         ):
             return True
         head = self._index_stages[0]
+        if re.fullmatch(r"LSH\d+", head):
+            return False  # seeded projection, nothing to fit
         return head not in ("Flat", "SQfp16", "SQbf16", "BFlat")
 
     @property
@@ -440,6 +447,23 @@ class FactoryIndex:
             )
         elif head == "BFlat":
             base = BinaryIndex(d, keep_corpus=keep_corpus)
+        elif head.startswith("LSH"):
+            # faiss IndexLSH: seeded random orthonormal projection to
+            # nbits dims, sign bits, packed Hamming search.
+            from vq_tpu.transforms import (
+                RotationTransform,
+                TransformedIndex,
+            )
+
+            nbits = int(head[3:])
+            if nbits > d:
+                raise InvalidParameter(
+                    "spec", f"LSH{nbits} exceeds input dim {d}"
+                )
+            proj = RotationTransform.random(d, seed=seed, d_out=nbits)
+            base = TransformedIndex(
+                [proj], BinaryIndex(nbits, keep_corpus=keep_corpus)
+            )
         elif head.startswith("BIVF"):
             from vq_tpu.ivf_binary import IVFBinaryIndex
 

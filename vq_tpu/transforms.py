@@ -179,15 +179,23 @@ class RotationTransform(VectorTransform):
         self.d_in, self.d_out = int(r.shape[0]), int(r.shape[1])
 
     @classmethod
-    def random(cls, dim: int, seed: int = 42) -> "RotationTransform":
-        """Seeded random orthonormal rotation (QR of a Gaussian)."""
+    def random(
+        cls, dim: int, seed: int = 42, d_out: Optional[int] = None
+    ) -> "RotationTransform":
+        """Seeded random orthonormal rotation (QR of a Gaussian);
+        ``d_out < dim`` keeps the first columns — a random orthonormal
+        projection (the faiss ``RandomRotationMatrix`` used by LSH)."""
+        dim = int(dim)
+        d_out = dim if d_out is None else int(d_out)
+        if not 1 <= d_out <= dim:
+            raise InvalidParameter("d_out", "must be in [1, dim]")
         g = jax.random.normal(
-            jax.random.PRNGKey(seed), (int(dim), int(dim)), jnp.float32
+            jax.random.PRNGKey(seed), (dim, dim), jnp.float32
         )
         q, r = jnp.linalg.qr(g)
         # sign-fix so the rotation is a deterministic function of the seed
         q = q * jnp.sign(jnp.diagonal(r))[None, :]
-        return cls(q)
+        return cls(q[:, :d_out])
 
     @property
     def matrix(self) -> jnp.ndarray:
