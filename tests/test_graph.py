@@ -172,3 +172,34 @@ class TestLifecycle:
         )
         with pytest.raises(EmptyInput):
             gi.search(np.zeros((1, 4), np.float32))
+
+
+class TestReviewRegressions:
+    """Round-2 review findings: tiny degrees, over-wide picks, eager
+    store_dtype validation, cached sharded placements."""
+
+    def test_degree_one_and_two_keep_contract(self, corpus):
+        for deg in (1, 2):
+            gi = GraphIndex.build(corpus[:300], degree=deg, seed=1)
+            g = np.asarray(gi.graph)
+            assert g.shape == (300, 2 * deg)
+            ids, _ = gi.search(corpus[:3], k=2, beam=16)
+            assert (np.asarray(ids)[:, 0] >= 0).all()
+
+    def test_picks_wider_than_beam_clamped(self, idx, corpus):
+        ids, _ = idx.search(corpus[:3], k=4, beam=8, picks_per_iter=32)
+        assert np.asarray(ids).shape == (3, 4)
+
+    def test_bad_store_dtype_rejected_before_build(self, corpus):
+        with pytest.raises(InvalidParameter):
+            GraphIndex.build(corpus[:100], store_dtype="f16")
+
+    def test_sharded_replica_cache_reused(self, idx, corpus):
+        from vq_tpu.parallel import sharded_graph_search
+        from vq_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        sharded_graph_search(idx, corpus[:8], k=3, mesh=mesh)
+        cache = idx._replica_cache
+        sharded_graph_search(idx, corpus[:8], k=3, mesh=mesh)
+        assert idx._replica_cache is cache  # no re-broadcast

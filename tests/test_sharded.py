@@ -405,3 +405,22 @@ class TestShardedGraphSearch:
         ids_1, _ = gi.search(q, k=4, beam=32)
         ids_s, _ = sharded_graph_search(gi, q, k=4, beam=32)
         np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_1))
+
+
+def test_sharded_scan_placement_cached():
+    """Serving loops must not re-broadcast the bucket structure every
+    batch (review finding): the sharded placement is cached per build."""
+    from vq_tpu import IVFFlatIndex
+    from vq_tpu.parallel import sharded_ivf_scan_search
+
+    r = np.random.default_rng(97)
+    x = r.normal(0, 1, (600, 16)).astype(np.float32)
+    idx = IVFFlatIndex.train(x, nlist=8, seed=1)
+    idx.add(x)
+    sharded_ivf_scan_search(idx, x[:4], k=3)
+    cache = idx._shard_cache
+    sharded_ivf_scan_search(idx, x[:4], k=3)
+    assert idx._shard_cache is cache
+    idx.add(x[:8])  # invalidates buckets -> new placement on next search
+    sharded_ivf_scan_search(idx, x[:4], k=3)
+    assert idx._shard_cache is not cache

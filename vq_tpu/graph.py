@@ -361,6 +361,41 @@ def _graph_search_jit(
     return jnp.take_along_axis(pool_i, pos, axis=1), -neg
 
 
+def _search_driver(
+    q, rows, sqn, graph, sample, static_entry, ntotal: int,
+    k: int, beam: int, iters, picks_per_iter: int,
+):
+    """Shared entry-select + beam-search wrapper (parameter resolution,
+    per-query entries, k-padding). Used by both :meth:`GraphIndex.search`
+    and the query-sharded multi-chip path so their behavior cannot
+    drift — the arrays may carry any placement/sharding."""
+    L = max(beam, k)
+    B = max(1, min(picks_per_iter, L))  # top_k(B) runs on an [Q, L] pool
+    T = int(iters) if iters is not None else max(4, -(-3 * L // (2 * B)))
+    k_eff = min(k, ntotal)
+    e_top = min(8, int(sample.shape[0]))
+    near = _entry_select_jit(
+        q, rows, sqn, sample, e_top
+    )  # [Q, e_top] basin-covering entries
+    entry = jnp.concatenate(
+        [
+            near,
+            jnp.broadcast_to(
+                static_entry[None, :], (q.shape[0], static_entry.shape[0])
+            ),
+        ],
+        axis=1,
+    )
+    ids, dist = _graph_search_jit(
+        q, rows, sqn, graph, entry, k_eff, L, T, B
+    )
+    if k_eff < k:
+        pad = k - k_eff
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    return ids, dist
+
+
 class GraphIndex:
     """Navigable-graph ANN index (Vamana-style build, batched beam
     search). Build once with :meth:`build`; no incremental ``add`` —
@@ -421,6 +456,11 @@ class GraphIndex:
             raise InvalidParameter("degree", "must be >= 1")
         if alpha < 1.0:
             raise InvalidParameter("alpha", "must be >= 1.0")
+        if store_dtype not in _STORE_DTYPES:
+            raise InvalidParameter(
+                "store_dtype",
+                "must be 'float32', 'bfloat16', or 'float16'",
+            )
         R0 = int(knn_k) if knn_k is not None else min(2 * degree, n - 1)
         R0 = max(min(R0, n - 1), 1)
         R = min(degree, R0)
@@ -441,8 +481,12 @@ class GraphIndex:
         # at which point beam search can never leave the entry's basin
         # (observed: recall 0.005 at 1M rows / 1000 tight clusters).
         # So a slice of the budget is unconditionally random (Kleinberg
-        # small-world wiring) instead of prune-contested.
-        R_far = min(max(2, R // 8), Rr) if n > R0 + 1 else 0
+        # small-world wiring) instead of prune-contested. At least one
+        # pruned near edge always remains (tiny degrees skip shortcuts).
+        if R >= 3 and n > R0 + 1:
+            R_far = min(max(2, R // 8), Rr, R - 1)
+        else:
+            R_far = 0
         R_near = R - R_far
 
         # Vectorized prune over all nodes as ONE jit: a lax.scan over
@@ -495,7 +539,16 @@ class GraphIndex:
         from vq_tpu.ivf_flat import IVFFlatIndex
 
         nlist = max(64, int(np.sqrt(n)) * 2)
-        sample = x[: min(n, 200_000)]
+        # Random subsample for coarse training — a head slice would see
+        # only the head's distribution on source-/cluster-ordered data.
+        ns = min(n, 200_000)
+        sample = jnp.take(
+            x,
+            jax.random.permutation(
+                jax.random.PRNGKey(int(seed) + 11), n
+            )[:ns],
+            axis=0,
+        )
         idx = IVFFlatIndex.train(
             sample, nlist, max_iters=8, seed=seed,
             store_dtype="bfloat16",
@@ -561,37 +614,11 @@ class GraphIndex:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=q.shape[1])
-        L = max(int(beam), int(k))
-        B = max(1, int(picks_per_iter))
-        T = (
-            int(iters) if iters is not None
-            else max(4, -(-3 * L // (2 * B)))
+        return _search_driver(
+            q, self._rows, self._sqn, self.graph, self.sample,
+            self.entry, self.ntotal, int(k), int(beam), iters,
+            int(picks_per_iter),
         )
-        k_eff = min(int(k), self.ntotal)
-        e_top = min(8, int(self.sample.shape[0]))
-        near = _entry_select_jit(
-            q, self._rows, self._sqn, self.sample, e_top
-        )  # [Q, e_top] basin-covering entries
-        entry = jnp.concatenate(
-            [
-                near,
-                jnp.broadcast_to(
-                    self.entry[None, :], (q.shape[0], self.entry.shape[0])
-                ),
-            ],
-            axis=1,
-        )
-        ids, dist = _graph_search_jit(
-            q, self._rows, self._sqn, self.graph, entry,
-            k_eff, L, T, B,
-        )
-        if k_eff < k:
-            pad = int(k) - k_eff
-            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            dist = jnp.pad(
-                dist, ((0, 0), (0, pad)), constant_values=jnp.inf
-            )
-        return ids, dist
 
     def reconstruct(self, ids) -> jnp.ndarray:
         return jnp.take(

@@ -6,12 +6,16 @@ the list-sharded IVF serving: the index (rows, adjacency, routing
 sample) REPLICATES and the query batch shards over the mesh's data
 axis. Every step of the search — entry matmul, neighbor gathers,
 per-query top-k — partitions cleanly along Q with zero collectives;
-GSPMD does it from the sharding annotations alone, reusing the exact
-single-device jits (the sharded path cannot drift from the tested one).
+GSPMD does it from the sharding annotations alone, and the actual
+search logic is :func:`vq_tpu.graph._search_driver`, the same code the
+single-device path runs (the sharded path cannot drift from the tested
+one).
 
-Replication costs HBM per chip (rows + graph ≈ n·(d·width + 8·degree)
-bytes); for corpora too large to replicate, shard the corpus into
-independent GraphIndexes and merge top-k — the flat-serving pattern.
+The replicated placement of the index arrays is cached on the index per
+mesh — the broadcast happens once, not per query batch. Replication
+costs HBM per chip (rows + graph ≈ n·(d·width + 8·degree) bytes); for
+corpora too large to replicate, shard the corpus into independent
+GraphIndexes and merge top-k — the flat-serving pattern.
 """
 
 from __future__ import annotations
@@ -23,10 +27,27 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vq_tpu.errors import DimensionMismatch, EmptyInput
-from vq_tpu.graph import GraphIndex, _entry_select_jit, _graph_search_jit
+from vq_tpu.graph import GraphIndex, _search_driver
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 __all__ = ["sharded_graph_search"]
+
+
+def _replicated_arrays(index: GraphIndex, mesh: Mesh):
+    """Replicate the index arrays onto the mesh once; cached per mesh."""
+    cache = getattr(index, "_replica_cache", None)
+    if cache is not None and cache[0] is mesh:
+        return cache[1]
+    rep = NamedSharding(mesh, P())
+    arrays = tuple(
+        jax.device_put(a, rep)
+        for a in (
+            index._rows, index._sqn, index.graph, index.sample,
+            index.entry,
+        )
+    )
+    index._replica_cache = (mesh, arrays)
+    return arrays
 
 
 def sharded_graph_search(
@@ -55,42 +76,10 @@ def sharded_graph_search(
     pad = (-Q) % ndev
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
-
     qsh = jax.device_put(q, NamedSharding(mesh, P(DATA_AXIS)))
-    rep = NamedSharding(mesh, P())
-    rows = jax.device_put(index._rows, rep)
-    sqn = jax.device_put(index._sqn, rep)
-    graph = jax.device_put(index.graph, rep)
-    sample = jax.device_put(index.sample, rep)
-    static_entry = jax.device_put(index.entry, rep)
-
-    L = max(int(beam), int(k))
-    B = max(1, int(picks_per_iter))
-    T = (
-        int(iters) if iters is not None
-        else max(4, -(-3 * L // (2 * B)))
+    rows, sqn, graph, sample, entry = _replicated_arrays(index, mesh)
+    ids, dist = _search_driver(
+        qsh, rows, sqn, graph, sample, entry, index.ntotal,
+        int(k), int(beam), iters, int(picks_per_iter),
     )
-    k_eff = min(int(k), index.ntotal)
-    e_top = min(8, int(sample.shape[0]))
-    near = _entry_select_jit(qsh, rows, sqn, sample, e_top)
-    entry = jnp.concatenate(
-        [
-            near,
-            jnp.broadcast_to(
-                static_entry[None, :],
-                (q.shape[0], static_entry.shape[0]),
-            ),
-        ],
-        axis=1,
-    )
-    ids, dist = _graph_search_jit(
-        qsh, rows, sqn, graph, entry, k_eff, L, T, B
-    )
-    ids, dist = ids[:Q], dist[:Q]
-    if k_eff < k:
-        padk = int(k) - k_eff
-        ids = jnp.pad(ids, ((0, 0), (0, padk)), constant_values=-1)
-        dist = jnp.pad(
-            dist, ((0, 0), (0, padk)), constant_values=jnp.inf
-        )
-    return ids, dist
+    return ids[:Q], dist[:Q]

@@ -41,20 +41,31 @@ from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 __all__ = ["sharded_ivf_scan_search"]
 
 
-def _shard_lists(mesh: Mesh, ids, *payloads):
+def _shard_lists(mesh: Mesh, index, ids, *payloads):
     """Pad ``nlist`` to a multiple of the data-axis size and place every
-    bucket array list-sharded. Pad lists are empty (ids −1)."""
+    bucket array list-sharded. Pad lists are empty (ids −1). The sharded
+    placement is cached on the index per (mesh, bucket build) — serving
+    loops must not re-broadcast the whole bucket structure every batch."""
+    cache = getattr(index, "_shard_cache", None)
+    if (
+        cache is not None
+        and cache[0] is mesh
+        and cache[1] is ids  # _build_buckets caches; identity = same build
+    ):
+        return cache[2]
     ndev = mesh.shape[DATA_AXIS]
-    ids = jnp.asarray(ids)
-    nlist = ids.shape[0]
+    nlist = jnp.asarray(ids).shape[0]
     pad = (-nlist) % ndev
     out = []
-    for arr in (ids, *payloads):
+    for pos, arr in enumerate((ids, *payloads)):
         arr = jnp.asarray(arr)
         if pad:
             widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-            arr = jnp.pad(arr, widths, constant_values=-1 if arr is ids else 0)
+            arr = jnp.pad(
+                arr, widths, constant_values=-1 if pos == 0 else 0
+            )
         out.append(jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS))))
+    index._shard_cache = (mesh, ids, out)
     return out
 
 
@@ -178,7 +189,10 @@ def sharded_ivf_scan_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search an :class:`IVFFlatIndex` / :class:`IVFSQIndex` /
     :class:`IVFRQIndex` with its inverted lists sharded over the mesh's
-    data axis — identical results to ``index.search``.
+    data axis — same results as ``index.search`` up to EXACT-distance
+    ties that straddle shards (the single-device merge prefers earlier
+    probe ranks, the cross-shard merge prefers lower device indices;
+    distances always agree).
 
     Same contract as the single-device search: squared-L2 ascending with
     ``inf`` pads for ``metric="l2"``, inner-product scores descending
@@ -208,14 +222,14 @@ def sharded_ivf_scan_search(
 
     if isinstance(index, IVFFlatIndex):
         ids, rows, sqn = _shard_lists(
-            mesh, buckets["ids"], buckets["rows"], buckets["sqn"]
+            mesh, index, buckets["ids"], buckets["rows"], buckets["sqn"]
         )
         out_i, out_d = _sharded_flat_jit(
             q, index.coarse, rows, sqn, ids, nprobe, kk, metric, mesh
         )
     elif isinstance(index, IVFSQIndex):
         ids, codes, sqn = _shard_lists(
-            mesh, buckets["ids"], buckets["codes"], buckets["sqn"]
+            mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"]
         )
         out_i, out_d = _sharded_sq_jit(
             q, index.coarse, index.sq.mins, index.sq.steps,
@@ -223,7 +237,7 @@ def sharded_ivf_scan_search(
         )
     elif isinstance(index, IVFRQIndex):
         ids, codes, sqn, cross = _shard_lists(
-            mesh, buckets["ids"], buckets["codes"], buckets["sqn"],
+            mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"],
             buckets["cross"],
         )
         out_i, out_d = _sharded_rq_jit(
