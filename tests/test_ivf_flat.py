@@ -568,3 +568,19 @@ def test_spherical_coarse_training(corpus):
     idx.add(x)
     ids, _ = idx.search(x[:3], k=2)
     assert (np.asarray(ids)[:, 0] == np.arange(3)).all()
+
+
+def test_rebalance_extreme_skew_does_not_crash(corpus):
+    """Review regression: a list longer than target_max² used to make the
+    split part count exceed the fixed-size k-means subsample (lloyd
+    raises n < k). 600 rows piled onto ~1 list with target_max=8."""
+    r = np.random.default_rng(99)
+    pile = corpus[:1] + r.normal(0, 0.01, (600, corpus.shape[1])).astype(
+        np.float32
+    )
+    idx = IVFFlatIndex.train(corpus[:200], nlist=8, seed=1)
+    idx.add(np.concatenate([corpus[:50], pile]))
+    info = idx.rebalance(target_max=8, rounds=2)
+    assert info["split"] >= 1
+    ids, _ = idx.search(corpus[:3], k=2, nprobe=idx.nlist)
+    assert (np.asarray(ids)[:, 0] >= 0).all()

@@ -398,3 +398,30 @@ class TestLSH:
         ids0, _ = f.search(corpus[:4], k=3)
         ids1, _ = back.search(corpus[:4], k=3)
         np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+
+
+class TestIdMapReviewRegressions:
+    def test_int64_ids_survive_translate(self):
+        """Review regression: jnp.asarray silently truncated int64 user
+        ids >= 2^31 to int32 ([2**40, 5] -> [0, 5])."""
+        from vq_tpu import IdMapIndex
+        from vq_tpu.search import FlatIndex
+
+        r = np.random.default_rng(7)
+        x = r.normal(0, 1, (16, 8)).astype(np.float32)
+        idx = IdMapIndex(FlatIndex(8))
+        big = np.arange(16, dtype=np.int64) + 2**40
+        idx.add_with_ids(x, big)
+        ids, _ = idx.search(x[:3], k=1)
+        assert np.asarray(ids).dtype == np.int64
+        np.testing.assert_array_equal(np.asarray(ids)[:, 0], big[:3])
+        rec = idx.reconstruct(big[:2])
+        np.testing.assert_allclose(np.asarray(rec), x[:2], rtol=1e-6)
+
+    def test_reconstruct_empty_raises(self):
+        from vq_tpu import IdMapIndex
+        from vq_tpu.errors import EmptyInput
+        from vq_tpu.search import FlatIndex
+
+        with pytest.raises(EmptyInput):
+            IdMapIndex(FlatIndex(8)).reconstruct([0])

@@ -141,12 +141,15 @@ class IdMapIndex:
         start = int(self._ids.max()) + 1 if self._ids.size else 0
         self.add_with_ids(x, np.arange(start, start + n, dtype=np.int64))
 
-    def _translate(self, pos: jnp.ndarray) -> jnp.ndarray:
+    def _translate(self, pos: jnp.ndarray) -> np.ndarray:
         p = np.asarray(pos)
         out = np.full(p.shape, -1, np.int64)
         hit = p >= 0
         out[hit] = self._ids[p[hit]]
-        return jnp.asarray(out)
+        # NumPy, not jnp: jnp.asarray under default x64-disabled JAX
+        # silently truncates int64 ids >= 2^31 to int32 (verified:
+        # [2**40, 5] -> [0, 5]); user ids are promised to be int64.
+        return out
 
     def search(self, queries, k: int = 10, **kw):
         pos, vals = self.base.search(queries, k, **kw)
@@ -174,10 +177,12 @@ class IdMapIndex:
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Reconstruct by USER id."""
+        if not self._ids.size:
+            raise EmptyInput("index is empty")
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        pos = np.searchsorted(self._ids, ids, sorter=np.argsort(self._ids))
         order = np.argsort(self._ids)
-        pos = order[np.clip(pos, 0, max(self._ids.size - 1, 0))]
+        pos = np.searchsorted(self._ids, ids, sorter=order)
+        pos = order[np.clip(pos, 0, self._ids.size - 1)]
         if not np.array_equal(self._ids[pos], ids):
             missing = ids[self._ids[pos] != ids]
             raise InvalidParameter("ids", f"unknown ids {missing.tolist()}")

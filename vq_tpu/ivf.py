@@ -539,8 +539,12 @@ class IVFPQIndex:
         for li, l in enumerate(split_ids):
             rows = np.where(lists == l)[0]
             parts = int(-(-rows.size // target_max))
-            sub = rows if rows.size <= target_max else rng.choice(
-                rows, target_max, replace=False
+            # The subsample must hold at least `parts` points (lloyd
+            # requires n >= k; a list longer than target_max**2 made
+            # parts exceed the fixed target_max sample and crashed).
+            sub_n = min(rows.size, max(target_max, 8 * parts))
+            sub = rows if rows.size <= sub_n else rng.choice(
+                rows, sub_n, replace=False
             )
             res = lloyd(
                 member_vectors(np.sort(sub)), parts, max_iters=max_iters,

@@ -542,9 +542,12 @@ def _pack_buckets(
     ``payloads`` maps name → ``[n, ...]`` array; returns the same names
     mapped to ``[nlist, cap, ...]`` plus ``"ids" [nlist, cap]`` (−1 pad).
     Capacity is the largest list rounded up to 8, clipped to
-    ``max_list_size``; overflow entries are dropped from the probe
-    structure (visible via ``bucket_stats``). Only the capacity scalar
-    reads back to the host; rows stay on device.
+    ``max_list_size`` **rounded up to a multiple of 8** (the f32 sublane
+    height — bucket blocks must tile; a configured cap of 4 therefore
+    keeps up to 8 entries per list, and ``bucket_stats``'s
+    ``overflow_dropped`` counts against the rounded cap); overflow
+    entries are dropped from the probe structure. Only the capacity
+    scalar reads back to the host; rows stay on device.
     """
     counts = jnp.bincount(lists, length=nlist)
     cap = max(8, int(-(-int(counts.max()) // 8) * 8))
@@ -711,8 +714,12 @@ class _IVFScanBase:
         for li, l in enumerate(split_ids):
             rows = np.where(lists == l)[0]
             parts = int(-(-rows.size // target_max))
-            sub = rows if rows.size <= target_max else rng.choice(
-                rows, target_max, replace=False
+            # The subsample must hold at least `parts` points (lloyd
+            # requires n >= k; a list longer than target_max**2 made
+            # parts exceed the fixed target_max sample and crashed).
+            sub_n = min(rows.size, max(target_max, 8 * parts))
+            sub = rows if rows.size <= sub_n else rng.choice(
+                rows, sub_n, replace=False
             )
             res = lloyd(
                 self._member_vectors(np.sort(sub)), parts,

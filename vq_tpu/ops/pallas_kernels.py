@@ -221,6 +221,11 @@ def assign_fused(
     if data.dtype != jnp.bfloat16:
         data = data.astype(jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
+    if data.shape[0] == 0:  # block_rows would hit 0 -> div-by-zero pads
+        return (
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), jnp.float32),
+        )
     block_rows = min(block_rows, _round_up(data.shape[0], 8))
     return _assign_fused_jit(data, centroids, int(block_rows), bool(interpret))
 
@@ -406,6 +411,8 @@ def pq_encode_fused(
     if x.dtype != jnp.bfloat16:
         x = x.astype(jnp.float32)
     cb = jnp.asarray(codebooks, jnp.float32)
+    if x.shape[0] == 0:  # block_rows would hit 0 -> div-by-zero pads
+        return jnp.zeros((0, cb.shape[0]), jnp.int32)
     block_rows = min(block_rows, _round_up(x.shape[0], 8), 2048)
     return _pq_encode_fused_jit(
         x, cb, int(block_rows), bool(interpret), precision, str(argmin_mode)
@@ -523,6 +530,13 @@ def pq_lloyd_accumulate_fused(
     VMEM across the data sweep (one HBM read of x for all m sub-problems)."""
     x = jnp.asarray(x, jnp.float32)
     cb = jnp.asarray(codebooks, jnp.float32)
+    if x.shape[0] == 0:
+        m, k, sdim = cb.shape
+        return (
+            jnp.zeros((m, k, sdim), jnp.float32),
+            jnp.zeros((m, k), jnp.float32),
+            jnp.float32(0.0),
+        )
     block_rows = min(block_rows, _round_up(x.shape[0], 8), 1024)
     return _pq_lloyd_accumulate_jit(x, cb, int(block_rows), bool(interpret))
 
@@ -963,6 +977,13 @@ def lloyd_accumulate_fused(
     """
     data = jnp.asarray(data, jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
+    if data.shape[0] == 0:
+        k, d = centroids.shape
+        return (
+            jnp.zeros((k, d), jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+            jnp.float32(0.0),
+        )
     block_rows = min(block_rows, _round_up(data.shape[0], 8))
     return _lloyd_accumulate_jit(
         data, centroids, int(block_rows), bool(interpret)
