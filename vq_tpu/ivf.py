@@ -388,34 +388,26 @@ class IVFPQIndex:
         return removed
 
     def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Pack flat storage into padded dense buckets (host-side, cached)."""
+        """Pack flat storage into padded dense buckets (cached).
+
+        Uses the shared device-resident packer (one jitted stable sort +
+        scatter, same as the IVF-Flat/SQ/RQ/Binary family) — the earlier
+        host-side per-list Python loop round-tripped all codes through
+        the host and iterated ``nlist`` times."""
         if self._buckets is not None:
             return self._buckets
         if self._flat_codes is None:
             raise EmptyInput("index is empty — add() vectors first")
-        lists = self._flat_lists
-        counts = np.bincount(lists, minlength=self.nlist)
-        cap = max(8, int(-(-int(counts.max()) // 8) * 8))
-        if self.max_list_size is not None:
-            cap = min(cap, max(8, int(-(-int(self.max_list_size) // 8) * 8)))
-        m = self._flat_codes.shape[1]
+        from vq_tpu.ivf_flat import _pack_buckets
+
         code_dtype = (
             np.uint8 if self.pq.num_centroids <= 256 else np.int32
         )
-        bucket_codes = np.zeros((self.nlist, cap, m), code_dtype)
-        bucket_ids = np.full((self.nlist, cap), -1, np.int32)
-        order = np.argsort(lists, kind="stable")
-        sorted_lists = lists[order]
-        sorted_codes = self._flat_codes[order].astype(code_dtype)
-        starts = np.searchsorted(sorted_lists, np.arange(self.nlist))
-        for l in range(self.nlist):
-            c = min(int(counts[l]), cap)
-            if c == 0:
-                continue
-            sl = slice(starts[l], starts[l] + c)
-            bucket_codes[l, :c] = sorted_codes[sl]
-            bucket_ids[l, :c] = order[sl]
-        self._buckets = (jnp.asarray(bucket_codes), jnp.asarray(bucket_ids))
+        packed, ids = _pack_buckets(
+            jnp.asarray(self._flat_lists), self.nlist, self.max_list_size,
+            {"codes": jnp.asarray(self._flat_codes.astype(code_dtype))},
+        )
+        self._buckets = (packed["codes"], ids)
         return self._buckets
 
     def bucket_stats(self) -> dict:
