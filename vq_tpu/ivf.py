@@ -487,6 +487,10 @@ class IVFPQIndex:
     def _rebalance_once(
         self, *, target_max, min_size, max_iters, seed
     ) -> dict:
+        # TWIN IMPLEMENTATION: vq_tpu/ivf_flat.py
+        # _IVFScanBase._rebalance_once runs the same split/retire/remap/
+        # reassign algorithm over different storage (device lists +
+        # subclass hooks vs numpy lists + PQ re-encode). Patch both.
         counts = np.bincount(self._flat_lists, minlength=self.nlist)
         if target_max is None:
             target_max = self.max_list_size or int(

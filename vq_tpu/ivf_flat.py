@@ -682,6 +682,8 @@ class _IVFScanBase:
         }
 
     def _rebalance_once(self, *, target_max, min_size, max_iters, seed) -> dict:
+        # TWIN IMPLEMENTATION: vq_tpu/ivf.py IVFPQIndex._rebalance_once
+        # runs the same algorithm over PQ storage. Patch both.
         lists_np = np.asarray(self._flat_lists)
         counts = np.bincount(lists_np, minlength=self.nlist)
         if target_max is None:
