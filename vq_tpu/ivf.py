@@ -487,29 +487,11 @@ class IVFPQIndex:
     def _rebalance_once(
         self, *, target_max, min_size, max_iters, seed
     ) -> dict:
-        # TWIN IMPLEMENTATION: vq_tpu/ivf_flat.py
-        # _IVFScanBase._rebalance_once runs the same split/retire/remap/
-        # reassign algorithm over different storage (device lists +
-        # subclass hooks vs numpy lists + PQ re-encode). Patch both.
-        counts = np.bincount(self._flat_lists, minlength=self.nlist)
-        if target_max is None:
-            target_max = self.max_list_size or int(
-                max(8, 2 * max(1.0, counts.mean()))
-            )
-        target_max = int(target_max)
-        split_ids = np.where(counts > target_max)[0]
-        retire_ids = np.where((counts < int(min_size)) & (counts > 0))[0]
-        retire_ids = np.setdiff1d(retire_ids, split_ids)
-        empty_retire = (
-            np.where(counts == 0)[0] if min_size > 0 else np.array([], int)
-        )
-        if split_ids.size == 0 and retire_ids.size == 0 and empty_retire.size == 0:
-            return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+        from vq_tpu.ivf_flat import _rebalance_pass
 
-        rng = np.random.default_rng(int(seed))
-        lists = self._flat_lists.copy()
-        old_lists = self._flat_lists  # pre-rebalance assignment (residual base)
-        coarse = np.array(self.coarse)  # mutable host copy
+        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        old_lists = self._flat_lists  # pre-rebalance assignment
+        old_coarse = np.array(self.coarse)
         flat_codes = np.array(self._flat_codes)
 
         def member_vectors(row_idx: np.ndarray) -> jnp.ndarray:
@@ -518,75 +500,34 @@ class IVFPQIndex:
             # Reconstruct: decode(residual codes) + OLD coarse centroid.
             rec = self.pq.decode(flat_codes[row_idx])
             if self.by_residual:
-                rec = rec + jnp.asarray(np.array(self.coarse))[
-                    old_lists[row_idx]
-                ]
+                rec = rec + jnp.asarray(old_coarse)[old_lists[row_idx]]
             return rec
 
-        # --- splits: part centroids from a fixed-size member subsample ------
-        keep = np.ones(self.nlist, bool)
-        keep[retire_ids] = False
-        keep[empty_retire] = False
-        extra_centroids = []
-        affected = [np.where(np.isin(lists, split_ids))[0]] if (
-            split_ids.size
-        ) else []
-        next_id = self.nlist
-        for li, l in enumerate(split_ids):
-            rows = np.where(lists == l)[0]
-            parts = int(-(-rows.size // target_max))
-            # The subsample must hold at least `parts` points (lloyd
-            # requires n >= k; a list longer than target_max**2 made
-            # parts exceed the fixed target_max sample and crashed).
-            sub_n = min(rows.size, max(target_max, 8 * parts))
-            sub = rows if rows.size <= sub_n else rng.choice(
-                rows, sub_n, replace=False
-            )
-            res = lloyd(
-                member_vectors(np.sort(sub)), parts, max_iters=max_iters,
-                seed=seed + 7 * li, init="kmeans++",
-            )
-            part_c = np.asarray(res.centroids)
-            coarse[l] = part_c[0]  # part 0 reuses slot l
-            if parts > 1:
-                extra_centroids.append(part_c[1:])
-                next_id += parts - 1
-        coarse_full = (
-            np.concatenate([coarse] + extra_centroids, axis=0)
-            if extra_centroids else coarse
+        out = _rebalance_pass(
+            self._flat_lists, old_coarse, self.nlist, member_vectors,
+            target_max=target_max,
+            default_target=self.max_list_size or int(
+                max(8, 2 * max(1.0, counts.mean()))
+            ),
+            min_size=min_size, max_iters=max_iters, seed=seed,
         )
-
-        for l in retire_ids:
-            affected.append(np.where(lists == l)[0])
-
-        # --- compact retired slots out of the id space ----------------------
-        keep_full = np.ones(coarse_full.shape[0], bool)
-        keep_full[: self.nlist] = keep
-        remap = np.cumsum(keep_full) - 1  # old id -> new id
-        coarse_new = coarse_full[keep_full]
-        lists = remap[lists]
-
-        # --- ONE global reassign + re-encode of all affected members --------
-        if affected:
-            rows = np.unique(np.concatenate(affected))
-            x = member_vectors(rows)
-            from vq_tpu.ops.kmeans import assign as _assign
-
-            new_lists, _ = _assign(x, jnp.asarray(coarse_new, jnp.float32))
-            lists[rows] = np.asarray(new_lists)
+        if out is None:
+            return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+        if out["rows"] is not None:
+            rows, x = out["rows"], out["x"]
+            coarse_new = jnp.asarray(out["coarse_new"], jnp.float32)
             enc_in = (
-                x - jnp.asarray(coarse_new, jnp.float32)[lists[rows]]
+                x - coarse_new[out["lists"][rows]]
                 if self.by_residual else x
             )
             flat_codes[rows] = np.asarray(self.pq.encode(enc_in))
-
         self._flat_codes = flat_codes
-        self.coarse = jnp.asarray(coarse_new, jnp.float32)
-        self._flat_lists = lists
+        self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
+        self._flat_lists = out["lists"]
         self._buckets = None
         return {
-            "split": int(split_ids.size),
-            "retired": int(retire_ids.size + empty_retire.size),
+            "split": out["split"],
+            "retired": out["retired"],
             "new_nlist": self.nlist,
         }
 

@@ -560,6 +560,106 @@ def _pack_buckets(
     return dict(zip(names, packed)), ids
 
 
+def _rebalance_pass(
+    lists_np: np.ndarray,
+    coarse_np: np.ndarray,
+    nlist: int,
+    member_vectors,
+    *,
+    target_max,
+    default_target: int,
+    min_size: int,
+    max_iters: int,
+    seed: int,
+):
+    """One split/retire/remap/reassign rebalance pass — the ONE shared
+    implementation behind :meth:`_IVFScanBase._rebalance_once` and
+    :meth:`vq_tpu.ivf.IVFPQIndex._rebalance_once` (storage/re-encode
+    specifics stay with the callers).
+
+    ``member_vectors(sorted_rows) -> [len, d] f32`` must read
+    PRE-mutation state. Returns ``None`` when nothing needs doing, else
+    a dict with the new host-side ``coarse_new``/``lists`` plus the
+    affected ``rows`` (sorted unique), their vectors ``x``, and their
+    ``new_lists`` for the caller's re-encode step.
+
+    Splits draw part centroids from a bounded member subsample so each
+    distinct part count compiles exactly one lloyd program (remote TPU
+    compiles cost minutes); the subsample holds at least 8x the part
+    count (lloyd requires n >= k even for lists longer than
+    target_max**2).
+    """
+    counts = np.bincount(lists_np, minlength=nlist)
+    if target_max is None:
+        target_max = default_target
+    target_max = int(target_max)
+    split_ids = np.where(counts > target_max)[0]
+    retire_ids = np.setdiff1d(
+        np.where((counts < int(min_size)) & (counts > 0))[0], split_ids
+    )
+    empty_retire = (
+        np.where(counts == 0)[0] if min_size > 0 else np.array([], int)
+    )
+    if not (split_ids.size or retire_ids.size or empty_retire.size):
+        return None
+
+    rng = np.random.default_rng(int(seed))
+    lists = lists_np.copy()
+    coarse = coarse_np.copy()
+    keep = np.ones(nlist, bool)
+    keep[retire_ids] = False
+    keep[empty_retire] = False
+    extra_centroids = []
+    affected = [np.where(np.isin(lists, split_ids))[0]] if (
+        split_ids.size
+    ) else []
+    for li, l in enumerate(split_ids):
+        rows = np.where(lists == l)[0]
+        parts = int(-(-rows.size // target_max))
+        sub_n = min(rows.size, max(target_max, 8 * parts))
+        sub = rows if rows.size <= sub_n else rng.choice(
+            rows, sub_n, replace=False
+        )
+        res = lloyd(
+            member_vectors(np.sort(sub)), parts,
+            max_iters=max_iters, seed=seed + 7 * li, init="kmeans++",
+        )
+        part_c = np.asarray(res.centroids)
+        coarse[l] = part_c[0]  # part 0 reuses slot l
+        if parts > 1:
+            extra_centroids.append(part_c[1:])
+    coarse_full = (
+        np.concatenate([coarse] + extra_centroids, axis=0)
+        if extra_centroids else coarse
+    )
+    for l in retire_ids:
+        affected.append(np.where(lists == l)[0])
+
+    # Compact retired slots out of the id space.
+    keep_full = np.ones(coarse_full.shape[0], bool)
+    keep_full[:nlist] = keep
+    remap = np.cumsum(keep_full) - 1  # old id -> new id
+    coarse_new = coarse_full[keep_full]
+    lists = remap[lists]
+
+    rows = x = new_lists = None
+    if affected:
+        rows = np.unique(np.concatenate(affected))
+        x = member_vectors(rows)  # PRE-mutation state
+        nl, _ = assign(x, jnp.asarray(coarse_new, jnp.float32))
+        new_lists = np.asarray(nl)
+        lists[rows] = new_lists
+    return {
+        "split": int(split_ids.size),
+        "retired": int(retire_ids.size + empty_retire.size),
+        "coarse_new": coarse_new,
+        "lists": lists,
+        "rows": rows,
+        "x": x,
+        "new_lists": new_lists,
+    }
+
+
 class _IVFScanBase:
     """Shared plumbing for the raw-row / SQ-row IVF variants: flat
     append-only storage, lazy bucket packing, occupancy stats, and the
@@ -682,84 +782,29 @@ class _IVFScanBase:
         }
 
     def _rebalance_once(self, *, target_max, min_size, max_iters, seed) -> dict:
-        # TWIN IMPLEMENTATION: vq_tpu/ivf.py IVFPQIndex._rebalance_once
-        # runs the same algorithm over PQ storage. Patch both.
         lists_np = np.asarray(self._flat_lists)
         counts = np.bincount(lists_np, minlength=self.nlist)
-        if target_max is None:
-            target_max = self.max_list_size or int(
+        out = _rebalance_pass(
+            lists_np, np.array(self.coarse), self.nlist,
+            self._member_vectors,
+            target_max=target_max,
+            default_target=self.max_list_size or int(
                 max(8, 2 * max(1.0, counts.mean()))
-            )
-        target_max = int(target_max)
-        split_ids = np.where(counts > target_max)[0]
-        retire_ids = np.where((counts < int(min_size)) & (counts > 0))[0]
-        retire_ids = np.setdiff1d(retire_ids, split_ids)
-        empty_retire = (
-            np.where(counts == 0)[0] if min_size > 0 else np.array([], int)
+            ),
+            min_size=min_size, max_iters=max_iters, seed=seed,
         )
-        if not (split_ids.size or retire_ids.size or empty_retire.size):
+        if out is None:
             return {"split": 0, "retired": 0, "new_nlist": self.nlist}
-
-        rng = np.random.default_rng(int(seed))
-        lists = lists_np.copy()
-        coarse = np.array(self.coarse)  # mutable host copy
-        keep = np.ones(self.nlist, bool)
-        keep[retire_ids] = False
-        keep[empty_retire] = False
-        extra_centroids = []
-        affected = [np.where(np.isin(lists, split_ids))[0]] if (
-            split_ids.size
-        ) else []
-        # Splits: part centroids from a FIXED-size member subsample so each
-        # distinct part count compiles exactly one lloyd program (remote
-        # TPU compiles cost minutes).
-        for li, l in enumerate(split_ids):
-            rows = np.where(lists == l)[0]
-            parts = int(-(-rows.size // target_max))
-            # The subsample must hold at least `parts` points (lloyd
-            # requires n >= k; a list longer than target_max**2 made
-            # parts exceed the fixed target_max sample and crashed).
-            sub_n = min(rows.size, max(target_max, 8 * parts))
-            sub = rows if rows.size <= sub_n else rng.choice(
-                rows, sub_n, replace=False
+        if out["rows"] is not None:
+            self._reencode_rows(
+                out["rows"], out["x"], out["new_lists"], out["coarse_new"]
             )
-            res = lloyd(
-                self._member_vectors(np.sort(sub)), parts,
-                max_iters=max_iters, seed=seed + 7 * li, init="kmeans++",
-            )
-            part_c = np.asarray(res.centroids)
-            coarse[l] = part_c[0]  # part 0 reuses slot l
-            if parts > 1:
-                extra_centroids.append(part_c[1:])
-        coarse_full = (
-            np.concatenate([coarse] + extra_centroids, axis=0)
-            if extra_centroids else coarse
-        )
-        for l in retire_ids:
-            affected.append(np.where(lists == l)[0])
-
-        # Compact retired slots out of the id space.
-        keep_full = np.ones(coarse_full.shape[0], bool)
-        keep_full[: self.nlist] = keep
-        remap = np.cumsum(keep_full) - 1  # old id -> new id
-        coarse_new = coarse_full[keep_full]
-        lists = remap[lists]
-
-        # ONE global reassign (+ subclass re-encode) of affected members.
-        if affected:
-            rows = np.unique(np.concatenate(affected))
-            x = self._member_vectors(rows)  # reads PRE-mutation state
-            new_lists, _ = assign(x, jnp.asarray(coarse_new, jnp.float32))
-            new_lists = np.asarray(new_lists)
-            lists[rows] = new_lists
-            self._reencode_rows(rows, x, new_lists, coarse_new)
-
-        self.coarse = jnp.asarray(coarse_new, jnp.float32)
-        self._flat_lists = jnp.asarray(lists)
+        self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
+        self._flat_lists = jnp.asarray(out["lists"])
         self._buckets = None
         return {
-            "split": int(split_ids.size),
-            "retired": int(retire_ids.size + empty_retire.size),
+            "split": out["split"],
+            "retired": out["retired"],
             "new_nlist": self.nlist,
         }
 
