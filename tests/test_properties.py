@@ -389,3 +389,89 @@ def test_pca_reverse_never_increases_error_with_more_components(seed):
         errs.append(float(((back - x) ** 2).mean()))
     assert errs[0] >= errs[1] - 1e-5 and errs[1] >= errs[2] - 1e-5
     assert errs[2] < 1e-6  # full-rank is exact
+
+
+# -- round-2 surfaces: IVF range_search, binary IVF, graph search ------------
+
+
+def corpus_2d(min_n=32, max_n=200, d=8):
+    return st.integers(min_n, max_n).flatmap(
+        lambda n: arrays(
+            np.float32, (n, d),
+            elements=st.floats(-10, 10, allow_nan=False, width=32),
+        )
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(), radius=st.floats(0.5, 200.0))
+def test_ivf_flat_range_counts_match_brute_force(data, radius):
+    """Full-probe range_search counts == the dense radius scan, and every
+    returned id is a true hit (exact stored rows => exact distances)."""
+    from vq_tpu import IVFFlatIndex
+
+    idx = IVFFlatIndex.train(data, nlist=min(4, len(data)), seed=0,
+                             max_iters=3)
+    idx.add(data)
+    q = data[:3]
+    ids, vals, counts = idx.range_search(
+        q, radius, nprobe=idx.nlist, max_results=max(8, len(data))
+    )
+    ref = ((data[None] - q[:, None]) ** 2).sum(-1)
+    hits = ref <= radius
+    got = np.asarray(counts)
+    # fp reassociation can flip exact-boundary hits
+    boundary = (np.abs(ref - radius) < 1e-3).sum(1)
+    assert (np.abs(got - hits.sum(1)) <= boundary).all()
+    ids_np = np.asarray(ids)
+    for r in range(q.shape[0]):
+        for i in ids_np[r][ids_np[r] >= 0]:
+            assert ref[r, i] <= radius + 1e-3
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=40, d=40))
+def test_ivf_binary_full_probe_matches_flat_hamming(data):
+    """nprobe=nlist binary IVF returns the same Hamming value multiset
+    as the flat packed scan (ids may permute among exact ties)."""
+    from vq_tpu import IVFBinaryIndex
+    from vq_tpu.search import BinaryIndex
+
+    idx = IVFBinaryIndex.train(data, nlist=4, seed=1, max_iters=3)
+    idx.add(data)
+    flat = BinaryIndex(data.shape[1])
+    flat.add(data)
+    q = data[:2]
+    k = min(5, len(data))
+    _, d_i = idx.search(q, k=k, nprobe=idx.nlist)
+    _, d_f = flat.search(q, k=k)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(d_i), 1), np.sort(np.asarray(d_f), 1)
+    )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=64, max_n=256, d=8),
+       k=st.integers(1, 8), beam=st.integers(8, 32))
+def test_graph_search_contract(data, k, beam):
+    """Graph search invariants on arbitrary data: distances ascending,
+    returned ids valid and DISTINCT (pool dedup invariant), values exact
+    squared-L2 to the returned rows."""
+    from vq_tpu import GraphIndex
+
+    gi = GraphIndex.build(data, degree=8, seed=0)
+    q = data[:3]
+    ids, d = gi.search(q, k=k, beam=beam)
+    ids_np, d_np = np.asarray(ids), np.asarray(d)
+    assert ids_np.shape == (3, k)
+    for r in range(3):
+        real = ids_np[r][ids_np[r] >= 0]
+        assert len(set(real.tolist())) == len(real)  # no duplicates
+        assert (real < len(data)).all()
+        dr = d_np[r][ids_np[r] >= 0]
+        assert (np.diff(dr) >= -1e-5).all()  # ascending
+        want = ((data[real] - q[r]) ** 2).sum(-1)
+        np.testing.assert_allclose(dr, want, rtol=1e-4, atol=1e-2)
