@@ -424,3 +424,25 @@ def test_sharded_scan_placement_cached():
     idx.add(x[:8])  # invalidates buckets -> new placement on next search
     sharded_ivf_scan_search(idx, x[:4], k=3)
     assert idx._shard_cache is not cache
+
+
+def test_sharded_binary_ivf_matches_single_device():
+    from vq_tpu import IVFBinaryIndex
+    from vq_tpu.parallel import sharded_ivf_scan_search
+
+    r = np.random.default_rng(103)
+    centers = r.normal(0, 2.0, (10, 40)).astype(np.float32)
+    x = (centers[r.integers(0, 10, 1500)]
+         + r.normal(0, 0.3, (1500, 40))).astype(np.float32)
+    idx = IVFBinaryIndex.train(x, nlist=10, seed=2)
+    idx.add(x)
+    q = x[:9] + 0.05
+    ids_1, d_1 = idx.search(q, k=5, nprobe=4)
+    ids_s, d_s = sharded_ivf_scan_search(idx, q, k=5, nprobe=4)
+    # Hamming values always agree; ids may permute among exact ties.
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(d_s), 1), np.sort(np.asarray(d_1), 1)
+    )
+    same = np.asarray(ids_s) == np.asarray(ids_1)
+    ties = np.asarray(d_s) == np.asarray(d_1)
+    assert (same | ties).all()

@@ -1,4 +1,4 @@
-"""Multi-device IVF-Flat / IVF-SQ / IVF-RQ search — lists sharded on the mesh.
+"""Multi-device IVF-Flat/SQ/RQ/Binary search — lists sharded on the mesh.
 
 The same serving layout as :func:`vq_tpu.parallel.ivf.sharded_ivf_search`
 (IVF-PQ), generalized to the whole IVF coding ladder: bucket arrays are
@@ -36,6 +36,7 @@ from vq_tpu.ivf_flat import (
     _rq_scan_body,
     _sq_scan_body,
 )
+from vq_tpu.ivf_binary import IVFBinaryIndex, _binary_scan_body
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 __all__ = ["sharded_ivf_scan_search"]
@@ -179,6 +180,22 @@ def _sharded_rq_jit(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "mesh")
+)
+def _sharded_binary_jit(q, qp, coarse, codes, ids, nprobe, k, mesh):
+    Q = q.shape[0]
+    probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
+
+    def factory(qp_, c, i):
+        return _binary_scan_body(qp_, c, i)
+
+    local = _local_scan(
+        factory, 1, Q, nprobe, k, ids.shape[0] // mesh.shape[DATA_AXIS]
+    )
+    return _run(local, mesh, 1, 2, probe, (qp,), (codes, ids))
+
+
 def sharded_ivf_scan_search(
     index,
     queries,
@@ -188,7 +205,8 @@ def sharded_ivf_scan_search(
     mesh: Optional[Mesh] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search an :class:`IVFFlatIndex` / :class:`IVFSQIndex` /
-    :class:`IVFRQIndex` with its inverted lists sharded over the mesh's
+    :class:`IVFRQIndex` / :class:`IVFBinaryIndex` with its inverted
+    lists sharded over the mesh's
     data axis — same results as ``index.search`` up to EXACT-distance
     ties that straddle shards (the single-device merge prefers earlier
     probe ranks, the cross-shard merge prefers lower device indices;
@@ -199,11 +217,13 @@ def sharded_ivf_scan_search(
     with ``-inf`` pads for ``metric="dot"``; ids of −1 mean fewer than
     ``k`` candidates existed in the probed lists.
     """
-    if not isinstance(index, (IVFFlatIndex, IVFSQIndex, IVFRQIndex)):
+    if not isinstance(
+        index, (IVFFlatIndex, IVFSQIndex, IVFRQIndex, IVFBinaryIndex)
+    ):
         raise TypeError(
             "sharded_ivf_scan_search serves IVFFlatIndex / IVFSQIndex / "
-            f"IVFRQIndex; got {type(index).__name__} (use "
-            "sharded_ivf_search for IVFPQIndex)"
+            f"IVFRQIndex / IVFBinaryIndex; got {type(index).__name__} "
+            "(use sharded_ivf_search for IVFPQIndex)"
         )
     if index._flat_lists is None:
         raise EmptyInput("index is empty — add() vectors first")
@@ -243,6 +263,14 @@ def sharded_ivf_scan_search(
         out_i, out_d = _sharded_rq_jit(
             q, index.coarse, index.rq.codebooks, codes, sqn, cross, ids,
             nprobe, kk, metric, index.by_residual, mesh,
+        )
+    elif isinstance(index, IVFBinaryIndex):
+        ids, codes = _shard_lists(
+            mesh, index, buckets["ids"], buckets["codes"]
+        )
+        qp = index.bq.quantize_packed(q)
+        out_i, out_d = _sharded_binary_jit(
+            q, qp, index.coarse, codes, ids, nprobe, kk, mesh
         )
     else:  # pragma: no cover — guarded above
         raise AssertionError(type(index))
