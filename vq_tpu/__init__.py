@@ -46,6 +46,7 @@ from vq_tpu.ivf import IVFPQIndex
 from vq_tpu.graph import GraphIndex
 from vq_tpu.ivf_binary import IVFBinaryIndex
 from vq_tpu.ivf_flat import IVFFlatIndex, IVFRQIndex, IVFSQIndex
+from vq_tpu.clustering import Kmeans
 from vq_tpu.ops.kmeans import (
     KMeansResult,
     kmeans_plusplus_init_device,
@@ -134,6 +135,7 @@ __all__ = [
     "pairwise",
     "rowwise",
     "nearest",
+    "Kmeans",
     "lloyd",
     "lloyd_batched",
     "lloyd_stepped",
