@@ -188,6 +188,32 @@ class IdMapIndex:
             raise InvalidParameter("ids", f"unknown ids {missing.tolist()}")
         return self.base.reconstruct(pos)
 
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus decoded hits, with USER ids — ``(ids, values,
+        vectors [Q, k, d])``."""
+        if not hasattr(self.base, "search_and_reconstruct"):
+            raise InvalidData(
+                f"{type(self.base).__name__} does not support "
+                "search_and_reconstruct"
+            )
+        pos, vals, rec = self.base.search_and_reconstruct(queries, k, **kw)
+        return self._translate(pos), vals, rec
+
+    def merge_from(self, other: "IdMapIndex") -> int:
+        """Move every vector of ``other`` into this index, keeping its
+        USER ids (which must not collide with ours). ``other`` is left
+        empty."""
+        if type(other) is not IdMapIndex:
+            raise InvalidParameter(
+                "other", "can only merge another IdMapIndex"
+            )
+        if np.intersect1d(self._ids, other._ids).size:
+            raise InvalidData("cannot merge: duplicate user ids")
+        moved = self.base.merge_from(other.base)
+        self._ids = np.concatenate([self._ids, other._ids])
+        other._ids = np.zeros((0,), np.int64)
+        return moved
+
     def save(self, path: str) -> str:
         import os
 
@@ -580,6 +606,21 @@ class FactoryIndex:
 
     def reconstruct(self, ids):
         return self._require().reconstruct(ids)
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        built = self._require()
+        if not hasattr(built, "search_and_reconstruct"):
+            raise InvalidData(
+                f"{type(built).__name__} does not support "
+                "search_and_reconstruct"
+            )
+        return built.search_and_reconstruct(queries, k, **kw)
+
+    def merge_from(self, other) -> int:
+        """Merge another trained index built from the same spec (or a
+        bare compatible index) into this one."""
+        peer = other._require() if isinstance(other, FactoryIndex) else other
+        return self._require().merge_from(peer)
 
     def save(self, path: str) -> str:
         return self._require().save(path)

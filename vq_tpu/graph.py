@@ -625,6 +625,22 @@ class GraphIndex:
             self._rows, jnp.asarray(ids, jnp.int32), axis=0
         ).astype(jnp.float32)
 
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the stored rows of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        from vq_tpu.search import _search_and_reconstruct
+
+        return _search_and_reconstruct(self, queries, k, **kw)
+
+    def merge_from(self, other) -> int:
+        """Unsupported: the navigable graph's edges are global — merging
+        two graphs needs a rebuild (same limitation as faiss HNSW).
+        Rebuild with ``GraphIndex.build`` on the unioned rows instead."""
+        raise InvalidData(
+            "GraphIndex does not support merge_from — rebuild from the "
+            "union of the corpora"
+        )
+
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> str:
         rows = np.asarray(self._rows)

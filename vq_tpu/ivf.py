@@ -387,6 +387,59 @@ class IVFPQIndex:
         self._buckets = None
         return removed
 
+    def merge_from(self, other: "IVFPQIndex") -> int:
+        """Move every vector of ``other`` into this index (faiss IVF
+        ``merge_from``: same coarse quantizer and PQ codebooks; codes are
+        copied, never re-encoded, and ``other`` is left empty). Returns
+        the number of vectors moved."""
+        from vq_tpu.search import _merge_check, _merge_corpus
+
+        _merge_check(
+            self, other, attrs=("metric", "by_residual"),
+            arrays=(
+                ("coarse centroids", self.coarse, other.coarse),
+                ("PQ codebooks", self.pq._codebooks, other.pq._codebooks),
+            ),
+        )
+        moved = other.ntotal
+        _merge_corpus(self, other)
+        if other._flat_codes is not None:
+            if self._flat_codes is None:
+                self._flat_codes = other._flat_codes
+                self._flat_lists = other._flat_lists
+            else:
+                self._flat_codes = np.concatenate(
+                    [self._flat_codes, other._flat_codes]
+                )
+                self._flat_lists = np.concatenate(
+                    [self._flat_lists, other._flat_lists]
+                )
+        other._flat_codes = other._flat_lists = other._corpus = None
+        other._buckets = None
+        self._buckets = None
+        return moved
+
+    def reconstruct(self, ids) -> jnp.ndarray:
+        """Decode stored codes for ids (coarse centroid + PQ decode of the
+        residual when ``by_residual``) — the quantized approximation of
+        the original vectors, like faiss ``IndexIVFPQ.reconstruct``."""
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty")
+        pos = jnp.asarray(ids, jnp.int32)
+        codes = jnp.take(jnp.asarray(self._flat_codes), pos, axis=0)
+        rec = self.pq.decode(codes)
+        if self.by_residual:
+            lists = jnp.take(jnp.asarray(self._flat_lists), pos, axis=0)
+            rec = rec + jnp.take(self.coarse, lists, axis=0)
+        return rec
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the decoded vector of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        from vq_tpu.search import _search_and_reconstruct
+
+        return _search_and_reconstruct(self, queries, k, **kw)
+
     def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pack flat storage into padded dense buckets (cached).
 

@@ -171,6 +171,20 @@ class IVFBinaryIndex(_IVFScanBase):
             mask, self._packed, self._corpus
         )
 
+    def merge_from(self, other) -> int:
+        if isinstance(other, IVFBinaryIndex) and (
+            self.bq._threshold != other.bq._threshold
+        ):
+            raise InvalidData("cannot merge: thresholds differ")
+        return super().merge_from(other)
+
+    def _merge_payload(self, other: "IVFBinaryIndex") -> None:
+        from vq_tpu.search import _concat_rows, _merge_corpus
+
+        _merge_corpus(self, other)
+        self._packed = _concat_rows(self._packed, other._packed)
+        other._packed = other._corpus = None
+
     def rebalance(self, **kwargs) -> dict:
         # Splitting needs the members in the same space as the coarse
         # centroids; decoded low/high bits are not that space, so a kept

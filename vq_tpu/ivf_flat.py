@@ -713,6 +713,41 @@ class _IVFScanBase:
         self._buckets = None
         return removed
 
+    _merge_attrs: tuple = ()
+
+    def _merge_arrays(self, other):
+        return ()
+
+    def merge_from(self, other) -> int:
+        """Move every vector of ``other`` into this index (faiss IVF
+        ``merge_from``: same coarse quantizer and coding parameters; the
+        stored codes are copied, never re-encoded, and ``other`` is left
+        empty). Returns the number of vectors moved. Buckets repack
+        lazily on the next search."""
+        from vq_tpu.search import _merge_check
+
+        _merge_check(
+            self, other, attrs=("metric", *self._merge_attrs),
+            arrays=(
+                ("coarse centroids", self.coarse, other.coarse),
+                *self._merge_arrays(other),
+            ),
+        )
+        moved = other.ntotal
+        self._merge_payload(other)
+        if other._flat_lists is not None:
+            self._append_lists(other._flat_lists)
+        other._flat_lists = None
+        other._buckets = None
+        return moved
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the decoded vector of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        from vq_tpu.search import _search_and_reconstruct
+
+        return _search_and_reconstruct(self, queries, k, **kw)
+
     def bucket_stats(self) -> dict:
         """Occupancy diagnostics (same fields as ``IVFPQIndex``)."""
         if self._flat_lists is None:
@@ -967,6 +1002,14 @@ class IVFFlatIndex(_IVFScanBase):
 
         (self._flat_rows,) = _compact_rows(mask, self._flat_rows)
 
+    _merge_attrs = ("store_dtype",)
+
+    def _merge_payload(self, other: "IVFFlatIndex") -> None:
+        from vq_tpu.search import _concat_rows
+
+        self._flat_rows = _concat_rows(self._flat_rows, other._flat_rows)
+        other._flat_rows = None
+
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
         return jnp.take(
             self._flat_rows, jnp.asarray(rows_idx, jnp.int32), axis=0
@@ -1161,6 +1204,28 @@ class IVFSQIndex(_IVFScanBase):
         self._flat_codes, self._flat_sqn = _compact_rows(
             mask, self._flat_codes, self._flat_sqn
         )
+
+    _merge_attrs = ("by_residual",)
+
+    def _merge_arrays(self, other: "IVFSQIndex"):
+        return (
+            ("SQ lo", self.sq._lo, other.sq._lo),
+            ("SQ hi", self.sq._hi, other.sq._hi),
+        )
+
+    def merge_from(self, other) -> int:
+        if isinstance(other, IVFSQIndex) and (
+            self.sq._levels != other.sq._levels
+        ):
+            raise InvalidData("cannot merge: SQ levels differ")
+        return super().merge_from(other)
+
+    def _merge_payload(self, other: "IVFSQIndex") -> None:
+        from vq_tpu.search import _concat_rows
+
+        self._flat_codes = _concat_rows(self._flat_codes, other._flat_codes)
+        self._flat_sqn = _concat_rows(self._flat_sqn, other._flat_sqn)
+        other._flat_codes = other._flat_sqn = None
 
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
         # Reconstruct from codes + the CURRENT (pre-rebalance) centroid —
@@ -1402,6 +1467,21 @@ class IVFRQIndex(_IVFScanBase):
         self._flat_codes, self._flat_sqn, self._flat_cross = _compact_rows(
             mask, self._flat_codes, self._flat_sqn, self._flat_cross
         )
+
+    _merge_attrs = ("by_residual",)
+
+    def _merge_arrays(self, other: "IVFRQIndex"):
+        return (("RQ codebooks", self.rq._cbs, other.rq._cbs),)
+
+    def _merge_payload(self, other: "IVFRQIndex") -> None:
+        from vq_tpu.search import _concat_rows
+
+        self._flat_codes = _concat_rows(self._flat_codes, other._flat_codes)
+        self._flat_sqn = _concat_rows(self._flat_sqn, other._flat_sqn)
+        self._flat_cross = _concat_rows(
+            self._flat_cross, other._flat_cross
+        )
+        other._flat_codes = other._flat_sqn = other._flat_cross = None
 
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
         # Reconstruct from codes + the CURRENT (pre-rebalance) centroid.

@@ -70,6 +70,67 @@ def _compact_rows(mask: jnp.ndarray, *arrays):
     )
 
 
+def _merge_check(self, other, *, attrs=(), arrays=()):
+    """Validate that ``other`` is mergeable into ``self`` (faiss
+    ``merge_from`` contract: same index type, same trained state).
+
+    ``attrs`` are scalar attribute names that must compare equal;
+    ``arrays`` are ``(label, a, b)`` trained-array pairs that must match
+    elementwise (codebooks, coarse centroids, quantizer ranges)."""
+    if type(other) is not type(self):
+        raise InvalidParameter(
+            "other",
+            f"can only merge another {type(self).__name__}, "
+            f"got {type(other).__name__}",
+        )
+    for name in attrs:
+        if getattr(self, name) != getattr(other, name):
+            raise InvalidData(
+                f"cannot merge: {name} differs "
+                f"({getattr(self, name)!r} vs {getattr(other, name)!r})"
+            )
+    for label, a, b in arrays:
+        same = (
+            a is None and b is None
+        ) or (
+            a is not None and b is not None and a.shape == b.shape
+            and bool(jnp.array_equal(a, b))
+        )
+        if not same:
+            raise InvalidData(f"cannot merge: trained {label} differ")
+
+
+def _concat_rows(a, b):
+    """Row-concatenate two optional arrays (either side may be None)."""
+    if b is None:
+        return a
+    return b if a is None else jnp.concatenate([a, b], axis=0)
+
+
+def _merge_corpus(self, other) -> None:
+    """Carry the kept corpus across a merge. If ``self`` reranks from a
+    kept corpus, ``other`` must have one too (otherwise rerank on the
+    merged index would silently cover only part of the data)."""
+    if not self.keep_corpus:
+        return
+    if other.ntotal > 0 and other._corpus is None:
+        raise InvalidData(
+            "cannot merge: self keeps a rerank corpus but other has none"
+        )
+    self._corpus = _concat_rows(self._corpus, other._corpus)
+
+
+def _search_and_reconstruct(self, queries, k: int = 10, **kw):
+    """Shared ``search_and_reconstruct`` body (faiss analog): search,
+    then decode every returned id. Padded ``-1`` ids reconstruct as zero
+    rows. Returns ``(ids [Q, k], values [Q, k], vectors [Q, k, d])``."""
+    ids, vals = self.search(queries, k, **kw)
+    flat = jnp.reshape(ids, (-1,))
+    rec = self.reconstruct(jnp.maximum(flat, 0))
+    rec = jnp.where((flat >= 0)[:, None], rec, 0.0)
+    return ids, vals, rec.reshape((*ids.shape, rec.shape[-1]))
+
+
 _FLAT_METRICS = (
     "squared_euclidean", "euclidean", "cosine", "dot", "manhattan"
 )
@@ -243,6 +304,23 @@ class FlatIndex:
             mask, self._rows, self._row_sqn
         )
         return removed
+
+    def merge_from(self, other: "FlatIndex") -> int:
+        """Move every vector of ``other`` into this index (faiss
+        ``merge_from`` contract: same type and build parameters; the
+        moved vectors get ids starting at ``self.ntotal`` and ``other``
+        is left empty). Returns the number of vectors moved."""
+        _merge_check(self, other, attrs=("dim", "metric", "storage"))
+        moved = other.ntotal
+        self._rows = _concat_rows(self._rows, other._rows)
+        self._row_sqn = _concat_rows(self._row_sqn, other._row_sqn)
+        other._rows = other._row_sqn = None
+        return moved
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the stored vectors of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        return _search_and_reconstruct(self, queries, k, **kw)
 
     def _default_chunk(self, chunk: Optional[int]) -> int:
         if chunk is not None:
@@ -532,6 +610,28 @@ class PQIndex:
         )
         return removed
 
+    def merge_from(self, other: "PQIndex") -> int:
+        """Move every vector of ``other`` into this index. Requires the
+        same trained codebooks and code packing (codes are copied, not
+        re-encoded — faiss ``merge_from`` contract). Returns the count
+        moved; ``other`` is left empty."""
+        _merge_check(
+            self, other, attrs=("pack_bits",),
+            arrays=(
+                ("PQ codebooks", self.pq._codebooks, other.pq._codebooks),
+            ),
+        )
+        moved = other.ntotal
+        _merge_corpus(self, other)
+        self._codes = _concat_rows(self._codes, other._codes)
+        other._codes = other._corpus = None
+        return moved
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the decoded codes of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        return _search_and_reconstruct(self, queries, k, **kw)
+
     def search(
         self, queries, k: int = 10, *, rerank: int = 0
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -706,6 +806,19 @@ class BinaryIndex:
             mask, self._packed, self._corpus
         )
         return removed
+
+    def merge_from(self, other: "BinaryIndex") -> int:
+        """Move every vector of ``other`` into this index. Requires the
+        same dimension and binarization threshold (packed codes are
+        copied). Returns the count moved; ``other`` is left empty."""
+        _merge_check(self, other, attrs=("dim",))
+        if self.bq._threshold != other.bq._threshold:
+            raise InvalidData("cannot merge: thresholds differ")
+        moved = other.ntotal
+        _merge_corpus(self, other)
+        self._packed = _concat_rows(self._packed, other._packed)
+        other._packed = other._corpus = None
+        return moved
 
     def search(
         self, queries, k: int = 10, *, rerank: int = 0
@@ -970,6 +1083,33 @@ class SQIndex:
             mask, self._codes, self._row_sqn, self._corpus
         )
         return removed
+
+    def merge_from(self, other: "SQIndex") -> int:
+        """Move every vector of ``other`` into this index. Requires the
+        same metric and fitted per-dimension ranges (codes are copied,
+        not re-quantized). Returns the count moved; ``other`` is left
+        empty."""
+        _merge_check(
+            self, other, attrs=("metric",),
+            arrays=(
+                ("SQ lo", self.sq._lo, other.sq._lo),
+                ("SQ hi", self.sq._hi, other.sq._hi),
+            ),
+        )
+        if self.sq._levels != other.sq._levels:
+            raise InvalidData("cannot merge: SQ levels differ")
+        moved = other.ntotal
+        _merge_corpus(self, other)
+        self._codes = _concat_rows(self._codes, other._codes)
+        self._row_sqn = _concat_rows(self._row_sqn, other._row_sqn)
+        other._codes = other._row_sqn = other._corpus = None
+        return moved
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the decoded rows of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        return _search_and_reconstruct(self, queries, k, **kw)
+
 
     def _check_query(self, queries) -> jnp.ndarray:
         q = jnp.asarray(queries, jnp.float32)
@@ -1301,6 +1441,29 @@ class RQIndex:
             mask, self._codes, self._row_sqn, self._corpus
         )
         return removed
+
+    def merge_from(self, other: "RQIndex") -> int:
+        """Move every vector of ``other`` into this index. Requires the
+        same metric and trained stage codebooks (codes are copied, not
+        re-encoded). Returns the count moved; ``other`` is left empty."""
+        _merge_check(
+            self, other, attrs=("metric",),
+            arrays=(
+                ("RQ codebooks", self.rq._cbs, other.rq._cbs),
+            ),
+        )
+        moved = other.ntotal
+        _merge_corpus(self, other)
+        self._codes = _concat_rows(self._codes, other._codes)
+        self._row_sqn = _concat_rows(self._row_sqn, other._row_sqn)
+        other._codes = other._row_sqn = other._corpus = None
+        return moved
+
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search plus the decoded codes of every hit — ``(ids, values,
+        vectors [Q, k, d])``; padded ``-1`` ids yield zero rows."""
+        return _search_and_reconstruct(self, queries, k, **kw)
+
 
     def _check_query(self, queries) -> jnp.ndarray:
         q = jnp.asarray(queries, jnp.float32)

@@ -409,6 +409,44 @@ class TransformedIndex:
             y = t.reverse(y)
         return y
 
+    def search_and_reconstruct(self, queries, k: int = 10, **kw):
+        """Search in the transformed space, reconstruct hits back in the
+        INPUT space (transforms reversed) — ``(ids, values,
+        vectors [Q, k, d_in])``."""
+        if not hasattr(self.base, "search_and_reconstruct"):
+            raise InvalidData(
+                f"{type(self.base).__name__} does not support "
+                "search_and_reconstruct"
+            )
+        ids, vals, rec = self.base.search_and_reconstruct(
+            self._chain(queries), k, **kw
+        )
+        y = rec.reshape(-1, rec.shape[-1])
+        for t in reversed(self.transforms):
+            y = t.reverse(y)
+        return ids, vals, y.reshape(*rec.shape[:-1], y.shape[-1])
+
+    def merge_from(self, other: "TransformedIndex") -> int:
+        """Move every vector of ``other.base`` into this pipeline's base.
+        Requires identical fitted transforms (same kinds, configs, and
+        fitted arrays) — otherwise the two bases hold vectors from
+        different spaces."""
+        if type(other) is not TransformedIndex or len(self.transforms) != (
+            len(other.transforms)
+        ):
+            raise InvalidParameter(
+                "other", "can only merge an identical TransformedIndex chain"
+            )
+        for a, b in zip(self.transforms, other.transforms):
+            ka, ca, aa = a._state()
+            kb, cb, ab = b._state()
+            if ka != kb or ca != cb or set(aa) != set(ab) or any(
+                not np.array_equal(np.asarray(aa[k]), np.asarray(ab[k]))
+                for k in aa
+            ):
+                raise InvalidData("cannot merge: fitted transforms differ")
+        return self.base.merge_from(other.base)
+
     def save(self, path: str) -> str:
         if not path.endswith(".npz"):
             path = path + ".npz"
