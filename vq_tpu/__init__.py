@@ -79,6 +79,14 @@ from vq_tpu.transforms import (
     VectorTransform,
 )
 from vq_tpu.factory import IdMapIndex, index_factory, load_index
+from vq_tpu.tune import (
+    OperatingPoint,
+    exact_neighbors,
+    pareto,
+    recall_at,
+    sweep,
+    tune,
+)
 
 __version__ = "0.1.0"
 
@@ -156,6 +164,12 @@ __all__ = [
     "IdMapIndex",
     "index_factory",
     "load_index",
+    "OperatingPoint",
+    "exact_neighbors",
+    "recall_at",
+    "sweep",
+    "pareto",
+    "tune",
     "SQIndex",
     "RQIndex",
     "pack_codes",
