@@ -79,6 +79,7 @@ from vq_tpu.transforms import (
     VectorTransform,
 )
 from vq_tpu.factory import IdMapIndex, index_factory, load_index
+from vq_tpu.serving import BatchPipeline, pipelined_search
 from vq_tpu.tune import (
     OperatingPoint,
     exact_neighbors,
@@ -164,6 +165,8 @@ __all__ = [
     "IdMapIndex",
     "index_factory",
     "load_index",
+    "BatchPipeline",
+    "pipelined_search",
     "OperatingPoint",
     "exact_neighbors",
     "recall_at",

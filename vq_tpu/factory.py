@@ -593,6 +593,14 @@ class FactoryIndex:
     def search(self, queries, k: int = 10, **kw):
         return self._require().search(queries, k, **kw)
 
+    def _search_core(self, k: int, **kw):
+        built = self._require()
+        if not hasattr(built, "_search_core"):
+            raise InvalidData(
+                f"{type(built).__name__} does not support pipelined serving"
+            )
+        return built._search_core(int(k), **kw)
+
     def range_search(self, queries, radius: float, **kw):
         built = self._require()
         if not hasattr(built, "range_search"):

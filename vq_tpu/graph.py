@@ -607,17 +607,39 @@ class GraphIndex:
         B=4/T=24 → 25.6 ms/batch, B=8/T=12 → 24.1, B=16/T=6 → **18.5 ms
         (6.9k QPS) at slightly better recall** (wider frontiers explore
         more). B=8 is the default as the safe middle at small beams."""
-        if self.ntotal == 0:
-            raise EmptyInput("index is empty")
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=q.shape[1])
-        return _search_driver(
-            q, self._rows, self._sqn, self.graph, self.sample,
-            self.entry, self.ntotal, int(k), int(beam), iters,
-            int(picks_per_iter),
+        fn, arrays = self._search_core(
+            int(k), beam=beam, iters=iters, picks_per_iter=picks_per_iter
+        )
+        return fn(q, *arrays)
+
+    def _search_core(
+        self,
+        k: int,
+        *,
+        beam: int = 64,
+        iters: Optional[int] = None,
+        picks_per_iter: int = 8,
+    ):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch."""
+        if self.ntotal == 0:
+            raise EmptyInput("index is empty")
+        n, k, beam, picks = self.ntotal, int(k), int(beam), int(picks_per_iter)
+
+        def fn(q, rows, sqn, graph, sample, entry):
+            return _search_driver(
+                q, rows, sqn, graph, sample, entry, n, k, beam, iters, picks
+            )
+
+        return fn, (
+            self._rows, self._sqn, self.graph, self.sample, self.entry
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:

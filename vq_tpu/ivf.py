@@ -331,6 +331,10 @@ class IVFPQIndex:
         return self.coarse.shape[0]
 
     @property
+    def dim(self) -> int:
+        return int(self.coarse.shape[1])
+
+    @property
     def ntotal(self) -> int:
         return 0 if self._flat_codes is None else self._flat_codes.shape[0]
 
@@ -600,52 +604,85 @@ class IVFPQIndex:
         the probe step runs the fused Pallas kernel (scalar-prefetch DMA of
         probed lists into VMEM) — identical returned ids to the XLA path.
         """
-        bucket_codes, bucket_ids = self._build_buckets()
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.pq.dim:
             raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
+        fn, arrays = self._search_core(
+            int(k), nprobe=nprobe, rerank=rerank, use_pallas=use_pallas
+        )
+        return fn(q, *arrays)
+
+    def _search_core(
+        self,
+        k: int,
+        *,
+        nprobe: int = 8,
+        rerank: int = 0,
+        use_pallas: Optional[bool] = None,
+    ):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch. Storage is passed as arguments so jitted
+        callers don't bake it into the program as constants."""
+        bucket_codes, bucket_ids = self._build_buckets()
+        k = int(k)
+        rerank = int(rerank)
+        if rerank and self._corpus is None:
+            raise InvalidData(
+                "rerank requires keep_corpus=True at construction"
+            )
         nprobe = min(int(nprobe), self.nlist)
-        fetch = max(k, int(rerank)) if rerank else k
+        fetch = max(k, rerank) if rerank else k
         # The candidate pool a search actually sees is nprobe * cap (NOT
         # nlist * cap); k / rerank beyond it are satisfied by -1/inf padding
         # per the documented contract.
         pool = nprobe * int(bucket_ids.shape[1])
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        ids, dist = _ivf_search_jit(
-            q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
-            nprobe, min(fetch, pool), bool(use_pallas),
-            metric=self.metric, by_residual=self.by_residual,
+        use_pallas = bool(use_pallas)
+        metric, by_residual = self.metric, self.by_residual
+        codebooks = self.pq.codebooks
+        arrays = (self.coarse, codebooks, bucket_codes, bucket_ids) + (
+            (self._corpus,) if rerank else ()
         )
-        # Internal convention is smaller-is-better (dot scores negated).
-        if rerank:
-            if self._corpus is None:
-                raise InvalidData(
-                    "rerank requires keep_corpus=True at construction"
-                )
-            safe = jnp.maximum(ids, 0)
-            cand = jnp.take(self._corpus, safe, axis=0)  # [Q, R, d]
-            if self.metric == "dot":
-                exact = -jnp.sum(
-                    cand.astype(jnp.float32) * q[:, None, :], axis=-1
-                )
+
+        def fn(q, coarse, cbs, bcodes, bids, *rest):
+            ids, dist = _ivf_search_jit(
+                q, coarse, cbs, bcodes, bids,
+                nprobe, min(fetch, pool), use_pallas,
+                metric=metric, by_residual=by_residual,
+            )
+            # Internal convention is smaller-is-better (dot scores negated).
+            if rerank:
+                corpus = rest[0]
+                safe = jnp.maximum(ids, 0)
+                cand = jnp.take(corpus, safe, axis=0)  # [Q, R, d]
+                if metric == "dot":
+                    exact = -jnp.sum(
+                        cand.astype(jnp.float32) * q[:, None, :], axis=-1
+                    )
+                else:
+                    exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
+                exact = jnp.where(ids >= 0, exact, jnp.inf)
+                neg_top, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
+                ids, dist = jnp.take_along_axis(ids, pos, axis=1), -neg_top
             else:
-                exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)
-            exact = jnp.where(ids >= 0, exact, jnp.inf)
-            neg_top, pos = jax.lax.top_k(-exact, min(k, exact.shape[1]))
-            ids, dist = jnp.take_along_axis(ids, pos, axis=1), -neg_top
-        else:
-            ids, dist = ids[:, :k], dist[:, :k]
-        ids = jnp.where(jnp.isinf(dist), -1, ids)
-        if ids.shape[1] < k:  # pool smaller than k: pad out the contract
-            pad = k - ids.shape[1]
-            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
-        if self.metric == "dot":
-            dist = -dist  # back to descending scores; pads become -inf
-        return ids, dist
+                ids, dist = ids[:, :k], dist[:, :k]
+            ids = jnp.where(jnp.isinf(dist), -1, ids)
+            if ids.shape[1] < k:  # pool smaller than k: pad the contract
+                pad = k - ids.shape[1]
+                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                dist = jnp.pad(
+                    dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+                )
+            if metric == "dot":
+                dist = -dist  # back to descending scores; pads become -inf
+            return ids, dist
+
+        return fn, arrays
 
     def range_search(
         self,

@@ -238,36 +238,58 @@ class IVFBinaryIndex(_IVFScanBase):
         ``rerank=R``: fetch R Hamming candidates, rerank by exact
         squared-L2 against the kept corpus, return the top-k of those
         (requires ``keep_corpus=True``)."""
-        if rerank and self._corpus is None:
+        q = self._check_query(queries)
+        fn, arrays = self._search_core(
+            int(k), nprobe=nprobe, rerank=rerank,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        return fn(q, *arrays)
+
+    def _search_core(
+        self,
+        k: int,
+        *,
+        nprobe: int = 8,
+        rerank: int = 0,
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        if not rerank:
+            return super()._search_core(
+                k, nprobe=nprobe, use_pallas=use_pallas, interpret=interpret
+            )
+        if self._corpus is None:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        fetch = max(int(k), int(rerank)) if rerank else int(k)
-        ids, ham = super().search(
-            queries, k=fetch, nprobe=nprobe,
-            use_pallas=use_pallas, interpret=interpret,
+        k = int(k)
+        fetch = max(k, int(rerank))
+        base_fn, base_arrays = super()._search_core(
+            fetch, nprobe=nprobe, use_pallas=use_pallas, interpret=interpret
         )
-        if not rerank:
-            return ids, ham
-        q = self._check_query(queries)
-        cand = jnp.take(
-            self._corpus, jnp.maximum(ids, 0), axis=0
-        )  # [Q, R, d]
-        exact = jnp.sum(
-            (cand - q[:, None, :]) ** 2, axis=-1
-        )  # [Q, R]
-        exact = jnp.where(ids >= 0, exact, jnp.inf)
-        neg, pos = jax.lax.top_k(-exact, min(int(k), fetch))
-        out_i = jnp.take_along_axis(ids, pos, axis=1)
-        out_d = -neg
-        out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
-        if out_i.shape[1] < k:
-            pad = k - out_i.shape[1]
-            out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
-            out_d = jnp.pad(
-                out_d, ((0, 0), (0, pad)), constant_values=jnp.inf
-            )
-        return out_i, out_d
+        nb = len(base_arrays)
+
+        def fn(q, *arrs):
+            ids, _ = base_fn(q, *arrs[:nb])
+            corpus = arrs[nb]
+            cand = jnp.take(corpus, jnp.maximum(ids, 0), axis=0)  # [Q, R, d]
+            exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)  # [Q, R]
+            exact = jnp.where(ids >= 0, exact, jnp.inf)
+            neg, pos = jax.lax.top_k(-exact, min(k, fetch))
+            out_i = jnp.take_along_axis(ids, pos, axis=1)
+            out_d = -neg
+            out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+            if out_i.shape[1] < k:
+                pad = k - out_i.shape[1]
+                out_i = jnp.pad(
+                    out_i, ((0, 0), (0, pad)), constant_values=-1
+                )
+                out_d = jnp.pad(
+                    out_d, ((0, 0), (0, pad)), constant_values=jnp.inf
+                )
+            return out_i, out_d
+
+        return fn, (*base_arrays, self._corpus)
 
     def _range(self, q, buckets, nprobe, fetch, radius):
         # Hamming radius: hits are popcount <= radius among probed lists.

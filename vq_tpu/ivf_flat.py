@@ -868,28 +868,56 @@ class _IVFScanBase:
         ``use_pallas`` (default: auto — on for the TPU backend) routes the
         probe through the fused scalar-prefetch kernel instead of the XLA
         bucket gather; results are identical."""
+        q = self._check_query(queries)
+        fn, arrays = self._search_core(
+            int(k), nprobe=nprobe, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        return fn(q, *arrays)
+
+    def _search_core(
+        self,
+        k: int,
+        *,
+        nprobe: int = 8,
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it; the serving
+        pipeline (:class:`vq_tpu.serving.BatchPipeline`) scans it over
+        many query batches in a single dispatch. Arrays are passed as
+        arguments, not closed over, so jitted callers don't bake the
+        bucket storage into the program as constants."""
         if self._flat_lists is None:
             raise EmptyInput("index is empty — add() vectors first")
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         buckets = self._build_buckets()
-        q = self._check_query(queries)
+        names = tuple(sorted(buckets))
+        arrays = tuple(buckets[n] for n in names)
+        k = int(k)
         nprobe = min(int(nprobe), self.nlist)
         pool = nprobe * int(buckets["ids"].shape[1])
-        ids, dist = self._scan(
-            q, buckets, nprobe, min(int(k), pool),
-            bool(use_pallas), bool(interpret),
-        )
-        ids = jnp.where(jnp.isinf(dist), -1, ids)
-        if ids.shape[1] < k:  # pool smaller than k: pad out the contract
-            pad = k - ids.shape[1]
-            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            dist = jnp.pad(
-                dist, ((0, 0), (0, pad)), constant_values=jnp.inf
-            )
-        if self.metric == "dot":
-            dist = -dist  # back to descending scores; pads become -inf
-        return ids, dist
+        k_eff = min(k, pool)
+        use_pallas, interpret = bool(use_pallas), bool(interpret)
+        metric = self.metric
+
+        def fn(q, *arrs):
+            b = dict(zip(names, arrs))
+            ids, dist = self._scan(q, b, nprobe, k_eff, use_pallas, interpret)
+            ids = jnp.where(jnp.isinf(dist), -1, ids)
+            if ids.shape[1] < k:  # pool smaller than k: pad out the contract
+                pad = k - ids.shape[1]
+                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                dist = jnp.pad(
+                    dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+                )
+            if metric == "dot":
+                dist = -dist  # back to descending scores; pads become -inf
+            return ids, dist
+
+        return fn, arrays
 
     def range_search(
         self,

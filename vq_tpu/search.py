@@ -354,13 +354,40 @@ class FlatIndex:
         Values are distances (ascending) for distance metrics and
         inner-product scores (descending) for ``dot``.
         """
+        fn, arrays = self._search_core(int(k), chunk=chunk)
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=q.shape[1])
+        return fn(q, *arrays)
+
+    def _search_core(self, k: int, *, chunk: Optional[int] = None):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch. Storage is passed as arguments so jitted
+        callers don't bake it into the program as constants."""
         if self._rows is None:
             raise EmptyInput("index is empty — add() vectors first")
-        k = min(int(k), self.ntotal)
-        ids, d, _ = self._scan(queries, k, float("inf"), chunk)
-        if self.metric == "dot":
-            return ids, -d
-        return ids, d
+        n = self.ntotal
+        k_eff = min(int(k), n)
+        chunk = min(self._default_chunk(chunk), max(n, 1))
+        pad = (-n) % chunk
+        row_chunks = jnp.pad(self._rows, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.dim
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        metric = self.metric
+
+        def fn(q, rows_c, sqn_c):
+            ids, d, _ = _flat_scan_jit(
+                q, rows_c, sqn_c, jnp.int32(n),
+                jnp.float32(float("inf")), metric, k_eff,
+            )
+            return (ids, -d) if metric == "dot" else (ids, d)
+
+        return fn, (row_chunks, sqn_chunks)
 
     def range_search(
         self,
@@ -558,6 +585,10 @@ class PQIndex:
         self._corpus: Optional[jnp.ndarray] = None  # [n, d] if kept
 
     @property
+    def dim(self) -> int:
+        return self.pq.dim
+
+    @property
     def ntotal(self) -> int:
         return 0 if self._codes is None else int(self._codes.shape[0])
 
@@ -636,17 +667,34 @@ class PQIndex:
         self, queries, k: int = 10, *, rerank: int = 0
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k ids + distances for each query row."""
+        fn, arrays = self._search_core(int(k), rerank=rerank)
+        return fn(jnp.asarray(queries), *arrays)
+
+    def _search_core(self, k: int, *, rerank: int = 0):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch. Code storage is passed as an argument so
+        jitted callers don't bake it into the program as constants (the
+        small codebooks ride along inside the quantizer)."""
         if self._codes is None:
             raise EmptyInput("index is empty — add() vectors first")
+        rerank = int(rerank)
         if rerank and self._corpus is None:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        k = min(k, self.ntotal)
-        return self.pq.adc_search(
-            queries, self._codes, k=k, rerank=rerank, corpus=self._corpus,
-            pack_bits=self.pack_bits,
-        )
+        k_eff = min(int(k), self.ntotal)
+        pq, pack_bits = self.pq, self.pack_bits
+        arrays = (self._codes,) + ((self._corpus,) if rerank else ())
+
+        def fn(q, codes, *rest):
+            return pq.adc_search(
+                q, codes, k=k_eff, rerank=rerank,
+                corpus=rest[0] if rerank else None, pack_bits=pack_bits,
+            )
+
+        return fn, arrays
 
     def range_search(
         self,
@@ -824,34 +872,48 @@ class BinaryIndex:
         self, queries, k: int = 10, *, rerank: int = 0
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k ids + Hamming distances (or exact L2 when reranked)."""
-        if self._packed is None:
-            raise EmptyInput("index is empty — add() vectors first")
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
+        fn, arrays = self._search_core(int(k), rerank=rerank)
+        return fn(q, *arrays)
+
+    def _search_core(self, k: int, *, rerank: int = 0):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch."""
+        if self._packed is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        rerank = int(rerank)
         if rerank and self._corpus is None:
             # Same contract as PQIndex.search — silently falling back to
             # unreranked Hamming results would hide the misuse.
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        qp = self.bq.quantize_packed(q)
-        ham = hamming_distance(qp, self._packed)  # [Q, n] int32
-        k = min(k, self.ntotal)
-        if rerank and self._corpus is not None:
-            from vq_tpu.ops.distance import pairwise
+        k_eff = min(int(k), self.ntotal)
+        r = min(rerank, self.ntotal)
+        bq = self.bq
+        arrays = (self._packed,) + ((self._corpus,) if rerank else ())
 
-            r = min(int(rerank), self.ntotal)
-            _, short = jax.lax.top_k(-ham, r)
-            cand = jnp.take(self._corpus, short, axis=0)  # [Q, R, d]
-            exact = jax.vmap(
-                lambda qv, cv: jnp.sum((cv - qv[None, :]) ** 2, axis=-1)
-            )(q, cand)
-            neg_top, pos = jax.lax.top_k(-exact, min(k, r))
-            idx = jnp.take_along_axis(short, pos, axis=1)
+        def fn(q, packed, *rest):
+            qp = bq.quantize_packed(q)
+            ham = hamming_distance(qp, packed)  # [Q, n] int32
+            if rerank:
+                corpus = rest[0]
+                _, short = jax.lax.top_k(-ham, r)
+                cand = jnp.take(corpus, short, axis=0)  # [Q, R, d]
+                exact = jax.vmap(
+                    lambda qv, cv: jnp.sum((cv - qv[None, :]) ** 2, axis=-1)
+                )(q, cand)
+                neg_top, pos = jax.lax.top_k(-exact, min(k_eff, r))
+                idx = jnp.take_along_axis(short, pos, axis=1)
+                return idx, -neg_top
+            neg_top, idx = jax.lax.top_k(-ham.astype(jnp.float32), k_eff)
             return idx, -neg_top
-        neg_top, idx = jax.lax.top_k(-ham.astype(jnp.float32), k)
-        return idx, -neg_top
+
+        return fn, arrays
 
     def save(self, path: str) -> str:
         arrays = {
@@ -1170,33 +1232,63 @@ class SQIndex:
         inner-product scores (descending) for ``dot``. With ``rerank=R``
         and a kept corpus, a top-R shortlist is re-scored exactly.
         """
+        q = self._check_query(queries)
+        fn, arrays = self._search_core(int(k), rerank=rerank, chunk=chunk)
+        return fn(q, *arrays)
+
+    def _search_core(
+        self, k: int, *, rerank: int = 0, chunk: int = 262_144
+    ):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch. Storage is passed as arguments so jitted
+        callers don't bake it into the program as constants."""
         if self._codes is None:
             raise EmptyInput("index is empty — add() vectors first")
+        rerank = int(rerank)
         if rerank and self._corpus is None:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        q = self._check_query(queries)
         n = self.ntotal
-        k = min(int(k), n)
-        fetch = min(max(k, int(rerank)), n)
-        ids, d, _ = self._scan(q, fetch, float("inf"), chunk)
-        if rerank:
-            cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
-            if self.metric == "dot":
-                exact = jnp.einsum("qd,qrd->qr", q, cand)
-                neg, pos = jax.lax.top_k(exact, k)
-                return jnp.take_along_axis(ids, pos, axis=1), neg
-            from vq_tpu.ops.distance import _PAIRWISE
+        k_eff = min(int(k), n)
+        fetch = min(max(k_eff, rerank), n)
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        metric = self.metric
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.dim
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        arrays = (code_chunks, sqn_chunks, self.sq.mins, self.sq.steps) + (
+            (self._corpus,) if rerank else ()
+        )
 
-            exact = jax.vmap(
-                lambda qv, cv: _PAIRWISE[Metric(self.metric)](qv[None, :], cv)[0]
-            )(q, cand)
-            neg_top, pos = jax.lax.top_k(-exact, k)
-            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
-        if self.metric == "dot":
-            return ids[:, :k], -d[:, :k]
-        return ids[:, :k], d[:, :k]
+        def fn(q, code_c, sqn_c, mins, steps, *rest):
+            ids, d, _ = _sq_scan_jit(
+                q, mins, steps, code_c, sqn_c, jnp.int32(n),
+                jnp.float32(float("inf")), metric, fetch,
+            )
+            if rerank:
+                corpus = rest[0]
+                cand = jnp.take(corpus, ids, axis=0).astype(jnp.float32)
+                if metric == "dot":
+                    exact = jnp.einsum("qd,qrd->qr", q, cand)
+                    neg, pos = jax.lax.top_k(exact, k_eff)
+                    return jnp.take_along_axis(ids, pos, axis=1), neg
+                from vq_tpu.ops.distance import _PAIRWISE
+
+                exact = jax.vmap(
+                    lambda qv, cv: _PAIRWISE[Metric(metric)](qv[None, :], cv)[0]
+                )(q, cand)
+                neg_top, pos = jax.lax.top_k(-exact, k_eff)
+                return jnp.take_along_axis(ids, pos, axis=1), -neg_top
+            if metric == "dot":
+                return ids[:, :k_eff], -d[:, :k_eff]
+            return ids[:, :k_eff], d[:, :k_eff]
+
+        return fn, arrays
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded (approximate) vectors for stored ids."""
@@ -1526,33 +1618,65 @@ class RQIndex:
         inner-product scores (descending) for ``dot``. With ``rerank=R``
         and a kept corpus, a top-R shortlist is re-scored exactly.
         """
+        q = self._check_query(queries)
+        fn, arrays = self._search_core(int(k), rerank=rerank, chunk=chunk)
+        return fn(q, *arrays)
+
+    def _search_core(
+        self, k: int, *, rerank: int = 0, chunk: int = 262_144
+    ):
+        """The search as ``(fn, arrays)`` with ``fn(q, *arrays)`` fully
+        traceable — :meth:`search` is one eager call of it and
+        :class:`vq_tpu.serving.BatchPipeline` scans it over many query
+        batches in one dispatch. Storage is passed as arguments so jitted
+        callers don't bake it into the program as constants."""
         if self._codes is None:
             raise EmptyInput("index is empty — add() vectors first")
+        rerank = int(rerank)
         if rerank and self._corpus is None:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
-        q = self._check_query(queries)
         n = self.ntotal
-        k = min(int(k), n)
-        fetch = min(max(k, int(rerank)), n)
-        ids, d, _ = self._scan(q, fetch, float("inf"), chunk)
-        if rerank:
-            cand = jnp.take(self._corpus, ids, axis=0).astype(jnp.float32)
-            if self.metric == "dot":
-                exact = jnp.einsum("qd,qrd->qr", q, cand)
-                neg, pos = jax.lax.top_k(exact, k)
-                return jnp.take_along_axis(ids, pos, axis=1), neg
-            from vq_tpu.ops.distance import _PAIRWISE
+        k_eff = min(int(k), n)
+        fetch = min(max(k_eff, rerank), n)
+        chunk = min(int(chunk), max(n, 1))
+        pad = (-n) % chunk
+        metric = self.metric
+        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
+            -1, chunk, self.rq.num_stages
+        )
+        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
+        arrays = (code_chunks, sqn_chunks, self.rq.codebooks) + (
+            (self._corpus,) if rerank else ()
+        )
 
-            exact = jax.vmap(
-                lambda qv, cv: _PAIRWISE[Metric(self.metric)](qv[None, :], cv)[0]
-            )(q, cand)
-            neg_top, pos = jax.lax.top_k(-exact, k)
-            return jnp.take_along_axis(ids, pos, axis=1), -neg_top
-        if self.metric == "dot":
-            return ids[:, :k], -d[:, :k]
-        return ids[:, :k], d[:, :k]
+        def fn(q, code_c, sqn_c, cbs, *rest):
+            tables = _rq_tables_jit(q, cbs, metric)
+            qn2 = jnp.sum(q * q, axis=-1)
+            ids, d, _ = _rq_scan_jit(
+                tables, qn2, code_c, sqn_c, jnp.int32(n),
+                jnp.float32(float("inf")), metric, fetch,
+            )
+            if rerank:
+                corpus = rest[0]
+                cand = jnp.take(corpus, ids, axis=0).astype(jnp.float32)
+                if metric == "dot":
+                    exact = jnp.einsum("qd,qrd->qr", q, cand)
+                    neg, pos = jax.lax.top_k(exact, k_eff)
+                    return jnp.take_along_axis(ids, pos, axis=1), neg
+                from vq_tpu.ops.distance import _PAIRWISE
+
+                exact = jax.vmap(
+                    lambda qv, cv: _PAIRWISE[Metric(metric)](qv[None, :], cv)[0]
+                )(q, cand)
+                neg_top, pos = jax.lax.top_k(-exact, k_eff)
+                return jnp.take_along_axis(ids, pos, axis=1), -neg_top
+            if metric == "dot":
+                return ids[:, :k_eff], -d[:, :k_eff]
+            return ids[:, :k_eff], d[:, :k_eff]
+
+        return fn, arrays
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded (approximate) vectors for stored ids."""

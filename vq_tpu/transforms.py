@@ -393,6 +393,17 @@ class TransformedIndex:
     def search(self, queries, k: int = 10, **kw):
         return self.base.search(self._chain(queries), k, **kw)
 
+    def _search_core(self, k: int, **kw):
+        """Pipelined-serving hook: the base's core with the (jittable)
+        transform chain applied to each query batch inside the program."""
+        base_fn, arrays = self.base._search_core(int(k), **kw)
+        chain = self._chain
+
+        def fn(q, *arrs):
+            return base_fn(chain(q), *arrs)
+
+        return fn, arrays
+
     def range_search(self, queries, radius: float, **kw):
         if not hasattr(self.base, "range_search"):
             raise InvalidData(
