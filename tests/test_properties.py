@@ -475,3 +475,71 @@ def test_graph_search_contract(data, k, beam):
         assert (np.diff(dr) >= -1e-5).all()  # ascending
         want = ((data[real] - q[r]) ** 2).sum(-1)
         np.testing.assert_allclose(dr, want, rtol=1e-4, atol=1e-2)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=32, max_n=200, d=8),
+       split=st.floats(0.1, 0.9), k=st.integers(1, 8))
+def test_merge_from_equals_single_build(data, split, k):
+    """Merging two flat indexes is indistinguishable from one index built
+    over the concatenation (ids, distances, ntotal), and empties the
+    source — on arbitrary data and split points."""
+    from vq_tpu import FlatIndex
+
+    cut = max(1, min(len(data) - 1, int(len(data) * split)))
+    a = FlatIndex.from_data(data[:cut])
+    b = FlatIndex.from_data(data[cut:])
+    whole = FlatIndex.from_data(data)
+    moved = a.merge_from(b)
+    assert moved == len(data) - cut
+    assert a.ntotal == len(data) and b.ntotal == 0
+    q = data[:3]
+    ids_m, d_m = a.search(q, k=k)
+    ids_w, d_w = whole.search(q, k=k)
+    np.testing.assert_array_equal(np.asarray(ids_m), np.asarray(ids_w))
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_w), atol=1e-4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=48, max_n=160, d=8),
+       t=st.integers(1, 4), q=st.integers(1, 9), k=st.integers(1, 6))
+def test_batch_pipeline_matches_search(data, t, q, k):
+    """One-dispatch pipelined serving is bit-identical to per-batch
+    search for arbitrary [T, Q] shapes."""
+    from vq_tpu import BatchPipeline, FlatIndex
+
+    idx = FlatIndex.from_data(data)
+    rng = np.random.default_rng(int(abs(float(data[0, 0])) * 1000) % 2**31)
+    batches = rng.normal(size=(t, q, 8)).astype(np.float32)
+    pipe = BatchPipeline(idx, k=k)
+    ids_p, vals_p = pipe.search(batches)
+    for i in range(t):
+        ids_s, vals_s = idx.search(batches[i], k)
+        np.testing.assert_array_equal(np.asarray(ids_p[i]), np.asarray(ids_s))
+        np.testing.assert_allclose(
+            np.asarray(vals_p[i]), np.asarray(vals_s), atol=1e-5
+        )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=64, max_n=200, d=8),
+       k=st.integers(2, 6), nredo=st.integers(1, 3))
+def test_kmeans_nredo_is_best_of(data, k, nredo):
+    """Kmeans(nredo=R) returns exactly the best of R deterministic
+    restarts: obj == min(all_objs), len(all_objs) == R, and the run is
+    reproducible for a fixed seed."""
+    from vq_tpu import Kmeans
+
+    km = Kmeans(8, k, niter=4, nredo=nredo, seed=5)
+    km2 = Kmeans(8, k, niter=4, nredo=nredo, seed=5)
+    obj = km.train(data)
+    obj2 = km2.train(data)
+    assert len(km.all_objs) == nredo
+    assert obj == pytest.approx(min(km.all_objs), rel=1e-6)
+    assert obj == obj2
+    np.testing.assert_array_equal(
+        np.asarray(km.centroids), np.asarray(km2.centroids)
+    )
