@@ -137,3 +137,58 @@ class TestAssign:
 
 def test_exported():
     assert "Kmeans" in vq_tpu.__all__
+
+
+class TestWarmStartAndPersistence:
+    def test_lloyd_init_centroids_refines(self):
+        import vq_tpu as v
+
+        data, centers = _blobs(seed=20)
+        res = v.lloyd(data, 4, max_iters=10, init_centroids=centers)
+        # starting at the true centers: converged near them, low inertia
+        c = np.asarray(res.centroids)
+        for t in centers:
+            assert np.min(np.sum((c - t) ** 2, axis=1)) < 0.1
+
+    def test_lloyd_init_centroids_zero_iters_identity(self):
+        import vq_tpu as v
+
+        data, centers = _blobs(seed=21)
+        res = v.lloyd(data, 4, max_iters=0, init_centroids=centers)
+        np.testing.assert_allclose(
+            np.asarray(res.centroids), centers, atol=1e-6
+        )
+
+    def test_lloyd_init_centroids_bad_shape(self):
+        import vq_tpu as v
+
+        data, _ = _blobs()
+        with pytest.raises(InvalidParameter):
+            v.lloyd(data, 4, init_centroids=np.zeros((3, 8), np.float32))
+
+    def test_kmeans_warm_start_single_run(self):
+        data, centers = _blobs(seed=22)
+        km = Kmeans(8, 4, niter=5, nredo=6, seed=1)
+        km.train(data, init_centroids=centers)
+        assert len(km.all_objs) == 1  # warm start skips the restarts
+
+    def test_save_load_roundtrip(self, tmp_path):
+        data, _ = _blobs(seed=23)
+        km = Kmeans(8, 4, niter=8, nredo=2, seed=3, spherical=True)
+        km.train(data)
+        p = km.save(str(tmp_path / "km"))
+        back = Kmeans.load(p)
+        np.testing.assert_array_equal(
+            np.asarray(back.centroids), np.asarray(km.centroids)
+        )
+        assert back.obj == km.obj and back.all_objs == km.all_objs
+        assert back.spherical and back.nredo == 2
+        _, lab_a = km.assign(data[:5])
+        _, lab_b = back.assign(data[:5])
+        np.testing.assert_array_equal(np.asarray(lab_a), np.asarray(lab_b))
+
+    def test_load_untrained(self, tmp_path):
+        km = Kmeans(8, 4)
+        p = km.save(str(tmp_path / "km0"))
+        back = Kmeans.load(p)
+        assert back.centroids is None and "untrained" in repr(back)

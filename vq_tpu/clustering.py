@@ -93,11 +93,15 @@ class Kmeans:
         idx = jax.random.choice(key, n, shape=(cap,), replace=False)
         return jnp.take(data, idx, axis=0)
 
-    def train(self, data) -> float:
+    def train(self, data, *, init_centroids=None) -> float:
         """Run ``nredo`` seeded restarts; keep the lowest-inertia centroids.
 
         Returns the best objective (sum of squared distances on the
         training sample). The trained centroids are in ``self.centroids``.
+
+        ``init_centroids`` (``[k, d]``) warm-starts the refinement from
+        explicit centroids (incremental re-training); the start is then
+        deterministic, so a single run replaces the ``nredo`` restarts.
         """
         data = check_training_matrix(data)
         if data.shape[1] != self.d:
@@ -112,7 +116,8 @@ class Kmeans:
         base = jax.random.PRNGKey(self.seed)
         best: Optional[KMeansResult] = None
         self.all_objs = []
-        for r in range(self.nredo):
+        redos = 1 if init_centroids is not None else self.nredo
+        for r in range(redos):
             res = lloyd(
                 sample,
                 self.k,
@@ -120,6 +125,7 @@ class Kmeans:
                 key=jax.random.fold_in(base, r),
                 init=self.init,
                 spherical=self.spherical,
+                init_centroids=init_centroids,
             )
             obj = float(res.inertia)
             self.all_objs.append(obj)
@@ -168,6 +174,57 @@ class Kmeans:
         idx = FlatIndex(self.d, metric="squared_euclidean")
         idx.add(centroids)
         return idx
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        """Single-file `.npz` checkpoint (config + trained centroids)."""
+        import numpy as np
+
+        from vq_tpu.utils.serialize import _to_npz
+
+        arrays = {}
+        if self.centroids is not None:
+            arrays["centroids"] = np.asarray(self.centroids)
+        return _to_npz(
+            path,
+            "kmeans_harness",
+            {
+                "d": self.d,
+                "k": self.k,
+                "niter": self.niter,
+                "nredo": self.nredo,
+                "seed": self.seed,
+                "spherical": self.spherical,
+                "init": self.init,
+                "max_points_per_centroid": self.max_points_per_centroid,
+                "obj": self.obj,
+                "all_objs": self.all_objs,
+            },
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Kmeans":
+        from vq_tpu.errors import InvalidData
+        from vq_tpu.utils.serialize import _from_npz
+
+        kind, config, arrays = _from_npz(path)
+        if kind != "kmeans_harness":
+            raise InvalidData(
+                f"expected a kmeans_harness checkpoint, got {kind!r}"
+            )
+        km = cls(
+            config["d"], config["k"], niter=config["niter"],
+            nredo=config["nredo"], seed=config["seed"],
+            spherical=config["spherical"], init=config["init"],
+            max_points_per_centroid=config["max_points_per_centroid"],
+        )
+        if "centroids" in arrays:
+            km.centroids = jnp.asarray(arrays["centroids"], jnp.float32)
+            km.obj = config.get("obj")
+            km.all_objs = list(config.get("all_objs") or [])
+        return km
 
     def __repr__(self) -> str:
         state = "trained" if self.centroids is not None else "untrained"

@@ -381,6 +381,7 @@ def lloyd(
     use_pallas: Optional[bool] = None,
     init: str = "sample",
     spherical: bool = False,
+    init_centroids=None,
 ) -> KMeansResult:
     """Train ``k`` centroids with Lloyd's algorithm (reference
     ``lbg_quantize``, src/core/vector.rs:390-461).
@@ -401,6 +402,10 @@ def lloyd(
     sphere after every update, so squared-L2 assignment of unit-norm
     data ranks by cosine / inner product — the right coarse quantizer
     for cosine retrieval and normalized-MIPS IVF.
+
+    ``init_centroids`` (``[k, d]``) warm-starts Lloyd refinement from
+    explicit centroids (the faiss ``Clustering`` init-centroids path —
+    incremental re-training, OPQ-style outer loops), overriding ``init``.
     """
     data = check_training_matrix(data)
     n, d = data.shape
@@ -416,6 +421,22 @@ def lloyd(
     if use_pallas:
         # The fused kernel caps its tile height by the VMEM budget.
         block_rows = min(int(block_rows), 1024)
+    if init_centroids is not None:
+        seeds = jnp.asarray(init_centroids, jnp.float32)
+        if seeds.ndim != 2 or seeds.shape != (k, d):
+            raise InvalidParameter(
+                "init_centroids",
+                f"expected [k={k}, d={d}], got {tuple(seeds.shape)}",
+            )
+        centroids, assignments, inertia, iterations, converged = (
+            _lloyd_from_init_jit(
+                data, seeds, key, max_iters, float(eps),
+                int(block_rows), bool(use_pallas), bool(spherical),
+            )
+        )
+        return KMeansResult(
+            centroids, assignments, inertia, iterations, converged
+        )
     if init == "kmeans++":
         # Fully on-device D² sampler — the corpus never leaves HBM
         # (round-2 fix: the host sampler pulled the whole corpus through
