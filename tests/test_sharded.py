@@ -369,6 +369,101 @@ class TestShardedIVFScanSearch:
             sharded_ivf_scan_search(idx, corpus[:2], k=3)
 
 
+class TestShardedScanPipeline:
+    """Multi-chip pipelined serving: ``BatchPipeline.from_core`` over
+    ``sharded_scan_search_core`` must match per-batch
+    ``sharded_ivf_scan_search`` (and hence the single-device search)
+    bit-for-bit, with all T batches in one dispatch."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(71)
+        centers = rng.normal(0, 3.0, (16, 24)).astype(np.float32)
+        which = rng.integers(0, 16, 2000)
+        return (centers[which] + rng.normal(0, 0.2, (2000, 24))).astype(
+            np.float32
+        )
+
+    def _check_pipeline(self, idx, corpus, k=6, nprobe=5):
+        from vq_tpu import BatchPipeline
+        from vq_tpu.parallel import (
+            sharded_ivf_scan_search,
+            sharded_scan_search_core,
+        )
+
+        core, arrays = sharded_scan_search_core(idx, k, nprobe=nprobe)
+        pipe = BatchPipeline.from_core(core, arrays, dim=idx.dim)
+        qs = np.stack([corpus[:8], corpus[8:16], corpus[16:24]]) + 0.01
+        ids_p, d_p = pipe.search(qs)
+        assert ids_p.shape == (3, 8, k)
+        for t in range(3):
+            ids_s, d_s = sharded_ivf_scan_search(
+                idx, qs[t], k=k, nprobe=nprobe
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ids_p[t]), np.asarray(ids_s)
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_p[t]), np.asarray(d_s), rtol=1e-4, atol=1e-4
+            )
+
+    def test_ivf_flat(self, corpus):
+        from vq_tpu import IVFFlatIndex
+
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=1)
+        idx.add(corpus)
+        self._check_pipeline(idx, corpus)
+
+    def test_ivf_sq_dot(self, corpus):
+        from vq_tpu import IVFSQIndex
+
+        idx = IVFSQIndex.train(corpus, nlist=16, seed=2, metric="dot")
+        idx.add(corpus)
+        self._check_pipeline(idx, corpus, nprobe=16)
+
+    def test_ivf_rq(self, corpus):
+        from vq_tpu import IVFRQIndex
+
+        idx = IVFRQIndex.train(
+            corpus, nlist=16, num_stages=2, num_centroids=16,
+            max_iters=3, seed=3,
+        )
+        idx.add(corpus)
+        self._check_pipeline(idx, corpus)
+
+    def test_ivf_binary(self, corpus):
+        from vq_tpu import IVFBinaryIndex
+
+        idx = IVFBinaryIndex.train(corpus, nlist=16, seed=4)
+        idx.add(corpus)
+        self._check_pipeline(idx, corpus)
+
+    def test_dim_mismatch_raises(self, corpus):
+        from vq_tpu import BatchPipeline, IVFFlatIndex
+        from vq_tpu.errors import DimensionMismatch
+        from vq_tpu.parallel import sharded_scan_search_core
+
+        idx = IVFFlatIndex.train(corpus, nlist=16, seed=5)
+        idx.add(corpus)
+        core, arrays = sharded_scan_search_core(idx, 3, nprobe=2)
+        pipe = BatchPipeline.from_core(core, arrays, dim=idx.dim)
+        with pytest.raises(DimensionMismatch):
+            pipe.search(np.zeros((2, 4, idx.dim + 1), np.float32))
+
+    def test_pool_padding_through_pipeline(self, corpus):
+        from vq_tpu import BatchPipeline, IVFFlatIndex
+        from vq_tpu.parallel import sharded_scan_search_core
+
+        idx = IVFFlatIndex.train(corpus[:64], nlist=16, seed=6)
+        idx.add(corpus[:64])
+        core, arrays = sharded_scan_search_core(idx, 50, nprobe=1)
+        pipe = BatchPipeline.from_core(core, arrays, dim=idx.dim)
+        ids, d = pipe.search(corpus[None, :3])
+        assert ids.shape == (1, 3, 50)
+        assert int((np.asarray(ids) == -1).sum()) > 0
+        assert np.isinf(np.asarray(d)).any()
+
+
 class TestShardedGraphSearch:
     """Query-parallel GraphIndex serving: sharded batch, replicated
     index, identical results to the single-device search."""

@@ -39,7 +39,7 @@ from vq_tpu.ivf_flat import (
 from vq_tpu.ivf_binary import IVFBinaryIndex, _binary_scan_body
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
-__all__ = ["sharded_ivf_scan_search"]
+__all__ = ["sharded_ivf_scan_search", "sharded_scan_search_core"]
 
 
 def _shard_lists(mesh: Mesh, index, ids, *payloads):
@@ -217,6 +217,29 @@ def sharded_ivf_scan_search(
     with ``-inf`` pads for ``metric="dot"``; ids of −1 mean fewer than
     ``k`` candidates existed in the probed lists.
     """
+    fn, arrays = sharded_scan_search_core(
+        index, int(k), nprobe=nprobe, mesh=mesh
+    )
+    q = jnp.asarray(queries, jnp.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    if q.shape[1] != index.dim:
+        raise DimensionMismatch(expected=index.dim, found=q.shape[1])
+    return fn(q, *arrays)
+
+
+def sharded_scan_search_core(
+    index,
+    k: int,
+    *,
+    nprobe: int = 8,
+    mesh: Optional[Mesh] = None,
+):
+    """:func:`sharded_ivf_scan_search` as a traceable ``(fn, arrays)``
+    pair — the multi-chip analog of the indexes' ``_search_core``. Feed
+    it to :meth:`vq_tpu.serving.BatchPipeline.from_core` to chain many
+    query batches into one sharded dispatch. The bucket arrays come back
+    mesh-placed (cached on the index per bucket build)."""
     if not isinstance(
         index, (IVFFlatIndex, IVFSQIndex, IVFRQIndex, IVFBinaryIndex)
     ):
@@ -230,58 +253,71 @@ def sharded_ivf_scan_search(
     if mesh is None:
         mesh = make_mesh()
     buckets = index._build_buckets()
-    q = jnp.asarray(queries, jnp.float32)
-    if q.ndim == 1:
-        q = q[None, :]
-    if q.shape[1] != index.dim:
-        raise DimensionMismatch(expected=index.dim, found=q.shape[1])
+    k = int(k)
     nprobe = min(int(nprobe), index.nlist)
     pool = nprobe * int(buckets["ids"].shape[1])
-    kk = min(int(k), pool)
+    kk = min(k, pool)
     metric = index.metric
+    coarse = index.coarse
 
     if isinstance(index, IVFFlatIndex):
-        ids, rows, sqn = _shard_lists(
+        sharded = _shard_lists(
             mesh, index, buckets["ids"], buckets["rows"], buckets["sqn"]
         )
-        out_i, out_d = _sharded_flat_jit(
-            q, index.coarse, rows, sqn, ids, nprobe, kk, metric, mesh
-        )
+
+        def scan(q, ids, rows, sqn):
+            return _sharded_flat_jit(
+                q, coarse, rows, sqn, ids, nprobe, kk, metric, mesh
+            )
+
     elif isinstance(index, IVFSQIndex):
-        ids, codes, sqn = _shard_lists(
+        sharded = _shard_lists(
             mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"]
         )
-        out_i, out_d = _sharded_sq_jit(
-            q, index.coarse, index.sq.mins, index.sq.steps,
-            codes, sqn, ids, nprobe, kk, metric, index.by_residual, mesh,
-        )
+        lo, step, by_res = index.sq.mins, index.sq.steps, index.by_residual
+
+        def scan(q, ids, codes, sqn):
+            return _sharded_sq_jit(
+                q, coarse, lo, step, codes, sqn, ids,
+                nprobe, kk, metric, by_res, mesh,
+            )
+
     elif isinstance(index, IVFRQIndex):
-        ids, codes, sqn, cross = _shard_lists(
+        sharded = _shard_lists(
             mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"],
             buckets["cross"],
         )
-        out_i, out_d = _sharded_rq_jit(
-            q, index.coarse, index.rq.codebooks, codes, sqn, cross, ids,
-            nprobe, kk, metric, index.by_residual, mesh,
-        )
-    elif isinstance(index, IVFBinaryIndex):
-        ids, codes = _shard_lists(
+        cbs, by_res = index.rq.codebooks, index.by_residual
+
+        def scan(q, ids, codes, sqn, cross):
+            return _sharded_rq_jit(
+                q, coarse, cbs, codes, sqn, cross, ids,
+                nprobe, kk, metric, by_res, mesh,
+            )
+
+    else:  # IVFBinaryIndex — guarded above
+        sharded = _shard_lists(
             mesh, index, buckets["ids"], buckets["codes"]
         )
-        qp = index.bq.quantize_packed(q)
-        out_i, out_d = _sharded_binary_jit(
-            q, qp, index.coarse, codes, ids, nprobe, kk, mesh
-        )
-    else:  # pragma: no cover — guarded above
-        raise AssertionError(type(index))
+        bq = index.bq
 
-    out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
-    if out_i.shape[1] < k:  # pool smaller than k: pad out the contract
-        pad = k - out_i.shape[1]
-        out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
-        out_d = jnp.pad(
-            out_d, ((0, 0), (0, pad)), constant_values=jnp.inf
-        )
-    if metric == "dot":
-        out_d = -out_d  # back to descending scores; pads become -inf
-    return out_i, out_d
+        def scan(q, ids, codes):
+            qp = bq.quantize_packed(q)
+            return _sharded_binary_jit(
+                q, qp, coarse, codes, ids, nprobe, kk, mesh
+            )
+
+    def fn(q, *arrs):
+        out_i, out_d = scan(q, *arrs)
+        out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+        if out_i.shape[1] < k:  # pool smaller than k: pad the contract
+            pad = k - out_i.shape[1]
+            out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
+            out_d = jnp.pad(
+                out_d, ((0, 0), (0, pad)), constant_values=jnp.inf
+            )
+        if metric == "dot":
+            out_d = -out_d  # back to descending scores; pads become -inf
+        return out_i, out_d
+
+    return fn, tuple(sharded)

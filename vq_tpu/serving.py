@@ -61,9 +61,28 @@ class BatchPipeline:
         self.k = int(k)
         self.params = dict(search_params)
         core, arrays = core_maker(self.k, **self.params)
+        self._wire(core, arrays, ntotal=index.ntotal,
+                   dim=getattr(index, "dim", None))
+
+    @classmethod
+    def from_core(cls, core, arrays, *, dim: Optional[int] = None):
+        """Build a pipeline from an explicit ``(fn, arrays)`` search core
+        — e.g. the multi-chip
+        :func:`vq_tpu.parallel.sharded_scan_search_core`, whose arrays
+        come back mesh-placed so the scanned program serves list-sharded
+        buckets across devices. No staleness check (there is no index to
+        watch); rebuild after the underlying storage changes."""
+        self = cls.__new__(cls)
+        self.index = None
+        self.k = None
+        self.params = {}
+        self._wire(core, tuple(arrays), ntotal=None, dim=dim)
+        return self
+
+    def _wire(self, core, arrays, *, ntotal, dim):
         self._arrays = arrays
-        self._ntotal = index.ntotal
-        self._dim = getattr(index, "dim", None)
+        self._ntotal = ntotal
+        self._dim = dim
 
         def scanner(qs, *arrs):
             def step(_, q):
@@ -82,7 +101,7 @@ class BatchPipeline:
         ``query_batches`` is ``[T, Q, d]`` (or a list of ``[Q, d]`` arrays
         of equal shape). Returns ``(ids [T, Q, k], values [T, Q, k])``.
         """
-        if self.index.ntotal != self._ntotal:
+        if self.index is not None and self.index.ntotal != self._ntotal:
             raise InvalidData(
                 "index contents changed since this BatchPipeline was "
                 "built — construct a new one"
