@@ -79,6 +79,7 @@ from vq_tpu.transforms import (
     VectorTransform,
 )
 from vq_tpu.factory import IdMapIndex, index_factory, load_index
+from vq_tpu.refine import RefineIndex
 from vq_tpu.serving import BatchPipeline, pipelined_search
 from vq_tpu.tune import (
     OperatingPoint,
@@ -179,6 +180,7 @@ __all__ = [
     "unpack_codes",
     "knn_graph",
     "IVFPQIndex",
+    "RefineIndex",
     "GraphIndex",
     "IVFBinaryIndex",
     "IVFFlatIndex",

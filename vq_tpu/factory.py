@@ -87,6 +87,10 @@ def load_index(path: str):
         "transformed_index": TransformedIndex.load,
         "idmap_index": IdMapIndex.load,
     }
+    if kind == "refine_index":
+        from vq_tpu.refine import RefineIndex
+
+        return RefineIndex.load(path)
     loader = loaders.get(kind)
     if loader is None:
         raise InvalidData(f"not an index checkpoint (kind {kind!r})")
@@ -275,6 +279,17 @@ def _parse_pq(stage: str) -> Tuple[int, int]:
     return m, 2 ** nbits
 
 
+def _split_pq_refine(code: str) -> Tuple[str, Optional[int]]:
+    """Split a ``PQ{m}[x{nbits}][+{m2}]`` stage into the PQ token and the
+    optional IVFPQR refinement size (faiss ``IVF...,PQ8+16`` grammar)."""
+    if "+" in code:
+        head, _, m2 = code.partition("+")
+        if not m2.isdigit():
+            raise InvalidParameter("spec", f"bad PQ refine stage {code!r}")
+        return head, int(m2)
+    return code, None
+
+
 def _parse_rq(stage: str) -> Tuple[int, int]:
     m_ = re.fullmatch(r"RQ(\d+)(?:x(\d+))?", stage)
     if not m_:
@@ -311,6 +326,13 @@ class FactoryIndex:
             self._transform_specs.append(stages[i])
             i += 1
         self._index_stages = stages[i:]
+        # Optional trailing refinement stage (faiss RFlat / Refine(...)):
+        # wraps the built index in a RefineIndex rerank layer.
+        self._refine_spec: Optional[str] = None
+        if len(self._index_stages) > 1 and re.fullmatch(
+            r"RFlat(16)?|RSQ8", self._index_stages[-1]
+        ):
+            self._refine_spec = self._index_stages.pop()
         if not self._index_stages:
             raise InvalidParameter(
                 "spec", f"{self.spec!r} has no index stage"
@@ -333,13 +355,18 @@ class FactoryIndex:
                 )
             code = st[1]
             if code not in ("Flat", "SQ8") and not re.fullmatch(
-                r"(PQ|RQ)\d+(x\d+)?", code
+                r"PQ\d+(x\d+)?(\+\d+)?|RQ\d+(x\d+)?", code
             ):
                 raise InvalidParameter(
                     "spec", f"unsupported IVF coding {code!r}"
                 )
             if code.startswith("PQ"):
-                _parse_pq(code)
+                pq_code, m2 = _split_pq_refine(code)
+                _parse_pq(pq_code)
+                if m2 is not None and m2 < 1:
+                    raise InvalidParameter(
+                        "spec", f"bad refinement PQ size in {code!r}"
+                    )
             elif code.startswith("RQ"):
                 _parse_rq(code)
             return
@@ -464,11 +491,19 @@ class FactoryIndex:
             else:
                 from vq_tpu.ivf import IVFPQIndex
 
-                m, k = _parse_pq(code)
+                pq_code, m2 = _split_pq_refine(code)
+                m, k = _parse_pq(pq_code)
                 base = IVFPQIndex.train(
                     y, nlist, m, k, max_iters=max_iters, seed=seed,
                     metric=ivf_metric, keep_corpus=keep_corpus,
                 )
+                if m2 is not None:
+                    # IVFPQR (faiss "IVF...,PQm+m2"): residual refine PQ.
+                    from vq_tpu.refine import RefineIndex
+
+                    base = RefineIndex.train_pq(
+                        base, y, m2, max_iters=max_iters, seed=seed + 7,
+                    )
         elif head == "Flat":
             base = FlatIndex(d, metric=metric)
         elif head in ("SQfp16", "SQbf16"):
@@ -546,6 +581,15 @@ class FactoryIndex:
                 codebooks=rq_train(y, s_, k, max_iters=max_iters, seed=seed)
             )
             base = RQIndex(rq, metric=metric, keep_corpus=keep_corpus)
+        if self._refine_spec is not None:
+            from vq_tpu.refine import RefineIndex
+
+            if self._refine_spec == "RFlat":
+                base = RefineIndex(base, "flat")
+            elif self._refine_spec == "RFlat16":
+                base = RefineIndex(base, "flat", store_dtype="bfloat16")
+            else:  # RSQ8
+                base = RefineIndex(base, "sq8", sq_train_data=y)
         built = TransformedIndex(ts, base) if ts else base
         return IdMapIndex(built) if self._idmap else built
 

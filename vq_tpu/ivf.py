@@ -444,6 +444,30 @@ class IVFPQIndex:
 
         return _search_and_reconstruct(self, queries, k, **kw)
 
+    def _reconstruct_core(self):
+        """:meth:`reconstruct` as a traceable ``(fn, arrays)`` pair with
+        ``fn(ids [N] i32, *arrays) -> [N, d] f32`` — flat code/list
+        storage and the coarse centroids ride as arguments. Used by
+        :class:`vq_tpu.refine.RefineIndex` for IVFPQR-style residual
+        refinement."""
+        if self._flat_codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        pq, by_residual = self.pq, self.by_residual
+
+        def fn(ids, codes, lists, coarse):
+            rec = pq.decode(jnp.take(codes, ids, axis=0))
+            if by_residual:
+                rec = rec + jnp.take(
+                    coarse, jnp.take(lists, ids, axis=0), axis=0
+                )
+            return rec
+
+        return fn, (
+            jnp.asarray(self._flat_codes),
+            jnp.asarray(self._flat_lists, jnp.int32),
+            self.coarse,
+        )
+
     def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pack flat storage into padded dense buckets (cached).
 

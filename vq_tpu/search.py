@@ -753,6 +753,26 @@ class PQIndex:
             rows = unpack_codes(rows, self.pack_bits, self.pq.num_subspaces)
         return self.pq.decode(rows)
 
+    def _reconstruct_core(self):
+        """:meth:`reconstruct` as a traceable ``(fn, arrays)`` pair with
+        ``fn(ids [N] i32, *arrays) -> [N, d] f32`` — code storage rides as
+        an argument (the small codebooks close over inside the quantizer).
+        Used by :class:`vq_tpu.refine.RefineIndex` for residual-coded
+        refinement."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        pq, pack_bits = self.pq, self.pack_bits
+
+        def fn(ids, codes):
+            rows = jnp.take(codes, ids, axis=0)
+            if pack_bits < 8:
+                from vq_tpu.ops.packing import unpack_codes
+
+                rows = unpack_codes(rows, pack_bits, pq.num_subspaces)
+            return pq.decode(rows)
+
+        return fn, (self._codes,)
+
     def save(self, path: str) -> str:
         width = self.code_bytes_per_vector if self.pack_bits < 8 else (
             self.pq.num_subspaces
@@ -1297,6 +1317,18 @@ class SQIndex:
         ids = jnp.asarray(ids, jnp.int32)
         return self.sq.dequantize(jnp.take(self._codes, ids, axis=0))
 
+    def _reconstruct_core(self):
+        """Traceable ``(fn, arrays)`` reconstruct — see
+        :meth:`PQIndex._reconstruct_core`."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        sq = self.sq
+
+        def fn(ids, codes):
+            return sq.dequantize(jnp.take(codes, ids, axis=0))
+
+        return fn, (self._codes,)
+
     def save(self, path: str) -> str:
         arrays = {
             "mins": np.asarray(self.sq.mins),
@@ -1684,6 +1716,18 @@ class RQIndex:
             raise EmptyInput("index is empty")
         ids = jnp.asarray(ids, jnp.int32)
         return self.rq.decode(jnp.take(self._codes, ids, axis=0))
+
+    def _reconstruct_core(self):
+        """Traceable ``(fn, arrays)`` reconstruct — see
+        :meth:`PQIndex._reconstruct_core`."""
+        if self._codes is None:
+            raise EmptyInput("index is empty — add() vectors first")
+        rq = self.rq
+
+        def fn(ids, codes):
+            return rq.decode(jnp.take(codes, ids, axis=0))
+
+        return fn, (self._codes,)
 
     def save(self, path: str) -> str:
         arrays = {
