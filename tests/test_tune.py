@@ -88,6 +88,16 @@ class TestGrids:
         f.add(x)
         assert "nprobe" in default_grid(f)
 
+    def test_refine_grid_sweeps_k_factor(self):
+        from vq_tpu import RefineIndex
+
+        x = _corpus()
+        pq = ProductQuantizer(x, 4, 16, max_iters=3, seed=1)
+        ref = RefineIndex(PQIndex(pq), "sq8")
+        ref.add(x)
+        g = default_grid(ref)
+        assert "k_factor" in g and "rerank" not in g
+
 
 class TestSweepAndTune:
     def test_full_probe_reaches_exact(self):

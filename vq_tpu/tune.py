@@ -100,6 +100,13 @@ def default_grid(index, k: int = 10) -> Dict[str, Sequence[int]]:
         return default_grid(index.index, k)
     if isinstance(index, (IdMapIndex, TransformedIndex)):
         return default_grid(index.base, k)
+    from vq_tpu.refine import RefineIndex
+
+    if isinstance(index, RefineIndex):
+        grid = dict(default_grid(index.base, k))
+        grid.pop("rerank", None)  # the refiner IS the rerank stage
+        grid["k_factor"] = [1, 2, 4, 8, 16]
+        return grid
     if isinstance(index, (_IVFScanBase, IVFPQIndex)):
         nlist = index.nlist
         probes = [p for p in (1, 2, 4, 8, 16, 32, 64, 128) if p <= nlist]
