@@ -203,3 +203,82 @@ class TestReviewRegressions:
         cache = idx._replica_cache
         sharded_graph_search(idx, corpus[:8], k=3, mesh=mesh)
         assert idx._replica_cache is cache  # no re-broadcast
+
+
+class TestIncrementalAdd:
+    """HNSW-style incremental insertion: candidates from a beam search
+    over the existing graph, alpha-pruned forward edges, backlink
+    re-prune only on overflow."""
+
+    def _recall_vs_full(self, corpus, n0, batches):
+        full = GraphIndex.build(corpus, degree=16, seed=3)
+        inc = GraphIndex.build(corpus[:n0], degree=16, seed=3)
+        for lo, hi in batches:
+            inc.add(corpus[lo:hi])
+        assert inc.ntotal == corpus.shape[0]
+        r = np.random.default_rng(79)
+        q = corpus[:32] + r.normal(0, 0.01, (32, corpus.shape[1])).astype(
+            np.float32
+        )
+        d = np.sum((corpus[None] - q[:, None]) ** 2, axis=-1)
+        g = np.argsort(d, kind="stable", axis=1)[:, :10]
+        i_f, _ = full.search(q, 10, beam=48)
+        i_i, _ = inc.search(q, 10, beam=48)
+        return recall(np.asarray(i_f), g), recall(np.asarray(i_i), g)
+
+    def test_matches_full_build_quality(self, corpus):
+        x = corpus[:3000]
+        r_full, r_inc = self._recall_vs_full(
+            x, 2000, [(2000, 2500), (2500, 3000)]
+        )
+        assert r_inc >= r_full - 0.05
+
+    def test_new_points_findable(self, corpus):
+        gi = GraphIndex.build(corpus[:2000], degree=16, seed=4)
+        new = corpus[2000:2400]
+        gi.add(new)
+        ids, _ = gi.search(new[:32] + 0.001, 1, beam=48)
+        assert np.mean(np.asarray(ids)[:, 0] >= 2000) > 0.9
+
+    def test_disjoint_cluster_reachable(self, corpus):
+        gi = GraphIndex.build(corpus[:2000], degree=16, seed=5)
+        far = (corpus[:300] * 0.05 + 40.0).astype(np.float32)
+        gi.add(far)
+        ids, _ = gi.search(far[:16] + 0.001, 1, beam=48)
+        # routing sample folded in new ids: the far basin is reachable
+        assert np.mean(np.asarray(ids)[:, 0] >= 2000) > 0.9
+
+    def test_single_vector_and_1d(self, corpus):
+        gi = GraphIndex.build(corpus[:500], degree=8, seed=6)
+        gi.add(corpus[500])  # 1-D input
+        assert gi.ntotal == 501
+        ids, _ = gi.search(corpus[500], 1, beam=32)
+        assert int(np.asarray(ids)[0, 0]) == 500
+
+    def test_dim_mismatch(self, corpus):
+        gi = GraphIndex.build(corpus[:500], degree=8, seed=7)
+        with pytest.raises(DimensionMismatch):
+            gi.add(corpus[:5, :-1])
+
+    def test_save_load_roundtrips_alpha_and_adds(self, corpus, tmp_path):
+        gi = GraphIndex.build(corpus[:800], degree=8, alpha=1.4, seed=8)
+        gi.add(corpus[800:900])
+        p = gi.save(str(tmp_path / "g"))
+        ld = GraphIndex.load(p)
+        assert ld.alpha == 1.4 and ld.ntotal == 900
+        ld.add(corpus[900:950])  # adds keep working after reload
+        assert ld.ntotal == 950
+
+    def test_factory_hnsw_spec(self, corpus):
+        from vq_tpu import index_factory
+        from vq_tpu.errors import InvalidParameter
+
+        f = index_factory(32, "HNSW16")
+        f.train(corpus[:2000])  # build == train + initial add
+        assert f.ntotal == 2000
+        f.add(corpus[2000:2200])
+        assert f.ntotal == 2200
+        ids, _ = f.search(corpus[:8], 5, beam=32)
+        assert np.asarray(ids).shape == (8, 5)
+        with pytest.raises(InvalidParameter):
+            index_factory(32, "HNSW16,RSQ8")

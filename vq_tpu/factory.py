@@ -380,6 +380,14 @@ class FactoryIndex:
             return
         if re.fullmatch(r"LSH\d+", head):  # faiss IndexLSH
             return
+        if re.fullmatch(r"HNSW\d+", head):  # faiss IndexHNSWFlat role
+            if self._refine_spec is not None:
+                raise InvalidParameter(
+                    "spec",
+                    "HNSW stores exact rows — a refinement stage adds "
+                    "nothing (and the graph is built pre-filled)",
+                )
+            return
         if head.startswith("PQ"):
             _parse_pq(head)
             return
@@ -529,6 +537,24 @@ class FactoryIndex:
             proj = RotationTransform.random(d, seed=seed, d_out=nbits)
             base = TransformedIndex(
                 [proj], BinaryIndex(nbits, keep_corpus=keep_corpus)
+            )
+        elif head.startswith("HNSW"):
+            # GraphIndex fills the IndexHNSWFlat role. Divergence from
+            # faiss lifecycle, documented: train(data) BUILDS the graph
+            # over (and stores) the training data — build needs a global
+            # candidate set; add() then inserts incrementally.
+            from vq_tpu.graph import GraphIndex
+
+            if metric != "squared_euclidean":
+                raise InvalidParameter(
+                    "metric",
+                    "HNSW (GraphIndex) navigates in L2; L2-normalize "
+                    "via an 'L2norm' prefix for cosine",
+                )
+            base = GraphIndex.build(
+                y, degree=int(head[4:]), seed=seed,
+                store_dtype=opts.get("store_dtype", "float32"),
+                alpha=float(opts.get("alpha", 1.2)),
             )
         elif head.startswith("BIVF"):
             from vq_tpu.ivf_binary import IVFBinaryIndex

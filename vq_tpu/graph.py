@@ -214,6 +214,21 @@ def _prune_all_jit(x, cand_ids, cand_d, rand_all, a2, R: int, R_far: int, C: int
     return fwd.reshape(nb * C, -1)[:n]
 
 
+@jax.jit
+def _ids_dist_jit(node_rows, ids, gathered_rows):
+    """Squared-L2 of each node to its gathered candidate rows
+    (``[C, d]`` × ``[C, M, d]`` → ``[C, M]``), ``inf`` at −1 ids."""
+    rn = jnp.sum(gathered_rows * gathered_rows, axis=-1)
+    qy = jnp.einsum(
+        "cd,cmd->cm", node_rows, gathered_rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nn = jnp.sum(node_rows * node_rows, axis=-1)
+    d = jnp.maximum(nn[:, None] - 2.0 * qy + rn, 0.0)
+    return jnp.where(ids >= 0, d, jnp.inf)
+
+
 def _reverse_edges(fwd: jnp.ndarray, n: int, cap: int) -> jnp.ndarray:
     """[n, R] forward edges -> [n, cap] reverse edges (who points at me),
     via the shared sort+scatter bucket packing (device-resident)."""
@@ -410,6 +425,7 @@ class GraphIndex:
         *,
         sample=None,
         store_dtype: str = "float32",
+        alpha: float = 1.2,
     ):
         self._rows = jnp.asarray(rows)
         self.graph = jnp.asarray(graph, jnp.int32)
@@ -419,6 +435,7 @@ class GraphIndex:
             if sample is not None else self.entry
         )
         self.store_dtype = store_dtype
+        self.alpha = float(alpha)
         self._sqn = jnp.sum(
             self._rows.astype(jnp.float32) ** 2, axis=-1
         )
@@ -523,7 +540,7 @@ class GraphIndex:
         )[:S].astype(jnp.int32)
         return cls(
             x.astype(_STORE_DTYPES[store_dtype]), graph,
-            entry, sample=sample, store_dtype=store_dtype,
+            entry, sample=sample, store_dtype=store_dtype, alpha=alpha,
         )
 
     @staticmethod
@@ -654,6 +671,149 @@ class GraphIndex:
 
         return _search_and_reconstruct(self, queries, k, **kw)
 
+    def add(self, vectors, *, ef: int = 128, chunk: int = 1024) -> None:
+        """Incremental insertion (the faiss-HNSW ``add`` contract).
+
+        Each new point beam-searches the EXISTING graph for candidates
+        (``ef`` is the candidate-search beam — the efConstruction
+        analog), merges in exact intra-batch neighbors, alpha-prunes the
+        union to its forward edges, and back-links into its chosen
+        neighbors' adjacency lists (re-pruned on overflow, never grown).
+        Batched TPU dataflow: all new points search at once, prune/
+        re-prune run over ``chunk``-row slabs of the same vectorized
+        kernels the builder uses. The routing sample absorbs a
+        proportional slice of new ids so entry selection can reach new
+        regions. Quality matches HNSW's incremental regime — bulk loads
+        are still better served by :meth:`build` (global candidate sets).
+        """
+        x = jnp.asarray(vectors, jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.ndim != 2 or x.shape[0] == 0:
+            raise InvalidParameter(
+                "vectors", "expected a non-empty [n, d] batch"
+            )
+        if x.shape[1] != self.dim:
+            raise DimensionMismatch(expected=self.dim, found=x.shape[1])
+        n0, B = self.ntotal, int(x.shape[0])
+        W = int(self.graph.shape[1])
+        a2 = jnp.float32(self.alpha ** 2)
+
+        # Candidates from the existing graph (one batched beam search).
+        k_old = min(W, n0)
+        ids_old, d_old = self.search(
+            x, k=k_old, beam=max(int(ef), k_old)
+        )
+
+        # Exact intra-batch neighbors, offset into the new id range.
+        if B >= 2:
+            from vq_tpu.ops.knn import knn_graph
+
+            Rb = min(W, B - 1)
+            ib_ids, _ = knn_graph(x, k=Rb)
+            ib_ids = jnp.where(ib_ids >= 0, ib_ids + n0, -1)
+        else:
+            ib_ids = jnp.full((B, 0), -1, jnp.int32)
+
+        rows_all = jnp.concatenate(
+            [self._rows, x.astype(_STORE_DTYPES[self.store_dtype])]
+        )
+        new_ids = jnp.arange(n0, n0 + B, dtype=jnp.int32)
+
+        # Merge + prune per chunk (the builder's kernels, combined rows).
+        fwd_parts = []
+        for s in range(0, B, int(chunk)):
+            e = min(s + int(chunk), B)
+            si, sd = _augment_candidates_chunk(
+                x[s:e], new_ids[s:e], ids_old[s:e], d_old[s:e],
+                ib_ids[s:e],
+                jnp.take(
+                    rows_all, jnp.maximum(ib_ids[s:e], 0), axis=0
+                ).astype(jnp.float32),
+            )
+            cand_rows = jnp.take(
+                rows_all, jnp.maximum(si, 0), axis=0
+            ).astype(jnp.float32)
+            fwd_parts.append(
+                _robust_prune_chunk(x[s:e], si, sd, cand_rows, a2, W)
+            )
+        fwd_new = jnp.concatenate(fwd_parts)  # [B, W]
+
+        graph_all = jnp.concatenate([self.graph, fwd_new])
+
+        # Backlinks: group (new -> v) edges by v, cap W per node, then
+        # re-prune each affected node's adjacency ∪ backlinks to width W.
+        fwd_np = np.asarray(fwd_new)
+        src = np.repeat(np.arange(n0, n0 + B, dtype=np.int32), W)
+        dst = fwd_np.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        if dst.size:
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
+            vs, starts, counts = np.unique(
+                dst, return_index=True, return_counts=True
+            )
+            A = vs.shape[0]
+            group = np.repeat(np.arange(A), counts)
+            posn = np.arange(dst.size) - np.repeat(starts, counts)
+            sel = posn < W  # cap backlinks per node at the list width
+            back = np.full((A, W), -1, np.int32)
+            back[group[sel], posn[sel]] = src[sel]
+            vs_j = jnp.asarray(vs, jnp.int32)
+            back_j = jnp.asarray(back)
+            for s in range(0, A, int(chunk)):
+                e = min(s + int(chunk), A)
+                node_rows = jnp.take(rows_all, vs_j[s:e], axis=0).astype(
+                    jnp.float32
+                )
+                adj = jnp.take(graph_all, vs_j[s:e], axis=0)
+                adj_rows = jnp.take(
+                    rows_all, jnp.maximum(adj, 0), axis=0
+                ).astype(jnp.float32)
+                adj_d = _ids_dist_jit(node_rows, adj, adj_rows)
+                si, sd = _augment_candidates_chunk(
+                    node_rows, vs_j[s:e], adj, adj_d, back_j[s:e],
+                    jnp.take(
+                        rows_all, jnp.maximum(back_j[s:e], 0), axis=0
+                    ).astype(jnp.float32),
+                )
+                # Only OVERFLOWING lists go through the dominance prune:
+                # re-pruning an underfull list could evict the reserved
+                # small-world shortcut edges the build set aside (their
+                # backfill ranks last by distance). Underfull lists keep
+                # the whole union, nearest-first.
+                cand_rows = jnp.take(
+                    rows_all, jnp.maximum(si, 0), axis=0
+                ).astype(jnp.float32)
+                pruned = _robust_prune_chunk(
+                    node_rows, si, sd, cand_rows, a2, W
+                )
+                overflow = jnp.sum(si >= 0, axis=1) > W
+                out = jnp.where(overflow[:, None], pruned, si[:, :W])
+                graph_all = graph_all.at[vs_j[s:e]].set(out)
+
+        # Routing sample: fold in a proportional slice of new ids (the
+        # flattened hierarchy must cover new basins), capped at 4096.
+        S_cap = 4096
+        take = min(B, max(1, int(np.ceil(S_cap * B / (n0 + B)))))
+        picks = jax.random.permutation(
+            jax.random.PRNGKey(n0 + B), B
+        )[:take].astype(jnp.int32) + n0
+        sample = jnp.concatenate([self.sample, picks])
+        if sample.shape[0] > S_cap:
+            keep = jax.random.permutation(
+                jax.random.PRNGKey(n0), sample.shape[0]
+            )[:S_cap]
+            sample = jnp.take(sample, keep)
+
+        self._rows = rows_all
+        self.graph = graph_all
+        self.sample = sample
+        self._sqn = jnp.concatenate(
+            [self._sqn, jnp.sum(x * x, axis=-1)]
+        )
+
     def merge_from(self, other) -> int:
         """Unsupported: the navigable graph's edges are global — merging
         two graphs needs a rebuild (same limitation as faiss HNSW).
@@ -671,7 +831,7 @@ class GraphIndex:
         return _to_npz(
             path,
             "graph_index",
-            {"store_dtype": self.store_dtype},
+            {"store_dtype": self.store_dtype, "alpha": self.alpha},
             {
                 "rows": rows,
                 "graph": np.asarray(self.graph),
@@ -694,6 +854,7 @@ class GraphIndex:
             rows, arrays["graph"], arrays["entry"],
             sample=arrays.get("sample"),
             store_dtype=config["store_dtype"],
+            alpha=config.get("alpha", 1.2),
         )
 
     def __repr__(self) -> str:
