@@ -282,3 +282,60 @@ class TestIncrementalAdd:
         assert np.asarray(ids).shape == (8, 5)
         with pytest.raises(InvalidParameter):
             index_factory(32, "HNSW16,RSQ8")
+
+
+class TestAddRegressions:
+    """One test per bug class found in review of the incremental add."""
+
+    def test_sharded_search_sees_added_rows(self, corpus):
+        # _replica_cache must invalidate on add — a stale cache silently
+        # served the pre-add graph to sharded_graph_search.
+        from vq_tpu.parallel import sharded_graph_search
+        from vq_tpu.parallel.mesh import make_mesh
+
+        gi = GraphIndex.build(corpus[:500], degree=8, seed=11)
+        mesh = make_mesh()
+        sharded_graph_search(gi, corpus[:8], k=3, mesh=mesh)
+        new = corpus[500:540]
+        gi.add(new)
+        ids, _ = sharded_graph_search(gi, new[:8] + 0.001, k=1, mesh=mesh)
+        assert np.mean(np.asarray(ids)[:, 0] >= 500) > 0.9
+
+    def test_bf16_sqn_consistent_across_save_load(self, corpus, tmp_path):
+        # added rows' norms must come from the STORED width, or search
+        # results flip near ties after a round-trip.
+        gi = GraphIndex.build(
+            corpus[:800], degree=8, seed=12, store_dtype="bfloat16"
+        )
+        gi.add(corpus[800:1000])
+        q = corpus[:24] + 0.001
+        i1, d1 = gi.search(q, 5, beam=32)
+        ld = GraphIndex.load(gi.save(str(tmp_path / "g16")))
+        i2, d2 = ld.search(q, 5, beam=32)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=1e-6
+        )
+
+    def test_backlink_cap_keeps_nearest(self):
+        # When more than W new points pick the same hub, the per-node
+        # backlink cap must keep the NEAREST sources, not the lowest
+        # batch ids.
+        r = np.random.default_rng(13)
+        d = 8
+        hub = np.zeros((1, d), np.float32)
+        old = np.concatenate(
+            [hub, (r.normal(0, 0.05, (15, d)) + 20.0).astype(np.float32)]
+        )
+        gi = GraphIndex.build(old, degree=2, seed=14)  # W = 4
+        W = gi.graph.shape[1]
+        # New points ring the hub; LAST batch rows are the closest.
+        B = 12
+        radii = np.linspace(2.0, 0.1, B, dtype=np.float32)
+        dirs = r.normal(size=(B, d)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        new = dirs * radii[:, None]
+        gi.add(new)
+        hub_adj = set(np.asarray(gi.graph)[0].tolist())
+        # the closest new point (highest id) must have won a slot
+        assert (16 + B - 1) in hub_adj

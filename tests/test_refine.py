@@ -260,6 +260,24 @@ class TestContract:
             np.asarray(a.reconstruct([300])), x[300:301], atol=1e-6
         )
 
+    def test_merge_unfitted_sq8_adopts_quantizer(self, data):
+        # regression: an unfitted-sq8 self absorbed a fitted other's
+        # codes WITHOUT its quantizer -> crash (or wrong ranges later)
+        x, q = data
+        cbs = _pq(x).codebooks
+        a = RefineIndex(PQIndex(ProductQuantizer(codebooks=cbs)), "sq8")
+        b = RefineIndex(PQIndex(ProductQuantizer(codebooks=cbs)), "sq8")
+        b.add(x[:300])
+        a.merge_from(b)
+        assert a.sq is not None
+        ids, _ = a.search(q, K, k_factor=4)
+        assert ids.shape == (len(q), K)
+        np.testing.assert_allclose(
+            np.asarray(a.reconstruct([0])),
+            np.asarray(a.sq.dequantize(a.sq.quantize(x[:1]))),
+            atol=1e-6,
+        )
+
     def test_merge_kind_mismatch(self, data):
         x, _ = data
         cbs = _pq(x).codebooks
@@ -272,12 +290,17 @@ class TestContract:
 
 
 class TestPersistence:
-    @pytest.mark.parametrize("refiner", ["flat", "sq8", "pq"])
+    @pytest.mark.parametrize(
+        "refiner", ["flat", "flat16", "sq8", "pq"]
+    )
     def test_round_trip(self, data, tmp_path, refiner):
         x, q = data
         base = IVFPQIndex.train(x, 8, 4, 16, max_iters=4, seed=9)
         if refiner == "pq":
             ref = RefineIndex.train_pq(base, x, 4, 16, max_iters=3, seed=10)
+        elif refiner == "flat16":
+            # regression: bf16 codes need the uint16 npz view on both ends
+            ref = RefineIndex(base, "flat", store_dtype="bfloat16")
         else:
             ref = RefineIndex(base, refiner)
         ref.add(x)

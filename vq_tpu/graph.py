@@ -749,7 +749,21 @@ class GraphIndex:
         ok = dst >= 0
         src, dst = src[ok], dst[ok]
         if dst.size:
-            order = np.argsort(dst, kind="stable")
+            # Group by target node with each group ORDERED BY DISTANCE —
+            # the per-node cap below must keep the nearest backlink
+            # sources, not the lowest batch ids (HNSW selects shrink
+            # candidates by distance).
+            ed = np.empty(dst.size, np.float32)
+            for s in range(0, dst.size, 262_144):
+                e = min(s + 262_144, dst.size)
+                a = jnp.take(
+                    rows_all, jnp.asarray(src[s:e]), axis=0
+                ).astype(jnp.float32)
+                b = jnp.take(
+                    rows_all, jnp.asarray(dst[s:e]), axis=0
+                ).astype(jnp.float32)
+                ed[s:e] = np.asarray(jnp.sum((a - b) ** 2, axis=-1))
+            order = np.lexsort((ed, dst))
             src, dst = src[order], dst[order]
             vs, starts, counts = np.unique(
                 dst, return_index=True, return_counts=True
@@ -810,9 +824,14 @@ class GraphIndex:
         self._rows = rows_all
         self.graph = graph_all
         self.sample = sample
+        # Norms from the STORED-width rows (matching __init__/load) —
+        # f32-input norms over bf16 rows flip argmins near ties and
+        # diverge after a save/load round-trip.
+        xs = x.astype(_STORE_DTYPES[self.store_dtype]).astype(jnp.float32)
         self._sqn = jnp.concatenate(
-            [self._sqn, jnp.sum(x * x, axis=-1)]
+            [self._sqn, jnp.sum(xs * xs, axis=-1)]
         )
+        self._replica_cache = None  # sharded serving must re-place
 
     def merge_from(self, other) -> int:
         """Unsupported: the navigable graph's edges are global — merging

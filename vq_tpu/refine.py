@@ -304,16 +304,21 @@ class RefineIndex:
         from vq_tpu.search import _concat_rows, _merge_check
 
         arrays = []
-        if self.kind == "sq8" and self.sq is not None:
-            if other.sq is None:
+        if self.kind == "sq8":
+            if self.sq is None and other.sq is not None:
+                # Unfitted (necessarily empty) self adopts the fitted
+                # quantizer — other's codes must decode with THEIR ranges.
+                self.sq = other.sq
+            if self.sq is not None and other.sq is not None:
+                arrays = [
+                    ("SQ mins", self.sq.mins, other.sq.mins),
+                    ("SQ steps", self.sq.steps, other.sq.steps),
+                ]
+            elif other._codes is not None:
                 raise InvalidData(
-                    "cannot merge: self's SQ refiner is fitted but "
-                    "other's is not"
+                    "cannot merge: other holds SQ codes but no fitted "
+                    "quantizer"
                 )
-            arrays = [
-                ("SQ mins", self.sq.mins, other.sq.mins),
-                ("SQ steps", self.sq.steps, other.sq.steps),
-            ]
         elif self.kind == "pq":
             arrays = [(
                 "refine PQ codebooks",
@@ -440,12 +445,13 @@ class RefineIndex:
         if not path.endswith(".npz"):
             path = path + ".npz"
         base_path = self.base.save(path[: -len(".npz")] + ".base.npz")
-        arrays = {
-            "codes": np.asarray(
-                self._codes if self._codes is not None
-                else np.zeros((0, self.dim), np.float32)
-            ),
-        }
+        codes = np.asarray(
+            self._codes if self._codes is not None
+            else np.zeros((0, self.dim), np.float32)
+        )
+        if self.store_dtype == "bfloat16":
+            codes = codes.view(np.uint16)  # npz has no bf16 dtype
+        arrays = {"codes": codes}
         config = {
             "kind": self.kind,
             "metric": self.metric,
@@ -508,6 +514,8 @@ class RefineIndex:
                     arrays["sq_mins"], arrays["sq_maxs"], self.levels
                 )
         if codes.shape[0]:
+            if self.store_dtype == "bfloat16":
+                codes = codes.view(jnp.bfloat16.dtype)
             c = jnp.asarray(codes)
             if self.kind == "flat":
                 c = c.astype(_STORE_DTYPES[self.store_dtype])
