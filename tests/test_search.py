@@ -236,6 +236,88 @@ class TestSQIndex:
             full.search(np.zeros((2, 16), np.float32))
 
 
+class TestPackedSQIndex:
+    """Sub-byte SQ storage (the faiss SQ4 analog): levels <= 16 pack two
+    codes per byte, unpacked on the VPU inside the scan — search results
+    must equal exact distances to the dequantized corpus."""
+
+    def _mk(self, corpus, levels, **kw):
+        from vq_tpu import PerDimScalarQuantizer
+
+        idx = SQIndex(
+            PerDimScalarQuantizer.from_data(corpus, levels), **kw
+        )
+        idx.add(corpus)
+        return idx
+
+    @pytest.mark.parametrize("levels,bits", [(16, 4), (4, 2), (2, 1)])
+    def test_pack_policy_and_width(self, corpus, levels, bits):
+        idx = self._mk(corpus, levels)
+        assert idx.pack_bits == bits
+        d = corpus.shape[1]
+        assert idx._codes.shape[1] == -(-d * bits // 8)
+        assert idx.code_bytes_per_vector == -(-d * bits // 8)
+
+    def test_matches_decoded_bruteforce(self, corpus):
+        idx = self._mk(corpus, 16)
+        q = corpus[:8] + 0.01
+        ids, d = idx.search(q, 10)
+        y = np.asarray(idx.reconstruct(np.arange(idx.ntotal)))
+        ref = np.sum((y[None] - q[:, None]) ** 2, axis=-1)
+        ref_d = np.sort(ref, axis=1)[:, :10]
+        np.testing.assert_allclose(
+            np.asarray(d), ref_d, rtol=1e-4, atol=1e-4
+        )
+
+    def test_odd_dim_pads_one_byte(self):
+        from vq_tpu import PerDimScalarQuantizer
+
+        r = np.random.default_rng(21)
+        x = r.normal(size=(300, 33)).astype(np.float32)
+        idx = SQIndex(PerDimScalarQuantizer.from_data(x, 16))
+        idx.add(x)
+        assert idx._codes.shape[1] == 17
+        ids, _ = idx.search(x[:4], 3)
+        assert int(np.asarray(ids)[0, 0]) == 0
+
+    def test_save_load_round_trip(self, corpus, tmp_path):
+        idx = self._mk(corpus, 16)
+        q = corpus[:6] + 0.01
+        i1, d1 = idx.search(q, 5)
+        ld = SQIndex.load(idx.save(str(tmp_path / "sq4")))
+        assert ld.pack_bits == 4
+        i2, d2 = ld.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_sharded_matches(self, corpus):
+        from vq_tpu.parallel import sharded_flat_search
+
+        idx = self._mk(corpus, 16)
+        q = corpus[:6] + 0.01
+        i1, d1 = idx.search(q, 5)
+        i2, d2 = sharded_flat_search(idx, q, k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_rerank_and_range_search(self, corpus):
+        idx = self._mk(corpus, 16, keep_corpus=True)
+        q = corpus[:6] + 0.01
+        ids, d = idx.search(q, 5, rerank=50)
+        exact = np.sum((corpus[None] - q[:, None]) ** 2, axis=-1)
+        best = np.argsort(exact, kind="stable", axis=1)[:, 0]
+        np.testing.assert_array_equal(np.asarray(ids)[:, 0], best)
+        rids, rd, counts = idx.range_search(q, 5.0, max_results=32)
+        assert (np.asarray(counts) >= 1).all()
+
+    def test_factory_sq4(self, corpus):
+        from vq_tpu import index_factory
+
+        f = index_factory(corpus.shape[1], "SQ4")
+        f.train(corpus)
+        f.add(corpus)
+        ids, _ = f.search(corpus[:4] + 0.01, 3)
+        assert np.asarray(ids).shape == (4, 3)
+
+
 class TestPackedPQIndex:
     """Sub-byte packed code storage (the faiss nbits<8 IndexPQ analog)."""
 

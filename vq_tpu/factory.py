@@ -374,7 +374,7 @@ class FactoryIndex:
             raise InvalidParameter(
                 "spec", f"unexpected trailing stages {st[1:]!r}"
             )
-        if head in ("Flat", "SQfp16", "SQbf16", "SQ8", "BFlat"):
+        if head in ("Flat", "SQfp16", "SQbf16", "SQ8", "SQ4", "BFlat"):
             return
         if re.fullmatch(r"BIVF\d+", head):  # faiss index_binary_factory
             return
@@ -570,11 +570,13 @@ class FactoryIndex:
                 max_list_size=opts.get("max_list_size"),
                 keep_corpus=keep_corpus,
             )
-        elif head == "SQ8":
+        elif head in ("SQ8", "SQ4"):
             from vq_tpu.models.sq import PerDimScalarQuantizer
 
             base = SQIndex(
-                PerDimScalarQuantizer.from_data(y, 256),
+                PerDimScalarQuantizer.from_data(
+                    y, 256 if head == "SQ8" else 16
+                ),
                 metric=metric, keep_corpus=keep_corpus,
             )
         elif head.startswith("PQ"):

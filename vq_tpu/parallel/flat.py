@@ -148,11 +148,11 @@ def _sharded_flatrows_search_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "mesh", "metric", "chunk")
+    jax.jit, static_argnames=("k", "mesh", "metric", "chunk", "pack_bits")
 )
 def _sharded_sq_search_jit(
     q, lo, step, codes, row_sqn, nvalid, k: int, mesh: Mesh, metric: str,
-    chunk: int,
+    chunk: int, pack_bits: int = 8,
 ):
     from vq_tpu.search import _sq_scan_jit
 
@@ -165,7 +165,7 @@ def _sharded_sq_search_jit(
         sqn_chunks = sqn_shard.reshape(-1, chunk)
         ids, d, _ = _sq_scan_jit(
             q, lo, step, code_chunks, sqn_chunks, local_n,
-            jnp.float32(jnp.inf), metric, k,
+            jnp.float32(jnp.inf), metric, k, pack_bits,
         )
         gids = jnp.where(ids >= 0, base + ids, -1)
         return _merge_topk(gids, d, k)
@@ -290,6 +290,7 @@ def sharded_flat_search(
         ids, d = _sharded_sq_search_jit(
             q2d, index.sq.mins, index.sq.steps, codes, row_sqn,
             jnp.int32(n), k, mesh, index.metric, chunk_eff,
+            int(index.pack_bits),
         )
     if index.metric == "dot":
         return ids, -d

@@ -977,17 +977,20 @@ class BinaryIndex:
         return f"BinaryIndex(ntotal={self.ntotal}, dim={self.dim})"
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "fetch"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "fetch", "pack_bits")
+)
 def _sq_scan_jit(
     q: jnp.ndarray,  # [Q, d] raw queries (f32)
     lo: jnp.ndarray,  # [d]
     step: jnp.ndarray,  # [d]
-    code_chunks: jnp.ndarray,  # [nc, chunk, d] u8 corpus codes, padded
+    code_chunks: jnp.ndarray,  # [nc, chunk, B] u8 corpus codes, padded
     row_sqn_chunks: jnp.ndarray,  # [nc, chunk] ||decode(row)||^2
     nvalid: jnp.ndarray,  # [] real row count
     radius: jnp.ndarray,  # [] f32 hit threshold (+inf = plain top-k)
     metric: str,
     fetch: int,
+    pack_bits: int = 8,
 ):
     """Blockwise asymmetric scan over scalar-quantized rows.
 
@@ -997,8 +1000,11 @@ def _sq_scan_jit(
     decomposable metric (sq-L2 / L2 / cosine / dot) without materializing
     the f32 corpus. Working set is one ``[Q, chunk]`` block; blocks merge
     through a running top-``fetch`` exactly like the PQ ADC scan.
+    ``pack_bits < 8`` (SQ4/SQ2/SQ1) stores several codes per byte; blocks
+    unpack on the VPU right before the matmul (the PQIndex sub-byte
+    pattern).
     """
-    Q = q.shape[0]
+    Q, dim = q.shape
     chunk = code_chunks.shape[1]
     qs = q * step[None, :]  # [Q, d]
     qlo = q @ lo  # [Q]
@@ -1007,7 +1013,11 @@ def _sq_scan_jit(
 
     def body(carry, inp):
         best_d, best_i, hits = carry  # [Q, fetch] x2, [Q]
-        chunk_codes, row_sqn, cidx = inp  # [chunk, d] u8, [chunk], []
+        chunk_codes, row_sqn, cidx = inp  # [chunk, B] u8, [chunk], []
+        if pack_bits < 8:
+            from vq_tpu.ops.packing import unpack_codes
+
+            chunk_codes = unpack_codes(chunk_codes, pack_bits, dim)
         c = chunk_codes.astype(jnp.float32)
         qdoty = qlo[:, None] + jax.lax.dot_general(
             qs, c, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1097,7 +1107,13 @@ class SQIndex:
         self.sq = quantizer
         self.metric = m
         self.keep_corpus = keep_corpus
-        self._codes: Optional[jnp.ndarray] = None  # [n, d] u8
+        # Sub-byte storage when the level count allows it (faiss SQ4):
+        # several codes per byte, unpacked on the VPU inside the scan.
+        lv = quantizer.levels
+        self.pack_bits = 1 if lv <= 2 else 2 if lv <= 4 else (
+            4 if lv <= 16 else 8
+        )
+        self._codes: Optional[jnp.ndarray] = None  # [n, B] u8 (packed)
         self._row_sqn: Optional[jnp.ndarray] = None  # [n] f32
         self._corpus: Optional[jnp.ndarray] = None  # [n, d] if kept
 
@@ -1129,7 +1145,8 @@ class SQIndex:
 
     @property
     def code_bytes_per_vector(self) -> int:
-        return self.dim  # u8 per dimension (+4 for the cached row norm)
+        # packed bytes per row (+4 for the cached row norm)
+        return -(-self.dim * self.pack_bits // 8)
 
     def add(self, vectors) -> None:
         """Quantize and append a batch of raw vectors."""
@@ -1143,6 +1160,10 @@ class SQIndex:
         codes = self.sq.quantize(x.astype(jnp.float32))
         y = self.sq.dequantize(codes)
         row_sqn = jnp.sum(y * y, axis=-1)
+        if self.pack_bits < 8:
+            from vq_tpu.ops.packing import pack_codes
+
+            codes = pack_codes(codes, self.pack_bits)
         if self._codes is None:
             self._codes, self._row_sqn = codes, row_sqn
         else:
@@ -1205,13 +1226,15 @@ class SQIndex:
         n = self.ntotal
         chunk = min(int(chunk), max(n, 1))
         pad = (-n) % chunk
+        width = self._codes.shape[1]
         code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
-            -1, chunk, self.dim
+            -1, chunk, width
         )
         sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
         return _sq_scan_jit(
             q, self.sq.mins, self.sq.steps, code_chunks, sqn_chunks,
             jnp.int32(n), jnp.float32(radius), self.metric, int(fetch),
+            self.pack_bits,
         )
 
     def range_search(
@@ -1277,8 +1300,10 @@ class SQIndex:
         chunk = min(int(chunk), max(n, 1))
         pad = (-n) % chunk
         metric = self.metric
+        pack_bits = self.pack_bits
+        width = self._codes.shape[1]
         code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
-            -1, chunk, self.dim
+            -1, chunk, width
         )
         sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
         arrays = (code_chunks, sqn_chunks, self.sq.mins, self.sq.steps) + (
@@ -1288,7 +1313,7 @@ class SQIndex:
         def fn(q, code_c, sqn_c, mins, steps, *rest):
             ids, d, _ = _sq_scan_jit(
                 q, mins, steps, code_c, sqn_c, jnp.int32(n),
-                jnp.float32(float("inf")), metric, fetch,
+                jnp.float32(float("inf")), metric, fetch, pack_bits,
             )
             if rerank:
                 corpus = rest[0]
@@ -1315,17 +1340,27 @@ class SQIndex:
         if self._codes is None:
             raise EmptyInput("index is empty")
         ids = jnp.asarray(ids, jnp.int32)
-        return self.sq.dequantize(jnp.take(self._codes, ids, axis=0))
+        rows = jnp.take(self._codes, ids, axis=0)
+        if self.pack_bits < 8:
+            from vq_tpu.ops.packing import unpack_codes
+
+            rows = unpack_codes(rows, self.pack_bits, self.dim)
+        return self.sq.dequantize(rows)
 
     def _reconstruct_core(self):
         """Traceable ``(fn, arrays)`` reconstruct — see
         :meth:`PQIndex._reconstruct_core`."""
         if self._codes is None:
             raise EmptyInput("index is empty — add() vectors first")
-        sq = self.sq
+        sq, pack_bits, d = self.sq, self.pack_bits, self.dim
 
         def fn(ids, codes):
-            return sq.dequantize(jnp.take(codes, ids, axis=0))
+            rows = jnp.take(codes, ids, axis=0)
+            if pack_bits < 8:
+                from vq_tpu.ops.packing import unpack_codes
+
+                rows = unpack_codes(rows, pack_bits, d)
+            return sq.dequantize(rows)
 
         return fn, (self._codes,)
 
