@@ -123,6 +123,12 @@ class RefineIndex:
 
     Search values are exact distances to the refined reconstruction under
     the base's metric (``dot`` returns descending scores, ``-inf`` pads).
+
+    Caveat (residual refiners): the codes are residuals of the base's
+    STORED reconstructions — operations that re-encode the base in place
+    (e.g. :meth:`vq_tpu.ivf.IVFPQIndex.rebalance`, which re-codes moved
+    vectors against their new coarse centroids) silently stale them.
+    Rebalance the base BEFORE wrapping, or re-add through the wrapper.
     """
 
     def __init__(
