@@ -425,3 +425,78 @@ class TestIdMapReviewRegressions:
 
         with pytest.raises(EmptyInput):
             IdMapIndex(FlatIndex(8)).reconstruct([0])
+
+
+class TestITQ:
+    """Iterative Quantization (faiss ITQMatrix analog): learned rotation
+    minimizing binarization error on PCA'd data."""
+
+    @pytest.fixture(scope="class")
+    def correlated(self):
+        r = np.random.default_rng(41)
+        d = 32
+        a = r.normal(size=(d, d)) * (0.9 ** np.arange(d))[None, :]
+        x = (r.normal(size=(3000, d)) @ a.T).astype(np.float32)
+        q = (r.normal(size=(24, d)) @ a.T).astype(np.float32)
+        return x, q
+
+    def test_rotation_is_orthogonal(self, correlated):
+        from vq_tpu import itq_train
+
+        x, _ = correlated
+        chain = itq_train(x, 16, seed=1)
+        assert len(chain) == 2
+        r = np.asarray(chain[1].matrix)
+        np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-4)
+
+    def test_beats_random_rotation_on_hamming(self, correlated):
+        from vq_tpu import (
+            BinaryIndex,
+            RotationTransform,
+            TransformedIndex,
+            itq_train,
+        )
+
+        x, q = correlated
+        gt = np.argsort(
+            ((x[None] - q[:, None]) ** 2).sum(-1), axis=1
+        )[:, :10]
+
+        def recall(ids):
+            ids = np.asarray(ids)
+            return np.mean([
+                len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(q))
+            ])
+
+        nbits = 16
+        rnd = TransformedIndex(
+            [RotationTransform.random(x.shape[1], seed=2, d_out=nbits)],
+            BinaryIndex(nbits),
+        )
+        rnd.add(x)
+        itq = TransformedIndex(itq_train(x, nbits, seed=2), BinaryIndex(nbits))
+        itq.add(x)
+        assert recall(itq.search(q, 10)[0]) > recall(rnd.search(q, 10)[0])
+
+    def test_factory_spec_and_round_trip(self, correlated, tmp_path):
+        import vq_tpu
+        from vq_tpu import index_factory
+
+        x, q = correlated
+        f = index_factory(x.shape[1], "ITQ16,BFlat")
+        f.train(x)
+        f.add(x)
+        i1, _ = f.search(q, 5)
+        ld = vq_tpu.load_index(f.index.save(str(tmp_path / "itq")))
+        i2, _ = ld.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_bad_params(self, correlated):
+        from vq_tpu import itq_train
+        from vq_tpu.errors import InvalidParameter
+
+        x, _ = correlated
+        with pytest.raises(InvalidParameter):
+            itq_train(x, 0)
+        with pytest.raises(InvalidParameter):
+            itq_train(x, 16, iters=0)

@@ -77,6 +77,7 @@ from vq_tpu.transforms import (
     RotationTransform,
     TransformedIndex,
     VectorTransform,
+    itq_train,
 )
 from vq_tpu.factory import IdMapIndex, index_factory, load_index
 from vq_tpu.refine import RefineIndex
@@ -163,6 +164,7 @@ __all__ = [
     "NormalizeTransform",
     "CenteringTransform",
     "TransformedIndex",
+    "itq_train",
     "IdMapIndex",
     "index_factory",
     "load_index",

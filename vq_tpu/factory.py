@@ -321,7 +321,7 @@ class FactoryIndex:
         self._transform_specs: List[str] = []
         i = 0
         while i < len(stages) and re.fullmatch(
-            r"PCAW?\d+|L2norm|RR|OPQ\d+", stages[i]
+            r"PCAW?\d+|L2norm|RR|OPQ\d+|ITQ\d*", stages[i]
         ):
             self._transform_specs.append(stages[i])
             i += 1
@@ -426,6 +426,18 @@ class FactoryIndex:
                 t = NormalizeTransform(d)
             elif s.startswith("RR"):
                 t = RotationTransform.random(d, seed=seed)
+            elif s.startswith("ITQ"):
+                # faiss ITQMatrix: PCA + rotation minimizing
+                # binarization error — pair with a binary head.
+                from vq_tpu.transforms import itq_train
+
+                d_out = int(s[3:]) if len(s) > 3 else d
+                chain = itq_train(y, d_out, seed=seed)
+                for t_ in chain[:-1]:
+                    y = t_.apply(y)
+                    ts.append(t_)
+                    d = t_.d_out
+                t = chain[-1]
             elif s.startswith("PCA"):
                 whiten = s.startswith("PCAW")
                 d_out = int(s[4 if whiten else 3:])

@@ -20,6 +20,7 @@ All transforms are jitted batch maps; ``fit`` runs entirely on device.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,7 @@ __all__ = [
     "NormalizeTransform",
     "CenteringTransform",
     "TransformedIndex",
+    "itq_train",
 ]
 
 
@@ -216,6 +218,59 @@ class RotationTransform(VectorTransform):
 
     def __repr__(self) -> str:
         return f"RotationTransform({self.d_in} -> {self.d_out})"
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _itq_rotation_jit(v: jnp.ndarray, r0: jnp.ndarray, iters: int = 50):
+    """ITQ alternation on PCA-projected data ``v [n, b]``: fix the sign
+    codes, solve the orthogonal Procrustes for the rotation (SVD of
+    ``v.T @ sign(v r)``), repeat. One jit — the per-iteration ``[b, b]``
+    SVD is tiny next to the ``[n, b]`` matmuls."""
+
+    def step(_, r):
+        b = jnp.where(v @ r >= 0, 1.0, -1.0)  # [n, b] sign codes
+        m = jax.lax.dot_general(
+            v, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [b, b] = v.T @ b
+        u, _, wt = jnp.linalg.svd(m, full_matrices=False)
+        return u @ wt
+
+    return jax.lax.fori_loop(0, iters, step, r0)
+
+
+def itq_train(
+    data,
+    d_out: Optional[int] = None,
+    *,
+    iters: int = 50,
+    seed: int = 42,
+) -> List[VectorTransform]:
+    """Iterative Quantization (ITQ): the faiss ``ITQMatrix`` analog.
+
+    Fits ``[PCATransform(d -> d_out), RotationTransform]`` where the
+    rotation minimizes the binarization error ``||sign(VR) − VR||²`` by
+    alternating sign-code assignment with an orthogonal-Procrustes solve
+    (Gong & Lazebnik). Put the returned chain in front of a
+    :class:`~vq_tpu.search.BinaryIndex` (or use the factory spec
+    ``"ITQ64,BFlat"``) for markedly better Hamming recall than a random
+    rotation on correlated data.
+    """
+    x = jnp.asarray(data, jnp.float32)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise InvalidParameter("data", "expected a non-empty [n, d] matrix")
+    d = int(x.shape[1])
+    d_out = d if d_out is None else int(d_out)
+    if not 1 <= d_out <= d:
+        raise InvalidParameter("d_out", "must be in [1, dim]")
+    if int(iters) < 1:
+        raise InvalidParameter("iters", "must be >= 1")
+    pca = PCATransform(d, d_out).fit(x)
+    v = pca.apply(x)
+    r0 = RotationTransform.random(d_out, seed=seed).matrix
+    r = _itq_rotation_jit(v, r0, int(iters))
+    return [pca, RotationTransform(r)]
 
 
 class PCATransform(VectorTransform):
