@@ -450,6 +450,54 @@ class TestShardedScanPipeline:
         with pytest.raises(DimensionMismatch):
             pipe.search(np.zeros((2, 4, idx.dim + 1), np.float32))
 
+    def test_flat_graph_ivfpq_cores(self, corpus):
+        # every sharded serving path exposes a pipeline-ready core
+        from vq_tpu import (
+            BatchPipeline,
+            GraphIndex,
+            IVFPQIndex,
+            PQIndex,
+            ProductQuantizer,
+        )
+        from vq_tpu.parallel import (
+            sharded_flat_search,
+            sharded_flat_search_core,
+            sharded_graph_search,
+            sharded_graph_search_core,
+            sharded_ivf_search,
+            sharded_ivf_search_core,
+        )
+        from vq_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        qs = np.stack([corpus[:8], corpus[8:16]]) + 0.01
+
+        pq = PQIndex(ProductQuantizer(corpus, 4, 16, max_iters=3, seed=1))
+        pq.add(corpus)
+        g = GraphIndex.build(corpus[:800], degree=8, seed=2)
+        ivf = IVFPQIndex.train(corpus, 8, 4, 16, max_iters=3, seed=3)
+        ivf.add(corpus)
+        cases = [
+            (pq, sharded_flat_search_core, sharded_flat_search, {}),
+            (g, sharded_graph_search_core, sharded_graph_search,
+             {"beam": 32}),
+            (ivf, sharded_ivf_search_core, sharded_ivf_search,
+             {"nprobe": 4}),
+        ]
+        for idx, core_fn, search_fn, kw in cases:
+            core, arrays = core_fn(idx, 6, mesh=mesh, **kw)
+            pipe = BatchPipeline.from_core(core, arrays, dim=24)
+            ip, vp = pipe.search(qs)
+            for t in range(2):
+                i_s, v_s = search_fn(idx, qs[t], k=6, mesh=mesh, **kw)
+                np.testing.assert_array_equal(
+                    np.asarray(ip[t]), np.asarray(i_s)
+                )
+                np.testing.assert_allclose(
+                    np.asarray(vp[t]), np.asarray(v_s),
+                    rtol=1e-4, atol=1e-4,
+                )
+
     def test_pool_padding_through_pipeline(self, corpus):
         from vq_tpu import BatchPipeline, IVFFlatIndex
         from vq_tpu.parallel import sharded_scan_search_core

@@ -5,9 +5,19 @@ from vq_tpu.parallel.data import (
     sharded_synthetic_corpus,
 )
 from vq_tpu.parallel.encode import sharded_pq_encode, sharded_quantize
-from vq_tpu.parallel.flat import sharded_flat_search
-from vq_tpu.parallel.graph import sharded_graph_search
-from vq_tpu.parallel.ivf import shard_buckets, sharded_ivf_search
+from vq_tpu.parallel.flat import (
+    sharded_flat_search,
+    sharded_flat_search_core,
+)
+from vq_tpu.parallel.graph import (
+    sharded_graph_search,
+    sharded_graph_search_core,
+)
+from vq_tpu.parallel.ivf import (
+    shard_buckets,
+    sharded_ivf_search,
+    sharded_ivf_search_core,
+)
 from vq_tpu.parallel.ivf_scan import (
     sharded_ivf_scan_search,
     sharded_scan_search_core,
@@ -41,9 +51,12 @@ __all__ = [
     "sharded_pq_encode",
     "sharded_quantize",
     "sharded_ivf_search",
+    "sharded_ivf_search_core",
     "sharded_scan_search_core",
     "sharded_ivf_scan_search",
     "sharded_graph_search",
+    "sharded_graph_search_core",
     "sharded_flat_search",
+    "sharded_flat_search_core",
     "shard_buckets",
 ]

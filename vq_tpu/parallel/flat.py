@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vq_tpu.errors import DimensionMismatch, EmptyInput, InvalidParameter
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
-__all__ = ["sharded_flat_search"]
+__all__ = ["sharded_flat_search", "sharded_flat_search_core"]
 
 
 def _shard_layout(n: int, ndev: int, chunk: int):
@@ -179,6 +179,7 @@ def _sharded_sq_search_jit(
     )(codes, row_sqn)
 
 
+
 def sharded_flat_search(
     index,
     queries,
@@ -189,17 +190,41 @@ def sharded_flat_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a flat index with its rows sharded over the mesh.
 
-    Accepts a :class:`~vq_tpu.search.PQIndex` (packed or not), a
-    :class:`~vq_tpu.search.SQIndex`, or a
+    Accepts a :class:`~vq_tpu.search.FlatIndex`,
+    :class:`~vq_tpu.search.PQIndex` (packed or not),
+    :class:`~vq_tpu.search.SQIndex`, or
     :class:`~vq_tpu.search.RQIndex`; returns the same ``(ids, values)``
     contract as the index's own ``search`` — ascending distances, or
-    descending scores for a ``metric="dot"`` SQIndex — with identical
-    results to the single-device scan. Ids of −1 pad out corpora smaller
-    than ``k``. Exact rerank is a single-device post-step (gathering raw
-    rows across shards would defeat the sharding); run
+    descending scores for ``metric="dot"`` — with identical results to
+    the single-device scan. Ids of −1 pad out corpora smaller than
+    ``k``. Exact rerank is a single-device post-step (gathering raw rows
+    across shards would defeat the sharding); run
     ``index.search(..., rerank=R)`` when the corpus fits one device.
     """
+    fn, arrays = sharded_flat_search_core(
+        index, int(k), mesh=mesh, chunk=chunk
+    )
     from vq_tpu.models.base import as_batch_f32
+
+    q2d, _ = as_batch_f32(queries)
+    if q2d.shape[1] != index.dim:
+        raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
+    return fn(q2d, *arrays)
+
+
+def sharded_flat_search_core(
+    index,
+    k: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    chunk: int = 262_144,
+):
+    """:func:`sharded_flat_search` as a traceable ``(fn, arrays)`` pair
+    — the multi-chip analog of the indexes' ``_search_core``. The code
+    rows come back mesh-placed; feed the pair to
+    :meth:`vq_tpu.serving.BatchPipeline.from_core` to chain many query
+    batches into one sharded dispatch. Per-query work (ADC tables, query
+    norms) traces inside ``fn`` so the whole search is one program."""
     from vq_tpu.search import FlatIndex, PQIndex, RQIndex, SQIndex
 
     if not isinstance(index, (FlatIndex, PQIndex, RQIndex, SQIndex)):
@@ -216,82 +241,90 @@ def sharded_flat_search(
         raise EmptyInput("index is empty — add() vectors first")
     k = min(int(k), n)
     row_spec = NamedSharding(mesh, P(DATA_AXIS))
+    shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
+    pad = ndev * shard_pad - n
+    nv = jnp.int32(n)
 
     if isinstance(index, PQIndex):
         from vq_tpu.models.pq import _adc_tables_jit
 
-        q2d, _ = as_batch_f32(queries)
-        if q2d.shape[1] != index.pq.dim:
-            raise DimensionMismatch(expected=index.pq.dim, found=q2d.shape[1])
-        tables = _adc_tables_jit(
-            q2d, index.pq.codebooks, index.pq._metric
-        )
         cb = index.pq.codebooks
         cb_sqn = jnp.sum(cb * cb, axis=-1)
-        qn = jnp.sqrt(jnp.sum(q2d * q2d, axis=-1))
-        shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
+        metric = index.pq._metric
+        pack_bits = int(index.pack_bits)
         codes = index._codes
         codes = (
-            codes.astype(jnp.uint8) if index.pack_bits < 8
+            codes.astype(jnp.uint8) if pack_bits < 8
             else codes.astype(jnp.int32)
         )
-        pad = ndev * shard_pad - n
         codes = jax.device_put(
             jnp.pad(codes, ((0, pad), (0, 0))), row_spec
         )
-        return _sharded_pq_search_jit(
-            tables, cb_sqn, qn, codes, jnp.int32(n), k, mesh,
-            index.pq._metric, int(index.pack_bits), chunk_eff,
-        )
+
+        def fn(q, codes):
+            tables = _adc_tables_jit(q, cb, metric)
+            qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+            return _sharded_pq_search_jit(
+                tables, cb_sqn, qn, codes, nv, k, mesh, metric,
+                pack_bits, chunk_eff,
+            )
+
+        return fn, (codes,)
 
     if isinstance(index, FlatIndex):
-        q2d, _ = as_batch_f32(queries)
-        if q2d.shape[1] != index.dim:
-            raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
-        if index.metric == "manhattan":
-            chunk = min(chunk, 8_192)  # [Q, chunk, d] broadcast per block
-        shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
-        pad = ndev * shard_pad - n
+        metric = index.metric
+        if metric == "manhattan":
+            # [Q, chunk, d] broadcast per block
+            shard_pad, chunk_eff = _shard_layout(n, ndev, min(chunk, 8_192))
+            pad = ndev * shard_pad - n
         rows = jax.device_put(
             jnp.pad(index._rows, ((0, pad), (0, 0))), row_spec
         )
         row_sqn = jax.device_put(
             jnp.pad(index._row_sqn, (0, pad)), row_spec
         )
-        ids, d = _sharded_flatrows_search_jit(
-            q2d, rows, row_sqn, jnp.int32(n), k, mesh,
-            index.metric, chunk_eff,
-        )
-        if index.metric == "dot":
-            return ids, -d
-        return ids, d
 
-    q2d, _ = as_batch_f32(queries)
-    if q2d.shape[1] != index.dim:
-        raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
-    shard_pad, chunk_eff = _shard_layout(n, ndev, chunk)
-    pad = ndev * shard_pad - n
+        def fn(q, rows, row_sqn):
+            ids, d = _sharded_flatrows_search_jit(
+                q, rows, row_sqn, nv, k, mesh, metric, chunk_eff
+            )
+            return (ids, -d) if metric == "dot" else (ids, d)
+
+        return fn, (rows, row_sqn)
+
     codes = jax.device_put(
         jnp.pad(index._codes, ((0, pad), (0, 0))), row_spec
     )
     row_sqn = jax.device_put(
         jnp.pad(index._row_sqn, (0, pad)), row_spec
     )
+    metric = index.metric
+
     if isinstance(index, RQIndex):
         from vq_tpu.search import _rq_tables_jit
 
-        tables = _rq_tables_jit(q2d, index.rq.codebooks, index.metric)
-        qn2 = jnp.sum(q2d * q2d, axis=-1)
-        ids, d = _sharded_rq_search_jit(
-            tables, qn2, codes, row_sqn,
-            jnp.int32(n), k, mesh, index.metric, chunk_eff,
-        )
-    else:
+        cbs = index.rq.codebooks
+
+        def fn(q, codes, row_sqn):
+            tables = _rq_tables_jit(q, cbs, metric)
+            qn2 = jnp.sum(q * q, axis=-1)
+            ids, d = _sharded_rq_search_jit(
+                tables, qn2, codes, row_sqn, nv, k, mesh, metric,
+                chunk_eff,
+            )
+            return (ids, -d) if metric == "dot" else (ids, d)
+
+        return fn, (codes, row_sqn)
+
+    # SQIndex
+    lo, step = index.sq.mins, index.sq.steps
+    pack_bits = int(index.pack_bits)
+
+    def fn(q, codes, row_sqn):
         ids, d = _sharded_sq_search_jit(
-            q2d, index.sq.mins, index.sq.steps, codes, row_sqn,
-            jnp.int32(n), k, mesh, index.metric, chunk_eff,
-            int(index.pack_bits),
+            q, lo, step, codes, row_sqn, nv, k, mesh, metric,
+            chunk_eff, pack_bits,
         )
-    if index.metric == "dot":
-        return ids, -d
-    return ids, d
+        return (ids, -d) if metric == "dot" else (ids, d)
+
+    return fn, (codes, row_sqn)

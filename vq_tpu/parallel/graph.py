@@ -30,7 +30,7 @@ from vq_tpu.errors import DimensionMismatch, EmptyInput
 from vq_tpu.graph import GraphIndex, _search_driver
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
-__all__ = ["sharded_graph_search"]
+__all__ = ["sharded_graph_search", "sharded_graph_search_core"]
 
 
 def _replicated_arrays(index: GraphIndex, mesh: Mesh):
@@ -62,24 +62,52 @@ def sharded_graph_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a replicated :class:`GraphIndex` with the query batch
     sharded over the mesh — identical results to ``index.search``."""
-    if index.ntotal == 0:
-        raise EmptyInput("index is empty")
-    if mesh is None:
-        mesh = make_mesh()
+    fn, arrays = sharded_graph_search_core(
+        index, int(k), beam=beam, iters=iters,
+        picks_per_iter=picks_per_iter, mesh=mesh,
+    )
     q = jnp.asarray(queries, jnp.float32)
     if q.ndim == 1:
         q = q[None, :]
     if q.shape[1] != index.dim:
         raise DimensionMismatch(expected=index.dim, found=q.shape[1])
-    Q = q.shape[0]
+    return fn(q, *arrays)
+
+
+def sharded_graph_search_core(
+    index: GraphIndex,
+    k: int,
+    *,
+    beam: int = 64,
+    iters: Optional[int] = None,
+    picks_per_iter: int = 8,
+    mesh: Optional[Mesh] = None,
+):
+    """:func:`sharded_graph_search` as a traceable ``(fn, arrays)`` pair
+    — feed it to :meth:`vq_tpu.serving.BatchPipeline.from_core` to chain
+    many query batches into one sharded dispatch. The index arrays come
+    back mesh-replicated (cached on the index per mesh)."""
+    if index.ntotal == 0:
+        raise EmptyInput("index is empty")
+    if mesh is None:
+        mesh = make_mesh()
+    arrays = _replicated_arrays(index, mesh)
     ndev = mesh.shape[DATA_AXIS]
-    pad = (-Q) % ndev
-    if pad:
-        q = jnp.pad(q, ((0, pad), (0, 0)))
-    qsh = jax.device_put(q, NamedSharding(mesh, P(DATA_AXIS)))
-    rows, sqn, graph, sample, entry = _replicated_arrays(index, mesh)
-    ids, dist = _search_driver(
-        qsh, rows, sqn, graph, sample, entry, index.ntotal,
-        int(k), int(beam), iters, int(picks_per_iter),
+    qspec = NamedSharding(mesh, P(DATA_AXIS))
+    n, k, beam, picks = (
+        index.ntotal, int(k), int(beam), int(picks_per_iter)
     )
-    return ids[:Q], dist[:Q]
+
+    def fn(q, rows, sqn, graph, sample, entry):
+        Q = q.shape[0]
+        pad = (-Q) % ndev
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+        qsh = jax.lax.with_sharding_constraint(q, qspec)
+        ids, dist = _search_driver(
+            qsh, rows, sqn, graph, sample, entry, n, k, beam, iters,
+            picks,
+        )
+        return ids[:Q], dist[:Q]
+
+    return fn, arrays

@@ -32,7 +32,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vq_tpu.errors import DimensionMismatch
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
-__all__ = ["sharded_ivf_search", "shard_buckets"]
+__all__ = [
+    "sharded_ivf_search", "sharded_ivf_search_core", "shard_buckets"
+]
 
 
 def shard_buckets(bucket_codes, bucket_ids, mesh: Optional[Mesh] = None):
@@ -174,23 +176,48 @@ def sharded_ivf_search(
     scores, descending, padded with ``-inf`` — same contract as
     :meth:`IVFPQIndex.search`.
     """
-    bucket_codes, bucket_ids = index._build_buckets()
-    bucket_codes, bucket_ids, mesh = shard_buckets(
-        bucket_codes, bucket_ids, mesh
+    fn, arrays = sharded_ivf_search_core(
+        index, int(k), nprobe=nprobe, mesh=mesh
     )
     q = jnp.asarray(queries, jnp.float32)
     if q.ndim == 1:
         q = q[None, :]
     if q.shape[1] != index.pq.dim:
         raise DimensionMismatch(expected=index.pq.dim, found=q.shape[1])
+    return fn(q, *arrays)
+
+
+def sharded_ivf_search_core(
+    index,
+    k: int,
+    *,
+    nprobe: int = 8,
+    mesh: Optional[Mesh] = None,
+):
+    """:func:`sharded_ivf_search` as a traceable ``(fn, arrays)`` pair —
+    the multi-chip analog of :meth:`IVFPQIndex._search_core`. Feed it to
+    :meth:`vq_tpu.serving.BatchPipeline.from_core` to chain many query
+    batches into one sharded dispatch; the bucket arrays come back
+    mesh-placed."""
+    bucket_codes, bucket_ids = index._build_buckets()
+    bucket_codes, bucket_ids, mesh = shard_buckets(
+        bucket_codes, bucket_ids, mesh
+    )
+    k = int(k)
     nprobe = min(int(nprobe), index.nlist)
     pool = nprobe * int(bucket_ids.shape[1])
+    kk = min(k, pool)
     metric = getattr(index, "metric", "l2")
-    ids, dist = _sharded_ivf_search_jit(
-        q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids,
-        nprobe, min(int(k), pool), mesh,
-        metric=metric, by_residual=index.by_residual,
-    )
-    if metric == "dot":
-        dist = -dist  # back to descending scores; pads become -inf
-    return ids, dist
+    by_residual = index.by_residual
+    coarse, cbs = index.coarse, index.pq.codebooks
+
+    def fn(q, coarse, cbs, bcodes, bids):
+        ids, dist = _sharded_ivf_search_jit(
+            q, coarse, cbs, bcodes, bids, nprobe, kk, mesh,
+            metric=metric, by_residual=by_residual,
+        )
+        if metric == "dot":
+            dist = -dist  # back to descending scores; pads become -inf
+        return ids, dist
+
+    return fn, (coarse, cbs, bucket_codes, bucket_ids)
