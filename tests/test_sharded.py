@@ -472,13 +472,29 @@ class TestShardedScanPipeline:
         mesh = make_mesh()
         qs = np.stack([corpus[:8], corpus[8:16]]) + 0.01
 
+        from vq_tpu import (
+            FlatIndex,
+            PerDimScalarQuantizer,
+            ResidualQuantizer,
+            RQIndex,
+            SQIndex,
+        )
+
         pq = PQIndex(ProductQuantizer(corpus, 4, 16, max_iters=3, seed=1))
         pq.add(corpus)
         g = GraphIndex.build(corpus[:800], degree=8, seed=2)
         ivf = IVFPQIndex.train(corpus, 8, 4, 16, max_iters=3, seed=3)
         ivf.add(corpus)
+        flat = FlatIndex.from_data(corpus, metric="manhattan")
+        sq = SQIndex(PerDimScalarQuantizer.from_data(corpus, 16))
+        sq.add(corpus)
+        rq = RQIndex(ResidualQuantizer(corpus, 2, 16, max_iters=3, seed=4))
+        rq.add(corpus)
         cases = [
             (pq, sharded_flat_search_core, sharded_flat_search, {}),
+            (flat, sharded_flat_search_core, sharded_flat_search, {}),
+            (sq, sharded_flat_search_core, sharded_flat_search, {}),
+            (rq, sharded_flat_search_core, sharded_flat_search, {}),
             (g, sharded_graph_search_core, sharded_graph_search,
              {"beam": 32}),
             (ivf, sharded_ivf_search_core, sharded_ivf_search,

@@ -429,12 +429,11 @@ class FactoryIndex:
             elif s.startswith("ITQ"):
                 # faiss ITQMatrix: PCA + rotation minimizing
                 # binarization error — pair with a binary head.
-                from vq_tpu.transforms import itq_train
+                from vq_tpu.transforms import _itq_fit
 
                 d_out = int(s[3:]) if len(s) > 3 else d
-                chain = itq_train(y, d_out, seed=seed)
-                for t_ in chain[:-1]:
-                    y = t_.apply(y)
+                chain, y = _itq_fit(y, d_out, iters=50, seed=seed)
+                for t_ in chain[:-1]:  # PCA: projection already applied
                     ts.append(t_)
                     d = t_.d_out
                 t = chain[-1]

@@ -201,14 +201,23 @@ def sharded_flat_search(
     across shards would defeat the sharding); run
     ``index.search(..., rerank=R)`` when the corpus fits one device.
     """
-    fn, arrays = sharded_flat_search_core(
-        index, int(k), mesh=mesh, chunk=chunk
-    )
     from vq_tpu.models.base import as_batch_f32
+    from vq_tpu.search import FlatIndex, PQIndex, RQIndex, SQIndex
 
+    # Validate BEFORE the core pads + places the corpus on the mesh —
+    # a wrong-dim query must not cost a multi-hundred-MB transfer.
+    if not isinstance(index, (FlatIndex, PQIndex, RQIndex, SQIndex)):
+        raise InvalidParameter(
+            "index",
+            "sharded_flat_search supports FlatIndex, PQIndex, RQIndex, "
+            "and SQIndex",
+        )
     q2d, _ = as_batch_f32(queries)
     if q2d.shape[1] != index.dim:
         raise DimensionMismatch(expected=index.dim, found=q2d.shape[1])
+    fn, arrays = sharded_flat_search_core(
+        index, int(k), mesh=mesh, chunk=chunk
+    )
     return fn(q2d, *arrays)
 
 
@@ -248,8 +257,6 @@ def sharded_flat_search_core(
     if isinstance(index, PQIndex):
         from vq_tpu.models.pq import _adc_tables_jit
 
-        cb = index.pq.codebooks
-        cb_sqn = jnp.sum(cb * cb, axis=-1)
         metric = index.pq._metric
         pack_bits = int(index.pack_bits)
         codes = index._codes
@@ -261,15 +268,19 @@ def sharded_flat_search_core(
             jnp.pad(codes, ((0, pad), (0, 0))), row_spec
         )
 
-        def fn(q, codes):
+        # Quantizer params ride as ARGUMENTS (the _search_core / ivf-core
+        # convention): jit-closure constants re-embed + recompile on
+        # every pipeline rebuild.
+        def fn(q, codes, cb):
             tables = _adc_tables_jit(q, cb, metric)
+            cb_sqn = jnp.sum(cb * cb, axis=-1)
             qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
             return _sharded_pq_search_jit(
                 tables, cb_sqn, qn, codes, nv, k, mesh, metric,
                 pack_bits, chunk_eff,
             )
 
-        return fn, (codes,)
+        return fn, (codes, index.pq.codebooks)
 
     if isinstance(index, FlatIndex):
         metric = index.metric
@@ -303,9 +314,7 @@ def sharded_flat_search_core(
     if isinstance(index, RQIndex):
         from vq_tpu.search import _rq_tables_jit
 
-        cbs = index.rq.codebooks
-
-        def fn(q, codes, row_sqn):
+        def fn(q, codes, row_sqn, cbs):
             tables = _rq_tables_jit(q, cbs, metric)
             qn2 = jnp.sum(q * q, axis=-1)
             ids, d = _sharded_rq_search_jit(
@@ -314,17 +323,16 @@ def sharded_flat_search_core(
             )
             return (ids, -d) if metric == "dot" else (ids, d)
 
-        return fn, (codes, row_sqn)
+        return fn, (codes, row_sqn, index.rq.codebooks)
 
     # SQIndex
-    lo, step = index.sq.mins, index.sq.steps
     pack_bits = int(index.pack_bits)
 
-    def fn(q, codes, row_sqn):
+    def fn(q, codes, row_sqn, lo, step):
         ids, d = _sharded_sq_search_jit(
             q, lo, step, codes, row_sqn, nv, k, mesh, metric,
             chunk_eff, pack_bits,
         )
         return (ids, -d) if metric == "dot" else (ids, d)
 
-    return fn, (codes, row_sqn)
+    return fn, (codes, row_sqn, index.sq.mins, index.sq.steps)

@@ -228,7 +228,14 @@ def _itq_rotation_jit(v: jnp.ndarray, r0: jnp.ndarray, iters: int = 50):
     SVD is tiny next to the ``[n, b]`` matmuls."""
 
     def step(_, r):
-        b = jnp.where(v @ r >= 0, 1.0, -1.0)  # [n, b] sign codes
+        # HIGHEST precision: a bf16 default-precision projection can flip
+        # signs near zero, changing the learned rotation across backends.
+        z = jax.lax.dot_general(
+            v, r, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        b = jnp.where(z >= 0, 1.0, -1.0)  # [n, b] sign codes
         m = jax.lax.dot_general(
             v, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -257,6 +264,13 @@ def itq_train(
     ``"ITQ64,BFlat"``) for markedly better Hamming recall than a random
     rotation on correlated data.
     """
+    chain, _ = _itq_fit(data, d_out, iters=iters, seed=seed)
+    return chain
+
+
+def _itq_fit(data, d_out, *, iters, seed):
+    """ITQ fit returning ``(chain, projected_data)`` — the factory uses
+    the projection it already paid for instead of re-applying the PCA."""
     x = jnp.asarray(data, jnp.float32)
     if x.ndim != 2 or x.shape[0] == 0:
         raise InvalidParameter("data", "expected a non-empty [n, d] matrix")
@@ -270,7 +284,7 @@ def itq_train(
     v = pca.apply(x)
     r0 = RotationTransform.random(d_out, seed=seed).matrix
     r = _itq_rotation_jit(v, r0, int(iters))
-    return [pca, RotationTransform(r)]
+    return [pca, RotationTransform(r)], v
 
 
 class PCATransform(VectorTransform):
