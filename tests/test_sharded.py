@@ -528,6 +528,75 @@ class TestShardedScanPipeline:
         assert np.isinf(np.asarray(d)).any()
 
 
+class TestShardedRefineSearch:
+    """Multi-chip RefineIndex: sharded base + replicated refine codes
+    must exactly match the single-device refined search."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(83)
+        centers = rng.normal(0, 3.0, (12, 24)).astype(np.float32)
+        which = rng.integers(0, 12, 2000)
+        return (centers[which] + rng.normal(0, 0.3, (2000, 24))).astype(
+            np.float32
+        )
+
+    def test_ivfpq_sq8(self, corpus):
+        from vq_tpu import IVFPQIndex, RefineIndex
+        from vq_tpu.parallel import sharded_refine_search
+
+        base = IVFPQIndex.train(corpus, 8, 4, 16, max_iters=3, seed=1)
+        ref = RefineIndex(base, "sq8")
+        ref.add(corpus)
+        q = corpus[:9] + 0.01
+        i1, d1 = ref.search(q, 6, k_factor=4, nprobe=4)
+        i2, d2 = sharded_refine_search(ref, q, 6, k_factor=4, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
+        )
+
+    def test_residual_pqr_over_pq_pipelined(self, corpus):
+        from vq_tpu import BatchPipeline, PQIndex, ProductQuantizer, RefineIndex
+        from vq_tpu.parallel import (
+            sharded_refine_search,
+            sharded_refine_search_core,
+        )
+        from vq_tpu.parallel.mesh import make_mesh
+
+        base = PQIndex(ProductQuantizer(corpus, 4, 16, max_iters=3, seed=2))
+        ref = RefineIndex.train_pq(base, corpus, 4, 16, max_iters=3, seed=3)
+        ref.add(corpus)
+        mesh = make_mesh()
+        core, arrays = sharded_refine_search_core(
+            ref, 6, k_factor=4, mesh=mesh
+        )
+        pipe = BatchPipeline.from_core(core, arrays, dim=24)
+        qs = np.stack([corpus[:8], corpus[8:16]]) + 0.01
+        ip, _ = pipe.search(qs)
+        for t in range(2):
+            i_s, _ = sharded_refine_search(
+                ref, qs[t], 6, k_factor=4, mesh=mesh
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ip[t]), np.asarray(i_s)
+            )
+            i_1, _ = ref.search(qs[t], 6, k_factor=4)
+            np.testing.assert_array_equal(
+                np.asarray(ip[t]), np.asarray(i_1)
+            )
+
+    def test_unsupported_base_raises(self, corpus):
+        from vq_tpu import BinaryIndex, RefineIndex
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.parallel import sharded_refine_search
+
+        ref = RefineIndex(BinaryIndex(24), "flat")
+        ref.add(corpus)
+        with pytest.raises(InvalidParameter):
+            sharded_refine_search(ref, corpus[:2], 3)
+
+
 class TestShardedGraphSearch:
     """Query-parallel GraphIndex serving: sharded batch, replicated
     index, identical results to the single-device search."""

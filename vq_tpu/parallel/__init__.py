@@ -18,6 +18,10 @@ from vq_tpu.parallel.ivf import (
     sharded_ivf_search,
     sharded_ivf_search_core,
 )
+from vq_tpu.parallel.refine import (
+    sharded_refine_search,
+    sharded_refine_search_core,
+)
 from vq_tpu.parallel.ivf_scan import (
     sharded_ivf_scan_search,
     sharded_scan_search_core,
@@ -58,5 +62,7 @@ __all__ = [
     "sharded_graph_search_core",
     "sharded_flat_search",
     "sharded_flat_search_core",
+    "sharded_refine_search",
+    "sharded_refine_search_core",
     "shard_buckets",
 ]

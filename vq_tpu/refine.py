@@ -407,42 +407,15 @@ class RefineIndex:
             raise InvalidParameter("k_factor", "must be >= 1")
         fetch = max(k, int(math.ceil(float(k_factor) * k)))
         base_fn, base_arrays = self.base._search_core(fetch, **base_params)
-        nb = len(base_arrays)
-        metric = self.metric
-        decode = self._decode
-        residual = self.residual
         arrays = tuple(base_arrays) + (self._codes,)
         rec_fn = None
-        if residual:
+        if self.residual:
             rec_fn, rec_arrays = self.base._reconstruct_core()
             arrays = arrays + tuple(rec_arrays)
-
-        def fn(q, *arrs):
-            ids, _ = base_fn(q, *arrs[:nb])  # [Q, F] (-1 pads)
-            safe = jnp.maximum(ids, 0)
-            flat = safe.reshape(-1)
-            rec = decode(jnp.take(arrs[nb], flat, axis=0))
-            if residual:
-                rec = rec + rec_fn(flat, *arrs[nb + 1:])
-            rec = rec.reshape(ids.shape + (rec.shape[-1],))
-            exact = _exact_scores(q, rec, metric)
-            exact = jnp.where(ids >= 0, exact, jnp.inf)
-            kk = min(k, exact.shape[1])
-            neg, pos = jax.lax.top_k(-exact, kk)
-            out_i = jnp.take_along_axis(ids, pos, axis=1)
-            out_d = -neg
-            out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
-            if kk < k:  # candidate pool smaller than k: pad the contract
-                out_i = jnp.pad(
-                    out_i, ((0, 0), (0, k - kk)), constant_values=-1
-                )
-                out_d = jnp.pad(
-                    out_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf
-                )
-            if metric == "dot":
-                out_d = -out_d  # descending scores; pads become -inf
-            return out_i, out_d
-
+        fn = _build_refine_fn(
+            base_fn, len(base_arrays), self._decode, rec_fn,
+            self.metric, k,
+        )
         return fn, arrays
 
     # -- persistence ---------------------------------------------------------
@@ -539,6 +512,42 @@ class RefineIndex:
             f"RefineIndex(kind={self.kind!r}, base={self.base!r}, "
             f"ntotal={self.ntotal}, metric={self.metric!r})"
         )
+
+
+def _build_refine_fn(base_fn, nb, decode, rec_fn, metric, k):
+    """The traceable refine re-score: base fetch → code gather → decode
+    (+ base reconstruction when ``rec_fn`` is given) → exact scores →
+    top-k with the family's −1/inf padding contract. Shared by the
+    single-device ``_search_core`` and the multi-chip core
+    (:func:`vq_tpu.parallel.refine.sharded_refine_search_core`)."""
+
+    def fn(q, *arrs):
+        ids, _ = base_fn(q, *arrs[:nb])  # [Q, F] (-1 pads)
+        safe = jnp.maximum(ids, 0)
+        flat = safe.reshape(-1)
+        rec = decode(jnp.take(arrs[nb], flat, axis=0))
+        if rec_fn is not None:
+            rec = rec + rec_fn(flat, *arrs[nb + 1:])
+        rec = rec.reshape(ids.shape + (rec.shape[-1],))
+        exact = _exact_scores(q, rec, metric)
+        exact = jnp.where(ids >= 0, exact, jnp.inf)
+        kk = min(k, exact.shape[1])
+        neg, pos = jax.lax.top_k(-exact, kk)
+        out_i = jnp.take_along_axis(ids, pos, axis=1)
+        out_d = -neg
+        out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+        if kk < k:  # candidate pool smaller than k: pad the contract
+            out_i = jnp.pad(
+                out_i, ((0, 0), (0, k - kk)), constant_values=-1
+            )
+            out_d = jnp.pad(
+                out_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+            )
+        if metric == "dot":
+            out_d = -out_d  # descending scores; pads become -inf
+        return out_i, out_d
+
+    return fn
 
 
 def _codec_approx(base, x: jnp.ndarray) -> jnp.ndarray:
