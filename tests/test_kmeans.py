@@ -301,3 +301,95 @@ class TestFusedBlockCap:
         x = rng.normal(0, 1, (4096, 16)).astype(np.float32)
         res = lloyd(x, 2000, max_iters=2, seed=1)
         assert res.centroids.shape == (2000, 16)
+
+
+class TestWeightedLloyd:
+    """Sample weights (the faiss Clustering weight semantics): weighted
+    means/inertia/k-means++ draws, exact duplication equivalence."""
+
+    @pytest.fixture(scope="class")
+    def wdata(self):
+        r = np.random.default_rng(57)
+        x = r.normal(size=(600, 8)).astype(np.float32)
+        return x, x[:4].copy()
+
+    def test_unit_weights_match_unweighted_exactly(self, wdata):
+        x, seeds = wdata
+        r_u = lloyd(x, 4, max_iters=10, init_centroids=seeds,
+                    use_pallas=False)
+        r_w = lloyd(x, 4, max_iters=10, init_centroids=seeds,
+                    weights=np.ones(len(x), np.float32))
+        np.testing.assert_allclose(
+            np.asarray(r_u.centroids), np.asarray(r_w.centroids),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(r_u.inertia), float(r_w.inertia), rtol=1e-6
+        )
+
+    def test_duplication_equivalence(self, wdata):
+        x, seeds = wdata
+        xd = np.concatenate([x, x[:100], x[:100]])  # rows 0..99 tripled
+        w = np.ones(len(x), np.float32)
+        w[:100] = 3.0
+        r_dup = lloyd(xd, 4, max_iters=15, init_centroids=seeds,
+                      use_pallas=False)
+        r_wt = lloyd(x, 4, max_iters=15, init_centroids=seeds, weights=w)
+        np.testing.assert_allclose(
+            np.asarray(r_dup.centroids), np.asarray(r_wt.centroids),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(r_dup.inertia), float(r_wt.inertia), rtol=1e-4
+        )
+
+    def test_zero_weight_points_ignored(self, wdata):
+        x, seeds = wdata
+        r = np.random.default_rng(58)
+        junk = np.concatenate(
+            [x, 100.0 * r.normal(size=(50, 8)).astype(np.float32)]
+        )
+        wj = np.concatenate(
+            [np.ones(len(x)), np.zeros(50)]
+        ).astype(np.float32)
+        r_j = lloyd(junk, 4, max_iters=10, init_centroids=seeds,
+                    weights=wj)
+        r_u = lloyd(x, 4, max_iters=10, init_centroids=seeds,
+                    use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(r_j.centroids), np.asarray(r_u.centroids),
+            atol=1e-5,
+        )
+
+    def test_weighted_kmeanspp_respects_support(self, wdata):
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        x, _ = wdata
+        wk = np.zeros(len(x), np.float32)
+        wk[[5, 50, 500]] = 1.0
+        s = np.asarray(kmeans_plusplus_init_device(x, 3, seed=1,
+                                                   weights=wk))
+        allowed = x[[5, 50, 500]]
+        for row in s:
+            assert float(
+                np.min(np.sum((allowed - row) ** 2, axis=1))
+            ) < 1e-12
+
+    def test_sample_and_kpp_inits_run(self, wdata):
+        x, _ = wdata
+        w = np.ones(len(x), np.float32)
+        w[:100] = 3.0
+        r1 = lloyd(x, 4, max_iters=3, weights=w)
+        r2 = lloyd(x, 4, max_iters=3, init="kmeans++", weights=w,
+                   spherical=True)
+        assert np.isfinite(float(r1.inertia))
+        assert np.isfinite(float(r2.inertia))
+
+    def test_bad_weights_rejected(self, wdata):
+        x, _ = wdata
+        with pytest.raises(InvalidParameter):
+            lloyd(x, 4, weights=np.ones(10, np.float32))
+        with pytest.raises(InvalidParameter):
+            lloyd(x, 4, weights=-np.ones(len(x), np.float32))
+        with pytest.raises(InvalidParameter):
+            lloyd(x, 4, weights=np.zeros(len(x), np.float32))

@@ -85,9 +85,14 @@ def _block_scores(x: jnp.ndarray, centroids: jnp.ndarray, cc: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def _assign_accumulate(
-    data: jnp.ndarray, centroids: jnp.ndarray, block_rows: int
+    data: jnp.ndarray, centroids: jnp.ndarray, block_rows: int,
+    weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pass over data -> (sums [k, d], counts [k], inertia [])."""
+    """One pass over data -> (sums [k, d], counts [k], inertia []).
+
+    With ``weights [n]`` the accumulators become Σ w·x / Σ w / Σ w·d²
+    (the faiss ``Clustering`` sample-weight semantics) — assignment is
+    unaffected."""
     n, d = data.shape
     k = centroids.shape[0]
     cc = jnp.sum(centroids * centroids, axis=-1)  # [k]
@@ -97,16 +102,26 @@ def _assign_accumulate(
     nblocks = padded.shape[0] // block_rows
     tiles = padded.reshape(nblocks, block_rows, d)
     base_valid = jnp.arange(block_rows, dtype=jnp.int32)
+    wtiles = (
+        None if weights is None
+        else jnp.pad(weights, (0, pad)).reshape(nblocks, block_rows)
+    )
 
     def body(carry, inp):
         sums, counts, inertia = carry
-        tile, bidx = inp
+        if weights is None:
+            tile, bidx = inp
+            wtile = None
+        else:
+            tile, bidx, wtile = inp
         valid = (base_valid + bidx * block_rows) < n  # [block]
         scores = _block_scores(tile, centroids, cc)  # [block, k]
         codes = jnp.argmin(scores, axis=-1)  # lowest index wins on ties
         xx = jnp.sum(tile * tile, axis=-1)
         mind = jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
         w = valid.astype(jnp.float32)
+        if wtile is not None:
+            w = w * wtile
         onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32) * w[:, None]
         sums = sums + jax.lax.dot_general(
             onehot, tile, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -121,9 +136,10 @@ def _assign_accumulate(
         jnp.zeros((k,), jnp.float32),
         jnp.float32(0.0),
     )
-    (sums, counts, inertia), _ = jax.lax.scan(
-        body, init, (tiles, jnp.arange(nblocks, dtype=jnp.int32))
-    )
+    xs = (tiles, jnp.arange(nblocks, dtype=jnp.int32))
+    if wtiles is not None:
+        xs = xs + (wtiles,)
+    (sums, counts, inertia), _ = jax.lax.scan(body, init, xs)
     return sums, counts, inertia
 
 
@@ -199,11 +215,15 @@ def _fused_accumulate_block_cap(k: int, d: int) -> int:
     return int(min(1024, tn // 8 * 8))
 
 
-def _accumulate_dispatch(data, centroids, block_rows, use_pallas: bool):
+def _accumulate_dispatch(
+    data, centroids, block_rows, use_pallas: bool, weights=None
+):
     """Pick the accumulate implementation: fused Pallas kernel on TPU, the
     XLA scan elsewhere. Both return (sums [k, d], counts [k], inertia [])
-    with identical assignments (HIGHEST-precision matmuls in both)."""
-    if use_pallas:
+    with identical assignments (HIGHEST-precision matmuls in both).
+    Sample weights route to the XLA scan (the fused kernel is
+    unweighted)."""
+    if use_pallas and weights is None:
         cap = _fused_accumulate_block_cap(
             centroids.shape[0], data.shape[1]
         )
@@ -214,7 +234,7 @@ def _accumulate_dispatch(data, centroids, block_rows, use_pallas: bool):
                 data, centroids, block_rows=min(block_rows, cap)
             )
         # k·d too large for the one-hot accumulate in VMEM.
-    return _assign_accumulate(data, centroids, block_rows)
+    return _assign_accumulate(data, centroids, block_rows, weights)
 
 
 def _normalize_rows(c: jnp.ndarray) -> jnp.ndarray:
@@ -224,7 +244,8 @@ def _normalize_rows(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lloyd_body_factory(
-    data, k, eps, block_rows, use_pallas=False, spherical=False
+    data, k, eps, block_rows, use_pallas=False, spherical=False,
+    weights=None,
 ):
     n = data.shape[0]
 
@@ -232,7 +253,7 @@ def _lloyd_body_factory(
         centroids, key, it, _changed = state
         key, reseed_key = jax.random.split(key)
         sums, counts, _ = _accumulate_dispatch(
-            data, centroids, block_rows, use_pallas
+            data, centroids, block_rows, use_pallas, weights
         )
         nonempty = counts > 0
         means = sums / jnp.maximum(counts, 1.0)[:, None]
@@ -290,7 +311,10 @@ def _lloyd_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sample"))
-def _kpp_init_jit(data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int):
+def _kpp_init_jit(
+    data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int,
+    weights: Optional[jnp.ndarray] = None,
+):
     """Device-side k-means++ (Arthur & Vassilvitskii 2007): sequential
     D²-weighted seed draws via inverse-CDF sampling on the device.
 
@@ -304,6 +328,8 @@ def _kpp_init_jit(data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int):
         key, sub = jax.random.split(key)
         idx = jax.random.choice(sub, n, (sample,), replace=False)
         data = jnp.take(data, idx, axis=0)
+        if weights is not None:
+            weights = jnp.take(weights, idx)
         n = sample
     xx = jnp.sum(data * data, axis=-1)  # [n]
 
@@ -316,15 +342,23 @@ def _kpp_init_jit(data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int):
         return jnp.maximum(xx + jnp.dot(s, s) - 2.0 * xs, 0.0)
 
     key, k0 = jax.random.split(key)
-    seed0 = data[jax.random.randint(k0, (), 0, n)]
+    if weights is None:
+        seed0 = data[jax.random.randint(k0, (), 0, n)]
+    else:
+        # First seed ∝ w (faiss Clustering weight semantics); later draws
+        # use the weighted D² mass w·D².
+        cw = jnp.cumsum(weights)
+        u0 = jax.random.uniform(k0, dtype=jnp.float32) * cw[-1]
+        seed0 = data[jnp.clip(jnp.searchsorted(cw, u0), 0, n - 1)]
     if k == 1:
         return seed0[None]
 
     def step(d2, kk):
-        total = jnp.sum(d2)
+        mass = d2 if weights is None else d2 * weights
+        total = jnp.sum(mass)
         ku, kf = jax.random.split(kk)
         u = jax.random.uniform(ku, dtype=jnp.float32) * total
-        widx = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), u), 0, n - 1)
+        widx = jnp.clip(jnp.searchsorted(jnp.cumsum(mass), u), 0, n - 1)
         # All residual D² mass zero (every point equals a seed): fall back
         # to a uniform draw, like the host sampler.
         idx = jnp.where(total > 0, widx, jax.random.randint(kf, (), 0, n))
@@ -337,7 +371,7 @@ def _kpp_init_jit(data: jnp.ndarray, key: jnp.ndarray, k: int, sample: int):
 
 def kmeans_plusplus_init_device(
     data, k: int, seed: int = 0, *, key: Optional[jnp.ndarray] = None,
-    sample: int = 100_000,
+    sample: int = 100_000, weights=None,
 ) -> jnp.ndarray:
     """k-means++ seeding fully on-device; returns ``[k, d]`` f32 seeds.
 
@@ -354,7 +388,11 @@ def kmeans_plusplus_init_device(
         )
     if key is None:
         key = jax.random.PRNGKey(int(seed))
-    return _kpp_init_jit(data, key, int(k), int(min(n, max(sample, k))))
+    if weights is not None:
+        weights = jnp.asarray(weights, jnp.float32).reshape(-1)
+    return _kpp_init_jit(
+        data, key, int(k), int(min(n, max(sample, k))), weights
+    )
 
 
 def _validate_kmeans_args(n: int, k: int, max_iters: int) -> None:
@@ -382,6 +420,7 @@ def lloyd(
     init: str = "sample",
     spherical: bool = False,
     init_centroids=None,
+    weights=None,
 ) -> KMeansResult:
     """Train ``k`` centroids with Lloyd's algorithm (reference
     ``lbg_quantize``, src/core/vector.rs:390-461).
@@ -406,12 +445,32 @@ def lloyd(
     ``init_centroids`` (``[k, d]``) warm-starts Lloyd refinement from
     explicit centroids (the faiss ``Clustering`` init-centroids path —
     incremental re-training, OPQ-style outer loops), overriding ``init``.
+
+    ``weights`` (``[n]``, non-negative) are per-sample importances (the
+    faiss ``Clustering`` sample-weight semantics): centroid updates
+    become Σ w·x / Σ w, inertia Σ w·d², k-means++ draws ∝ w·D², and a
+    zero-weight point never influences the solution. Assignment is
+    unchanged. The weighted accumulate runs the XLA path (the fused
+    Pallas kernel is unweighted).
     """
     data = check_training_matrix(data)
     n, d = data.shape
     k = int(k)
     max_iters = int(max_iters)
     _validate_kmeans_args(n, k, max_iters)
+    if weights is not None:
+        weights = jnp.asarray(weights, jnp.float32).reshape(-1)
+        if weights.shape[0] != n:
+            raise InvalidParameter(
+                "weights", f"expected [{n}], got [{weights.shape[0]}]"
+            )
+        if bool(jnp.any(~jnp.isfinite(weights)) | jnp.any(weights < 0)):
+            raise InvalidParameter(
+                "weights", "must be finite and non-negative"
+            )
+        if not bool(jnp.sum(weights) > 0):
+            raise InvalidParameter("weights", "must have positive mass")
+        use_pallas = False  # the fused accumulate is unweighted
     if key is None:
         key = jax.random.PRNGKey(int(seed))
     if block_rows is None:
@@ -432,6 +491,7 @@ def lloyd(
             _lloyd_from_init_jit(
                 data, seeds, key, max_iters, float(eps),
                 int(block_rows), bool(use_pallas), bool(spherical),
+                weights,
             )
         )
         return KMeansResult(
@@ -442,11 +502,14 @@ def lloyd(
         # (round-2 fix: the host sampler pulled the whole corpus through
         # the ~MB/s tunnel before subsampling).
         key, kpp_key = jax.random.split(key)
-        seeds = _kpp_init_jit(data, kpp_key, k, int(min(n, 100_000)))
+        seeds = _kpp_init_jit(
+            data, kpp_key, k, int(min(n, 100_000)), weights
+        )
         centroids, assignments, inertia, iterations, converged = (
             _lloyd_from_init_jit(
                 data, seeds, key, max_iters, float(eps),
                 int(block_rows), bool(use_pallas), bool(spherical),
+                weights,
             )
         )
         return KMeansResult(
@@ -455,6 +518,21 @@ def lloyd(
     if init != "sample":
         raise InvalidParameter(
             "init", f"expected 'sample' or 'kmeans++', got {init!r}"
+        )
+    if weights is not None:
+        # Reference-style init (k distinct uniform rows), then weighted
+        # refinement through the shared from-init path.
+        key, init_key = jax.random.split(key)
+        init_idx = jax.random.choice(init_key, n, (k,), replace=False)
+        seeds = jnp.take(data, init_idx, axis=0)
+        centroids, assignments, inertia, iterations, converged = (
+            _lloyd_from_init_jit(
+                data, seeds, key, max_iters, float(eps),
+                int(block_rows), False, bool(spherical), weights,
+            )
+        )
+        return KMeansResult(
+            centroids, assignments, inertia, iterations, converged
         )
     centroids, assignments, inertia, iterations, converged = _lloyd_jit(
         data, key, k, max_iters, float(eps), int(block_rows),
@@ -476,6 +554,7 @@ def _lloyd_from_init_jit(
     block_rows: int,
     use_pallas: bool = False,
     spherical: bool = False,
+    weights: Optional[jnp.ndarray] = None,
 ):
     """Lloyd refinement from explicit initial centroids."""
     k = centroids0.shape[0]
@@ -483,7 +562,7 @@ def _lloyd_from_init_jit(
         centroids0 = _normalize_rows(centroids0)
     _, loop_key = jax.random.split(key)
     body = _lloyd_body_factory(
-        data, k, eps, block_rows, use_pallas, spherical
+        data, k, eps, block_rows, use_pallas, spherical, weights
     )
 
     def cond(state):
@@ -494,6 +573,8 @@ def _lloyd_from_init_jit(
         cond, body, (centroids0, loop_key, jnp.int32(0), jnp.bool_(True))
     )
     assignments, sq_dists = _assign_codes(data, centroids, block_rows)
+    if weights is not None:
+        sq_dists = sq_dists * weights
     return centroids, assignments, jnp.sum(sq_dists), iterations, (
         jnp.logical_not(changed)
     )
