@@ -192,3 +192,36 @@ class TestWarmStartAndPersistence:
         p = km.save(str(tmp_path / "km0"))
         back = Kmeans.load(p)
         assert back.centroids is None and "untrained" in repr(back)
+
+
+class TestKmeansWeights:
+    def test_weighted_train_runs_and_biases_centroids(self):
+        r = np.random.default_rng(31)
+        a = r.normal(0, 0.2, (300, 8)).astype(np.float32)
+        b = (r.normal(0, 0.2, (300, 8)) + 5.0).astype(np.float32)
+        x = np.concatenate([a, b])
+        w = np.concatenate(
+            [np.full(300, 100.0), np.ones(300)]
+        ).astype(np.float32)
+        km = Kmeans(8, 1, niter=10, seed=0)
+        km.train(x, weights=w)
+        # one centroid, overwhelmingly weighted toward cluster a
+        c = np.asarray(km.centroids)[0]
+        assert np.linalg.norm(c - a.mean(0)) < np.linalg.norm(
+            c - b.mean(0)
+        )
+
+    def test_weights_follow_subsample(self):
+        r = np.random.default_rng(32)
+        x = r.normal(size=(4000, 4)).astype(np.float32)
+        w = r.uniform(0.1, 2.0, 4000).astype(np.float32)
+        km = Kmeans(4, 4, niter=3, seed=1, max_points_per_centroid=64)
+        obj = km.train(x, weights=w)  # subsample cap 256 < 4000
+        assert np.isfinite(obj)
+
+    def test_bad_weight_length(self):
+        r = np.random.default_rng(33)
+        x = r.normal(size=(100, 4)).astype(np.float32)
+        km = Kmeans(4, 4, niter=2)
+        with pytest.raises(InvalidParameter):
+            km.train(x, weights=np.ones(5, np.float32))

@@ -84,16 +84,18 @@ class Kmeans:
 
     # -- training ------------------------------------------------------------
 
-    def _subsample(self, data: jnp.ndarray) -> jnp.ndarray:
+    def _subsample(self, data: jnp.ndarray, weights=None):
         cap = self.k * self.max_points_per_centroid
         n = data.shape[0]
         if self.max_points_per_centroid == 0 or n <= cap:
-            return data
+            return data, weights
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 0x5AB5)
         idx = jax.random.choice(key, n, shape=(cap,), replace=False)
-        return jnp.take(data, idx, axis=0)
+        return jnp.take(data, idx, axis=0), (
+            None if weights is None else jnp.take(weights, idx)
+        )
 
-    def train(self, data, *, init_centroids=None) -> float:
+    def train(self, data, *, init_centroids=None, weights=None) -> float:
         """Run ``nredo`` seeded restarts; keep the lowest-inertia centroids.
 
         Returns the best objective (sum of squared distances on the
@@ -102,6 +104,11 @@ class Kmeans:
         ``init_centroids`` (``[k, d]``) warm-starts the refinement from
         explicit centroids (incremental re-training); the start is then
         deterministic, so a single run replaces the ``nredo`` restarts.
+
+        ``weights`` ([n], non-negative) are per-sample importances (the
+        faiss ``Clustering`` weight semantics; see
+        :func:`vq_tpu.ops.kmeans.lloyd`); the training subsample carries
+        its points' weights.
         """
         data = check_training_matrix(data)
         if data.shape[1] != self.d:
@@ -112,7 +119,14 @@ class Kmeans:
             raise InvalidParameter(
                 "data", f"need at least k={self.k} rows, got {data.shape[0]}"
             )
-        sample = self._subsample(data)
+        if weights is not None:
+            weights = jnp.asarray(weights, jnp.float32).reshape(-1)
+            if weights.shape[0] != data.shape[0]:
+                raise InvalidParameter(
+                    "weights",
+                    f"expected [{data.shape[0]}], got [{weights.shape[0]}]",
+                )
+        sample, weights = self._subsample(data, weights)
         base = jax.random.PRNGKey(self.seed)
         best: Optional[KMeansResult] = None
         self.all_objs = []
@@ -126,6 +140,7 @@ class Kmeans:
                 init=self.init,
                 spherical=self.spherical,
                 init_centroids=init_centroids,
+                weights=weights,
             )
             obj = float(res.inertia)
             self.all_objs.append(obj)
