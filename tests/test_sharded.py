@@ -103,6 +103,42 @@ class TestShardedLloyd:
         assert res.centroids.shape == (8, 16)
 
 
+class TestShardedWeightedLloyd:
+    def test_unit_weights_match_unweighted_exactly(self, data):
+        from vq_tpu.parallel import sharded_lloyd
+
+        r_u = sharded_lloyd(data, 8, max_iters=8, seed=3)
+        r_w = sharded_lloyd(
+            data, 8, max_iters=8, seed=3,
+            weights=np.ones(data.shape[0], np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_u.centroids), np.asarray(r_w.centroids),
+            atol=1e-6,
+        )
+
+    def test_weighted_objective_matches_duplication(self, data):
+        from vq_tpu.parallel import sharded_lloyd
+
+        n = data.shape[0]
+        xd = np.concatenate([data, data[: n // 4]])
+        w = np.ones(n, np.float32)
+        w[: n // 4] = 2.0
+        r_dup = sharded_lloyd(xd, 8, max_iters=12, seed=5)
+        r_wt = sharded_lloyd(data, 8, max_iters=12, seed=5, weights=w)
+        # different inits (n differs) — converged objectives agree
+        np.testing.assert_allclose(
+            float(r_dup.inertia), float(r_wt.inertia), rtol=0.05
+        )
+
+    def test_bad_weight_length(self, data):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.parallel import sharded_lloyd
+
+        with pytest.raises(InvalidParameter):
+            sharded_lloyd(data, 4, weights=np.ones(3, np.float32))
+
+
 class TestShardedIVFSearch:
     def test_matches_single_device(self):
         # List-sharded IVF search over the 8-device mesh must return the

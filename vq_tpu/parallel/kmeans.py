@@ -50,14 +50,18 @@ class ShardedKMeansResult(NamedTuple):
     inertia: jnp.ndarray  # [] f32 — global sum of squared assignment dists
 
 
-def _local_accumulate(xs, cb, block_rows, row_offset=0, total_rows=None):
+def _local_accumulate(
+    xs, cb, block_rows, row_offset=0, total_rows=None, ws=None
+):
     """Per-device blockwise assign+accumulate over subspace-batched data.
 
     xs: [n_local, m_l, s]; cb: [m_l, k, s]
     -> sums [m_l, k, s], counts [m_l, k], inertia [].
     ``row_offset``/``total_rows`` let a caller accumulate a slice of the
     local shard (used by the overlapped step) while masking pad rows
-    against the true local row count.
+    against the true local row count. ``ws [n_local]`` are per-sample
+    weights (faiss ``Clustering`` semantics): accumulators become
+    Σ w·x / Σ w / Σ w·d²; assignment is unaffected.
     """
     n, m, s = xs.shape
     if total_rows is None:
@@ -67,11 +71,19 @@ def _local_accumulate(xs, cb, block_rows, row_offset=0, total_rows=None):
     pad = (-n) % block_rows
     padded = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
     tiles = padded.reshape(-1, block_rows, m, s)
+    wtiles = (
+        None if ws is None
+        else jnp.pad(ws, (0, pad)).reshape(-1, block_rows)
+    )
     base = jnp.arange(block_rows, dtype=jnp.int32) + row_offset
 
     def body(carry, inp):
         sums, counts, inertia = carry
-        tile, bidx = inp  # [B, m_l, s]
+        if ws is None:
+            tile, bidx = inp  # [B, m_l, s]
+            wtile = None
+        else:
+            tile, bidx, wtile = inp
         valid = (base + bidx * block_rows) < total_rows
         xc = jnp.einsum(
             "bms,mks->bmk", tile, cb,
@@ -83,6 +95,8 @@ def _local_accumulate(xs, cb, block_rows, row_offset=0, total_rows=None):
         xx = jnp.sum(tile * tile, axis=-1)  # [B, m_l]
         mind = jnp.maximum(jnp.min(scores, axis=-1) + xx, 0.0)
         w = valid.astype(jnp.float32)
+        if wtile is not None:
+            w = w * wtile
         onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32) * w[:, None, None]
         sums = sums + jnp.einsum(
             "bmk,bms->mks", onehot, tile,
@@ -100,13 +114,17 @@ def _local_accumulate(xs, cb, block_rows, row_offset=0, total_rows=None):
         jnp.zeros_like(cc),
         jnp.sum(xs[0, 0, :1]) * 0.0,
     )
-    (sums, counts, inertia), _ = jax.lax.scan(
-        body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
-    )
+    xs_scan = (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
+    if wtiles is not None:
+        xs_scan = xs_scan + (wtiles,)
+    (sums, counts, inertia), _ = jax.lax.scan(body, init, xs_scan)
     return sums, counts, inertia
 
 
-def _make_sharded_step(mesh: Mesh, block_rows: int, overlap: bool = True):
+def _make_sharded_step(
+    mesh: Mesh, block_rows: int, overlap: bool = True,
+    weighted: bool = False,
+):
     """shard_map'd global accumulate: data-sharded in, psum-merged out.
 
     With ``overlap`` (the default, and the north star's collective/compute
@@ -116,19 +134,31 @@ def _make_sharded_step(mesh: Mesh, block_rows: int, overlap: bool = True):
     run the codebook-sized all-reduce concurrently with the second half's
     distance matmuls, instead of serializing one big psum after all local
     work. Results are identical up to f32 summation order.
+
+    ``weighted`` adds a data-sharded per-sample weight vector (signature
+    ``step(xs, ws, cb)``).
     """
+    in_specs = (P(DATA_AXIS, SUBSPACE_AXIS, None),)
+    if weighted:
+        in_specs = in_specs + (P(DATA_AXIS),)
+    in_specs = in_specs + (P(SUBSPACE_AXIS, None, None),)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, SUBSPACE_AXIS, None), P(SUBSPACE_AXIS, None, None)),
+        in_specs=in_specs,
         out_specs=(
             P(SUBSPACE_AXIS, None, None),
             P(SUBSPACE_AXIS, None),
             P(),
         ),
     )
-    def step(xs_local, cb_local):
+    def step(xs_local, *rest):
+        if weighted:
+            ws_local, cb_local = rest
+        else:
+            (cb_local,) = rest
+            ws_local = None
         # cb is only sub-sharded; mark it varying over the data axis too so
         # every intermediate (and the scan carry) has one consistent
         # varying-axis type.
@@ -139,6 +169,7 @@ def _make_sharded_step(mesh: Mesh, block_rows: int, overlap: bool = True):
             s1, c1, i1 = _local_accumulate(
                 xs_local[:half], cb_local, block_rows,
                 row_offset=0, total_rows=n_local,
+                ws=None if ws_local is None else ws_local[:half],
             )
             # psum of the first half's accumulators starts here; the second
             # half's matmuls have no data dependence on it.
@@ -148,13 +179,14 @@ def _make_sharded_step(mesh: Mesh, block_rows: int, overlap: bool = True):
             s2, c2, i2 = _local_accumulate(
                 xs_local[half:], cb_local, block_rows,
                 row_offset=half, total_rows=n_local,
+                ws=None if ws_local is None else ws_local[half:],
             )
             sums = s1 + jax.lax.psum(s2, DATA_AXIS)
             counts = c1 + jax.lax.psum(c2, DATA_AXIS)
             inertia = i1 + jax.lax.psum(i2, DATA_AXIS)
         else:
             sums, counts, inertia = _local_accumulate(
-                xs_local, cb_local, block_rows
+                xs_local, cb_local, block_rows, ws=ws_local
             )
             sums = jax.lax.psum(sums, DATA_AXIS)
             counts = jax.lax.psum(counts, DATA_AXIS)
@@ -188,9 +220,16 @@ def _sharded_train_jit(
     eps: float,
     block_rows: int,
     mesh: Mesh,
+    ws: Optional[jnp.ndarray] = None,  # [n] global, sharded P(data)
 ):
     n, m, s = xs.shape
-    step = _make_sharded_step(mesh, block_rows)
+    raw_step = _make_sharded_step(
+        mesh, block_rows, weighted=ws is not None
+    )
+    step = (
+        raw_step if ws is None
+        else (lambda xs_, cb_: raw_step(xs_, ws, cb_))
+    )
     cb0 = _init_codebooks(xs, k, base_key)
     cb0 = jax.lax.with_sharding_constraint(
         cb0, NamedSharding(mesh, P(SUBSPACE_AXIS, None, None))
@@ -255,12 +294,15 @@ def sharded_pq_train(
     mesh: Optional[Mesh] = None,
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
+    weights=None,
 ) -> ShardedKMeansResult:
     """Train PQ codebooks over a corpus sharded across the mesh.
 
     ``data`` is ``[n, d]`` (host array or already-sharded global array);
     returns codebooks ``[m, k, sub]`` replicated along data, sharded along
     the mesh's subspace axis. Validation matches ``pq_train``.
+    ``weights [n]`` are per-sample importances (see
+    :func:`vq_tpu.ops.kmeans.lloyd`), sharded with the data rows.
     """
     data, mesh = _prepare(data, mesh)
     n, dim = data.shape
@@ -290,11 +332,19 @@ def sharded_pq_train(
     xs = jax.device_put(
         xs, NamedSharding(mesh, P(DATA_AXIS, SUBSPACE_AXIS, None))
     )
+    ws = None
+    if weights is not None:
+        ws = jnp.asarray(weights, jnp.float32).reshape(-1)
+        if ws.shape[0] != n:
+            raise InvalidParameter(
+                "weights", f"expected [{n}], got [{ws.shape[0]}]"
+            )
+        ws = jax.device_put(ws, NamedSharding(mesh, P(DATA_AXIS)))
     if block_rows is None:
         block_rows = default_block_rows(max(1, n // data_shards), k, sub)
     key = jax.random.PRNGKey(int(seed))
     cb, iterations, converged, inertia = _sharded_train_jit(
-        xs, key, k, int(max_iters), float(eps), int(block_rows), mesh
+        xs, key, k, int(max_iters), float(eps), int(block_rows), mesh, ws
     )
     return ShardedKMeansResult(cb, iterations, converged, inertia)
 
@@ -308,6 +358,7 @@ def sharded_lloyd(
     mesh: Optional[Mesh] = None,
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
+    weights=None,
 ) -> ShardedKMeansResult:
     """Plain sharded k-means: the ``m == 1`` case of :func:`sharded_pq_train`.
 
@@ -315,7 +366,7 @@ def sharded_lloyd(
     """
     res = sharded_pq_train(
         data, 1, k, max_iters=max_iters, seed=seed, mesh=mesh, eps=eps,
-        block_rows=block_rows,
+        block_rows=block_rows, weights=weights,
     )
     return ShardedKMeansResult(
         res.centroids[0], res.iterations[0], res.converged[0], res.inertia
