@@ -543,3 +543,77 @@ def test_kmeans_nredo_is_best_of(data, k, nredo):
     np.testing.assert_array_equal(
         np.asarray(km.centroids), np.asarray(km2.centroids)
     )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=64, max_n=200, d=8),
+       k=st.integers(1, 5), kf=st.integers(1, 6))
+def test_refine_flat_equals_exact_rescoring(data, k, kf):
+    """A flat-f32 refiner returns EXACTLY the best-k of the base's
+    candidates under true squared-L2 — for any corpus, k, and k_factor."""
+    from vq_tpu import PQIndex, ProductQuantizer, RefineIndex
+
+    pq = ProductQuantizer(data, 2, 4, max_iters=2, seed=1)
+    base = PQIndex(ProductQuantizer(codebooks=pq.codebooks))
+    ref = RefineIndex(base, "flat")
+    ref.add(data)
+    q = data[:3] + 0.01
+    ids, d = ref.search(q, k, k_factor=kf)
+    fetch = max(k, kf * k)
+    b_ids, _ = base.search(q, min(fetch, len(data)))
+    for i in range(3):
+        cand = np.asarray(b_ids)[i]
+        cand = cand[cand >= 0]
+        exact = np.sum((data[cand] - q[i]) ** 2, axis=-1)
+        order = np.argsort(exact, kind="stable")[:k]
+        got = np.asarray(ids)[i]
+        got = got[got >= 0]
+        np.testing.assert_array_equal(got, cand[order][: len(got)])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=32, max_n=160, d=9),
+       levels=st.sampled_from([2, 4, 16]))
+def test_sq_subbyte_pack_is_lossless(data, levels):
+    """Packed sub-byte SQ storage decodes to exactly the same rows as
+    the unpacked quantizer for any corpus, level count, and odd dims."""
+    from vq_tpu import PerDimScalarQuantizer, SQIndex
+
+    sq = PerDimScalarQuantizer.from_data(data, levels)
+    idx = SQIndex(sq)
+    idx.add(data)
+    rec = np.asarray(idx.reconstruct(np.arange(len(data))))
+    expect = np.asarray(sq.dequantize(sq.quantize(data)))
+    np.testing.assert_array_equal(rec, expect)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=corpus_2d(min_n=40, max_n=120, d=8),
+       reps=st.integers(2, 3), k=st.integers(2, 4))
+def test_weighted_accumulate_duplication_equivalence(data, reps, k):
+    """One weighted assign+accumulate pass == the same pass over the
+    duplicated corpus, for ANY data (the per-iteration invariant behind
+    weighted Lloyd; end-to-end runs additionally depend on random
+    empty-cluster reseeds, which are not weight-aware by design — those
+    are covered by the seeded unit test on non-degenerate data)."""
+    from vq_tpu.ops.kmeans import _assign_accumulate
+
+    n = data.shape[0]
+    dup = np.concatenate([data] + [data[: n // 4]] * (reps - 1))
+    w = np.ones(n, np.float32)
+    w[: n // 4] = float(reps)
+    cents = data[:k].astype(np.float32) + 0.25
+    s1, c1, i1 = _assign_accumulate(
+        np.asarray(dup), np.asarray(cents), 32
+    )
+    s2, c2, i2 = _assign_accumulate(
+        np.asarray(data), np.asarray(cents), 32, np.asarray(w)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-4)
+    np.testing.assert_allclose(float(i1), float(i2), rtol=1e-4, atol=1e-2)
