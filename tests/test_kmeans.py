@@ -393,3 +393,43 @@ class TestWeightedLloyd:
             lloyd(x, 4, weights=-np.ones(len(x), np.float32))
         with pytest.raises(InvalidParameter):
             lloyd(x, 4, weights=np.zeros(len(x), np.float32))
+
+
+class TestWeightedSeedingContract:
+    """Zero-weight points must never become centroids — through seeding,
+    kmeans++, OR empty-cluster reseeds (review regression)."""
+
+    def test_default_init_avoids_zero_weight_junk(self):
+        r = np.random.default_rng(59)
+        x = r.normal(size=(400, 8)).astype(np.float32)
+        junk = (r.normal(size=(200, 8)) + 100.0).astype(np.float32)
+        data = np.concatenate([x, junk])
+        w = np.concatenate(
+            [np.ones(400), np.zeros(200)]
+        ).astype(np.float32)
+        for init in ("sample", "kmeans++"):
+            res = lloyd(data, 8, max_iters=5, seed=3, init=init,
+                        weights=w)
+            c = np.asarray(res.centroids)
+            # no centroid anywhere near the +100 junk cloud
+            assert float(np.abs(c).max()) < 50.0, init
+
+    def test_needs_k_positive_weights(self):
+        r = np.random.default_rng(60)
+        x = r.normal(size=(100, 4)).astype(np.float32)
+        w = np.zeros(100, np.float32)
+        w[:2] = 1.0
+        with pytest.raises(InvalidParameter):
+            lloyd(x, 4, weights=w)
+
+    def test_kpp_device_validates_weights(self):
+        from vq_tpu.ops.kmeans import kmeans_plusplus_init_device
+
+        r = np.random.default_rng(61)
+        x = r.normal(size=(100, 4)).astype(np.float32)
+        with pytest.raises(InvalidParameter):
+            kmeans_plusplus_init_device(x, 3, weights=np.ones(7))
+        with pytest.raises(InvalidParameter):
+            kmeans_plusplus_init_device(
+                x, 3, weights=-np.ones(100, np.float32)
+            )

@@ -138,6 +138,15 @@ class TestShardedWeightedLloyd:
         with pytest.raises(InvalidParameter):
             sharded_lloyd(data, 4, weights=np.ones(3, np.float32))
 
+    def test_nan_weights_rejected(self, data):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.parallel import sharded_lloyd
+
+        w = np.ones(data.shape[0], np.float32)
+        w[0] = np.nan
+        with pytest.raises(InvalidParameter):
+            sharded_lloyd(data, 4, weights=w)
+
 
 class TestShardedIVFSearch:
     def test_matches_single_device(self):

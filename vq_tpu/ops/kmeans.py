@@ -248,6 +248,10 @@ def _lloyd_body_factory(
     weights=None,
 ):
     n = data.shape[0]
+    # Weighted empty-cluster reseeds draw ∝ w (inverse-CDF) so a
+    # zero-weight point can never become a centroid — the documented
+    # weight contract.
+    cw = None if weights is None else jnp.cumsum(weights)
 
     def body(state):
         centroids, key, it, _changed = state
@@ -257,7 +261,13 @@ def _lloyd_body_factory(
         )
         nonempty = counts > 0
         means = sums / jnp.maximum(counts, 1.0)[:, None]
-        reseed_idx = jax.random.randint(reseed_key, (k,), 0, n)
+        if cw is None:
+            reseed_idx = jax.random.randint(reseed_key, (k,), 0, n)
+        else:
+            u = jax.random.uniform(
+                reseed_key, (k,), dtype=jnp.float32
+            ) * cw[-1]
+            reseed_idx = jnp.clip(jnp.searchsorted(cw, u), 0, n - 1)
         reseeded = jnp.take(data, reseed_idx, axis=0)
         new_c = jnp.where(nonempty[:, None], means, reseeded)
         if spherical:
@@ -388,11 +398,30 @@ def kmeans_plusplus_init_device(
         )
     if key is None:
         key = jax.random.PRNGKey(int(seed))
-    if weights is not None:
-        weights = jnp.asarray(weights, jnp.float32).reshape(-1)
+    weights = _validate_weights(weights, n)
     return _kpp_init_jit(
         data, key, int(k), int(min(n, max(sample, k))), weights
     )
+
+
+def _validate_weights(weights, n: int, k: Optional[int] = None):
+    """Shared sample-weight validation -> f32 [n] array (or None)."""
+    if weights is None:
+        return None
+    w = jnp.asarray(weights, jnp.float32).reshape(-1)
+    if w.shape[0] != n:
+        raise InvalidParameter(
+            "weights", f"expected [{n}], got [{w.shape[0]}]"
+        )
+    if bool(jnp.any(~jnp.isfinite(w)) | jnp.any(w < 0)):
+        raise InvalidParameter("weights", "must be finite and non-negative")
+    if not bool(jnp.sum(w) > 0):
+        raise InvalidParameter("weights", "must have positive mass")
+    if k is not None and int(jnp.sum(w > 0)) < k:
+        raise InvalidParameter(
+            "weights", f"need at least k={k} positive-weight rows"
+        )
+    return w
 
 
 def _validate_kmeans_args(n: int, k: int, max_iters: int) -> None:
@@ -446,30 +475,23 @@ def lloyd(
     explicit centroids (the faiss ``Clustering`` init-centroids path —
     incremental re-training, OPQ-style outer loops), overriding ``init``.
 
-    ``weights`` (``[n]``, non-negative) are per-sample importances (the
-    faiss ``Clustering`` sample-weight semantics): centroid updates
-    become Σ w·x / Σ w, inertia Σ w·d², k-means++ draws ∝ w·D², and a
+    ``weights`` (``[n]``, non-negative, ≥k strictly positive) are
+    per-sample importances (the faiss ``Clustering`` sample-weight
+    semantics): centroid updates become Σ w·x / Σ w, inertia Σ w·d²,
+    seeding and empty-cluster reseeds draw ∝ w (k-means++ ∝ w·D²), so a
     zero-weight point never influences the solution. Assignment is
     unchanged. The weighted accumulate runs the XLA path (the fused
-    Pallas kernel is unweighted).
+    Pallas kernel is unweighted). The weighted samplers use different
+    key streams than the unweighted ones — pass ``init_centroids`` for
+    exact weighted/unweighted A/B comparisons.
     """
     data = check_training_matrix(data)
     n, d = data.shape
     k = int(k)
     max_iters = int(max_iters)
     _validate_kmeans_args(n, k, max_iters)
+    weights = _validate_weights(weights, n, k)
     if weights is not None:
-        weights = jnp.asarray(weights, jnp.float32).reshape(-1)
-        if weights.shape[0] != n:
-            raise InvalidParameter(
-                "weights", f"expected [{n}], got [{weights.shape[0]}]"
-            )
-        if bool(jnp.any(~jnp.isfinite(weights)) | jnp.any(weights < 0)):
-            raise InvalidParameter(
-                "weights", "must be finite and non-negative"
-            )
-        if not bool(jnp.sum(weights) > 0):
-            raise InvalidParameter("weights", "must have positive mass")
         use_pallas = False  # the fused accumulate is unweighted
     if key is None:
         key = jax.random.PRNGKey(int(seed))
@@ -520,10 +542,16 @@ def lloyd(
             "init", f"expected 'sample' or 'kmeans++', got {init!r}"
         )
     if weights is not None:
-        # Reference-style init (k distinct uniform rows), then weighted
-        # refinement through the shared from-init path.
+        # Weighted sample init: k distinct rows ∝ w via Gumbel top-k
+        # (log(0) = -inf, so zero-weight rows are never seeds — the
+        # documented weight contract; parity with the unweighted key
+        # stream is deliberately traded for it, pass init_centroids for
+        # exact A/B comparisons).
         key, init_key = jax.random.split(key)
-        init_idx = jax.random.choice(init_key, n, (k,), replace=False)
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(init_key, (n,), jnp.float32, 1e-12, 1.0)
+        ))
+        _, init_idx = jax.lax.top_k(jnp.log(weights) + g, k)
         seeds = jnp.take(data, init_idx, axis=0)
         centroids, assignments, inertia, iterations, converged = (
             _lloyd_from_init_jit(

@@ -332,13 +332,10 @@ def sharded_pq_train(
     xs = jax.device_put(
         xs, NamedSharding(mesh, P(DATA_AXIS, SUBSPACE_AXIS, None))
     )
-    ws = None
-    if weights is not None:
-        ws = jnp.asarray(weights, jnp.float32).reshape(-1)
-        if ws.shape[0] != n:
-            raise InvalidParameter(
-                "weights", f"expected [{n}], got [{ws.shape[0]}]"
-            )
+    from vq_tpu.ops.kmeans import _validate_weights
+
+    ws = _validate_weights(weights, n, k)
+    if ws is not None:
         ws = jax.device_put(ws, NamedSharding(mesh, P(DATA_AXIS)))
     if block_rows is None:
         block_rows = default_block_rows(max(1, n // data_shards), k, sub)

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vq_tpu.errors import DimensionMismatch, InvalidData, InvalidParameter
+from vq_tpu.errors import (
+    DimensionMismatch,
+    EmptyInput,
+    InvalidData,
+    InvalidParameter,
+)
 from vq_tpu.parallel.mesh import make_mesh
 from vq_tpu.refine import RefineIndex, _build_refine_fn
 
@@ -73,7 +78,7 @@ def sharded_refine_search_core(
     refine codes re-score them. Returns a traceable ``(fn, arrays)``
     pair for :meth:`vq_tpu.serving.BatchPipeline.from_core`."""
     if ref._codes is None:
-        raise InvalidData("index is empty — add() vectors first")
+        raise EmptyInput("index is empty — add() vectors first")
     if ref._codes.shape[0] != ref.base.ntotal:
         raise InvalidData(
             "refine codes out of sync with the base index — add "
@@ -87,18 +92,30 @@ def sharded_refine_search_core(
     fetch = max(k, int(math.ceil(float(k_factor) * k)))
     base_fn, base_arrays = _base_core(ref.base, fetch, mesh, **base_params)
 
-    rep = NamedSharding(mesh, P())
-    arrays = tuple(base_arrays) + (jax.device_put(ref._codes, rep),)
     rec_fn = None
     if ref.residual:
         rec_fn, rec_arrays = ref.base._reconstruct_core()
-        arrays = arrays + tuple(
-            jax.device_put(a, rep) for a in rec_arrays
-        )
+    # Replicated placements cached per (mesh, codes build) — the other
+    # sharded cores' convention; without it every eager call re-ships
+    # the full refine code table to all devices.
+    cache = getattr(ref, "_replica_cache", None)
+    if (
+        cache is not None and cache[0] is mesh
+        and cache[1] is ref._codes
+    ):
+        placed = cache[2]
+    else:
+        rep = NamedSharding(mesh, P())
+        placed = (jax.device_put(ref._codes, rep),)
+        if ref.residual:
+            placed = placed + tuple(
+                jax.device_put(a, rep) for a in rec_arrays
+            )
+        ref._replica_cache = (mesh, ref._codes, placed)
     fn = _build_refine_fn(
         base_fn, len(base_arrays), ref._decode, rec_fn, ref.metric, k
     )
-    return fn, arrays
+    return fn, tuple(base_arrays) + placed
 
 
 def sharded_refine_search(
