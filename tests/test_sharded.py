@@ -148,6 +148,60 @@ class TestShardedWeightedLloyd:
             sharded_lloyd(data, 4, weights=w)
 
 
+class TestShardedOPQ:
+    def test_beats_plain_pq_and_warm_start(self):
+        from vq_tpu.models.pq import pq_decode
+        from vq_tpu.parallel import (
+            sharded_opq_train,
+            sharded_pq_encode,
+            sharded_pq_train,
+        )
+
+        r = np.random.default_rng(67)
+        d = 16
+        a = r.normal(size=(d, d)) * (0.85 ** np.arange(d))[None, :]
+        x = (r.normal(size=(1600, d)) @ a.T).astype(np.float32)
+
+        rot, cb = sharded_opq_train(
+            x, 4, 8, opq_iters=5, pq_iters=3, final_pq_iters=5, seed=1
+        )
+        rot_np = np.asarray(rot)
+        np.testing.assert_allclose(
+            rot_np @ rot_np.T, np.eye(d), atol=1e-4
+        )
+        xr = x @ rot_np
+        codes = sharded_pq_encode(xr, cb)
+        mse_opq = float(
+            np.mean((np.asarray(pq_decode(codes, cb)) - xr) ** 2)
+        )
+        cb_pq = sharded_pq_train(x, 4, 8, max_iters=13, seed=1).centroids
+        codes_pq = sharded_pq_encode(x, cb_pq)
+        mse_pq = float(
+            np.mean((np.asarray(pq_decode(codes_pq, cb_pq)) - x) ** 2)
+        )
+        assert mse_opq < mse_pq  # the learned rotation pays
+
+        # warm start is a true passthrough at zero iterations
+        init = np.asarray(cb)
+        res0 = sharded_pq_train(
+            xr, 4, 8, max_iters=0, seed=2, init_codebooks=init
+        )
+        np.testing.assert_allclose(
+            np.asarray(res0.centroids), init, atol=0
+        )
+
+    def test_bad_init_shape(self):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.parallel import sharded_pq_train
+
+        r = np.random.default_rng(68)
+        x = r.normal(size=(200, 16)).astype(np.float32)
+        with pytest.raises(InvalidParameter):
+            sharded_pq_train(
+                x, 4, 8, init_codebooks=np.zeros((4, 8, 2), np.float32)
+            )
+
+
 class TestShardedIVFSearch:
     def test_matches_single_device(self):
         # List-sharded IVF search over the 8-device mesh must return the

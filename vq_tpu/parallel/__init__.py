@@ -18,6 +18,7 @@ from vq_tpu.parallel.ivf import (
     sharded_ivf_search,
     sharded_ivf_search_core,
 )
+from vq_tpu.parallel.opq import sharded_opq_train
 from vq_tpu.parallel.refine import (
     sharded_refine_search,
     sharded_refine_search_core,
@@ -50,6 +51,7 @@ __all__ = [
     "ShardedKMeansResult",
     "sharded_lloyd",
     "sharded_pq_train",
+    "sharded_opq_train",
     "sharded_from_callback",
     "sharded_synthetic_corpus",
     "sharded_pq_encode",

@@ -221,6 +221,7 @@ def _sharded_train_jit(
     block_rows: int,
     mesh: Mesh,
     ws: Optional[jnp.ndarray] = None,  # [n] global, sharded P(data)
+    cb_init: Optional[jnp.ndarray] = None,  # [m, k, s] warm start
 ):
     n, m, s = xs.shape
     raw_step = _make_sharded_step(
@@ -230,7 +231,7 @@ def _sharded_train_jit(
         raw_step if ws is None
         else (lambda xs_, cb_: raw_step(xs_, ws, cb_))
     )
-    cb0 = _init_codebooks(xs, k, base_key)
+    cb0 = _init_codebooks(xs, k, base_key) if cb_init is None else cb_init
     cb0 = jax.lax.with_sharding_constraint(
         cb0, NamedSharding(mesh, P(SUBSPACE_AXIS, None, None))
     )
@@ -295,6 +296,7 @@ def sharded_pq_train(
     eps: float = CONVERGENCE_EPS,
     block_rows: Optional[int] = None,
     weights=None,
+    init_codebooks=None,
 ) -> ShardedKMeansResult:
     """Train PQ codebooks over a corpus sharded across the mesh.
 
@@ -303,6 +305,9 @@ def sharded_pq_train(
     the mesh's subspace axis. Validation matches ``pq_train``.
     ``weights [n]`` are per-sample importances (see
     :func:`vq_tpu.ops.kmeans.lloyd`), sharded with the data rows.
+    ``init_codebooks [m, k, sub]`` warm-starts the refinement (the
+    sharded analog of ``lloyd(init_centroids=...)``; used by
+    :func:`sharded_opq_train`'s alternation).
     """
     data, mesh = _prepare(data, mesh)
     n, dim = data.shape
@@ -339,9 +344,18 @@ def sharded_pq_train(
         ws = jax.device_put(ws, NamedSharding(mesh, P(DATA_AXIS)))
     if block_rows is None:
         block_rows = default_block_rows(max(1, n // data_shards), k, sub)
+    cb_init = None
+    if init_codebooks is not None:
+        cb_init = jnp.asarray(init_codebooks, jnp.float32)
+        if cb_init.shape != (m, k, sub):
+            raise InvalidParameter(
+                "init_codebooks",
+                f"expected [{m}, {k}, {sub}], got {tuple(cb_init.shape)}",
+            )
     key = jax.random.PRNGKey(int(seed))
     cb, iterations, converged, inertia = _sharded_train_jit(
-        xs, key, k, int(max_iters), float(eps), int(block_rows), mesh, ws
+        xs, key, k, int(max_iters), float(eps), int(block_rows), mesh,
+        ws, cb_init,
     )
     return ShardedKMeansResult(cb, iterations, converged, inertia)
 
