@@ -201,6 +201,23 @@ class TestShardedOPQ:
                 x, 4, 8, init_codebooks=np.zeros((4, 8, 2), np.float32)
             )
 
+    def test_two_d_mesh(self):
+        from vq_tpu.parallel import sharded_opq_train
+        from vq_tpu.parallel.mesh import make_mesh
+
+        r = np.random.default_rng(69)
+        x = r.normal(size=(800, 16)).astype(np.float32)
+        mesh = make_mesh(n_devices=8, subspace_parallel=2)
+        rot, cb = sharded_opq_train(
+            x, 4, 8, opq_iters=2, pq_iters=2, final_pq_iters=2,
+            seed=1, mesh=mesh,
+        )
+        rot_np = np.asarray(rot)
+        np.testing.assert_allclose(
+            rot_np @ rot_np.T, np.eye(16), atol=1e-4
+        )
+        assert np.asarray(cb).shape == (4, 8, 4)
+
 
 class TestShardedIVFSearch:
     def test_matches_single_device(self):
