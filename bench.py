@@ -5,14 +5,22 @@ vectors — BASELINE.json config 3's shape) on the available accelerator and
 compares against the multithreaded C++ CPU kernel library (the hsdlib-analog
 baseline, vq_tpu/native/hsd.cpp) measured on this same machine.
 
-Prints ONE JSON line:
+Prints ONE JSON line — always, even on failure:
     {"metric": ..., "value": N, "unit": "vectors/sec", "vs_baseline": N}
+    {"metric": ..., "value": null, "unit": "vectors/sec", "vs_baseline": null,
+     "error": "..."}   # after bounded retries against a tunnel outage
+
+The TPU here is reached through a tunnel that has documented multi-minute
+outages (.claude/skills/verify/SKILL.md): backend init or the first device op
+can raise UNAVAILABLE or hang. Every device-touching stage therefore runs
+under a bounded retry with backoff, and any persistent failure degrades to a
+parseable JSON error line instead of a traceback (round-2 verdict weak #1).
 """
 
 import json
-import statistics
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -21,6 +29,39 @@ N_DEVICE = 1_000_000
 N_CPU = 100_000
 BLOCK_ROWS = 8192
 SEED = 66  # reference eval harness seed (src/bin/common.rs:9)
+
+RETRIES = 3
+BACKOFF_S = (20.0, 60.0)  # sleep before retry 2, retry 3
+
+
+def _with_retries(fn, label: str):
+    """Run ``fn`` with bounded retries; re-raise the last error annotated."""
+    last = None
+    for attempt in range(RETRIES):
+        if attempt:
+            time.sleep(BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)])
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — tunnel errors vary by layer
+            last = e
+            print(
+                f"# bench retry {attempt + 1}/{RETRIES} failed at {label}: "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+    raise RuntimeError(f"{label} failed after {RETRIES} attempts: {last!r}")
+
+
+def _probe_backend() -> str:
+    """First device contact: init the backend + run one tiny op."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    # A data-dependent readback forces real execution through the tunnel.
+    val = float(jnp.sum(jnp.ones((8, 8))))
+    assert val == 64.0, val
+    return backend
 
 
 def measure_device() -> float:
@@ -91,14 +132,22 @@ def measure_cpu_baseline() -> float | None:
 
 
 def main() -> None:
-    device_vps = measure_device()
-    cpu_vps = measure_cpu_baseline()
     result = {
         "metric": "pq_8x256_128d_encode_throughput",
-        "value": round(device_vps, 1),
+        "value": None,
         "unit": "vectors/sec",
-        "vs_baseline": round(device_vps / cpu_vps, 2) if cpu_vps else None,
+        "vs_baseline": None,
     }
+    try:
+        _with_retries(_probe_backend, "backend init probe")
+        device_vps = _with_retries(measure_device, "device measurement")
+        result["value"] = round(device_vps, 1)
+        cpu_vps = measure_cpu_baseline()
+        if cpu_vps:
+            result["vs_baseline"] = round(device_vps / cpu_vps, 2)
+    except Exception as e:  # noqa: BLE001 — must still print the JSON line
+        result["error"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
     print(json.dumps(result))
 
 
