@@ -284,6 +284,100 @@ class TestIncrementalAdd:
             index_factory(32, "HNSW16,RSQ8")
 
 
+class TestRemoveIds:
+    """faiss remove_ids contract on the graph: positional removal with
+    sequential renumbering, plus delete-repair (bridge edges through the
+    removed nodes' neighborhoods) so navigability survives."""
+
+    def test_renumbers_and_repairs(self, corpus, queries):
+        gi = GraphIndex.build(corpus, degree=24, seed=21)
+        r = np.random.default_rng(21)
+        drop = np.sort(
+            r.choice(corpus.shape[0], 500, replace=False)
+        )
+        assert gi.remove_ids(drop) == 500
+        keep = np.setdiff1d(np.arange(corpus.shape[0]), drop)
+        assert gi.ntotal == keep.size
+        # rows compacted in original order (sequential renumbering)
+        np.testing.assert_array_equal(
+            np.asarray(gi.reconstruct(np.arange(5))), corpus[keep[:5]]
+        )
+        # recall vs ground truth over the SURVIVING corpus
+        rem = corpus[keep]
+        d = np.sum((rem[None] - np.asarray(queries)[:, None]) ** 2, -1)
+        g = np.argsort(d, kind="stable", axis=1)[:, :10]
+        ids, _ = gi.search(queries, k=10, beam=64)
+        assert np.asarray(ids).max() < keep.size
+        assert recall(np.asarray(ids), g) >= 0.9
+
+    def test_removed_top1_yields_runner_up(self, corpus):
+        gi = GraphIndex.build(corpus[:1000], degree=16, seed=22)
+        q = corpus[7]
+        # exact runner-up among the survivors
+        d = np.sum((corpus[:1000] - q) ** 2, axis=-1)
+        d[7] = np.inf
+        runner = int(np.argmin(d))
+        gi.remove_ids([7])
+        ids, _ = gi.search(q, k=1, beam=48)
+        got = int(np.asarray(ids)[0, 0])
+        want = runner - 1 if runner > 7 else runner  # renumbered
+        assert got == want
+
+    def test_noop_and_validation(self, corpus):
+        gi = GraphIndex.build(corpus[:200], degree=8, seed=23)
+        assert gi.remove_ids(np.zeros((0,), np.int32)) == 0
+        assert gi.remove_ids([5, 5, 5]) == 1  # dedup counts once
+        with pytest.raises(InvalidParameter):
+            gi.remove_ids([500])
+        with pytest.raises(InvalidParameter):
+            gi.remove_ids([-1])
+
+    def test_remove_all_then_empty(self, corpus):
+        gi = GraphIndex.build(corpus[:100], degree=8, seed=24)
+        assert gi.remove_ids(np.arange(100)) == 100
+        assert gi.ntotal == 0
+        with pytest.raises(EmptyInput):
+            gi.search(corpus[:1], k=1)
+        with pytest.raises(EmptyInput):
+            gi.remove_ids([0])
+
+    def test_entry_points_removed_falls_back(self, corpus):
+        gi = GraphIndex.build(corpus[:800], degree=8, seed=25)
+        drop = np.unique(np.asarray(gi.entry))
+        gi.remove_ids(drop)
+        assert gi.entry.shape[0] >= 1  # medoid fallback
+        ids, _ = gi.search(corpus[:4], k=3, beam=32)
+        assert (np.asarray(ids)[:, 0] >= 0).all()
+
+    def test_save_load_after_removal(self, corpus, tmp_path):
+        gi = GraphIndex.build(corpus[:600], degree=8, seed=26)
+        gi.remove_ids(np.arange(0, 600, 7))
+        q = corpus[1:9]
+        i1, d1 = gi.search(q, 5, beam=32)
+        ld = GraphIndex.load(gi.save(str(tmp_path / "gr")))
+        i2, d2 = ld.search(q, 5, beam=32)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_add_after_remove(self, corpus):
+        gi = GraphIndex.build(corpus[:500], degree=8, seed=27)
+        gi.remove_ids(np.arange(100))
+        gi.add(corpus[500:550])
+        assert gi.ntotal == 450
+        ids, _ = gi.search(corpus[510], k=1, beam=32)
+        assert int(np.asarray(ids)[0, 0]) == 410  # 400 kept + offset 10
+
+    def test_sharded_search_sees_removal(self, corpus):
+        from vq_tpu.parallel import sharded_graph_search
+        from vq_tpu.parallel.mesh import make_mesh
+
+        gi = GraphIndex.build(corpus[:500], degree=8, seed=28)
+        mesh = make_mesh()
+        sharded_graph_search(gi, corpus[:8], k=3, mesh=mesh)
+        gi.remove_ids(np.arange(50))
+        ids, _ = sharded_graph_search(gi, corpus[:8], k=3, mesh=mesh)
+        assert np.asarray(ids).max() < 450
+
+
 class TestAddRegressions:
     """One test per bug class found in review of the incremental add."""
 

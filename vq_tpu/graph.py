@@ -842,6 +842,132 @@ class GraphIndex:
             "union of the corpora"
         )
 
+    def remove_ids(self, ids, *, chunk: int = 1024) -> int:
+        """Positional removal with sequential renumbering (the faiss
+        ``remove_ids`` contract — which faiss HNSW itself refuses).
+
+        Dropping a graph node severs every path through it, so plain
+        edge deletion degrades navigability. This implements the
+        standard delete-repair instead (FreshDiskANN-style): every
+        surviving node that pointed at a removed node is *patched* with
+        candidates drawn from that removed node's own surviving
+        out-neighbors (bridging the hole), then its adjacency is
+        alpha-re-pruned to the list width when it overflows — the same
+        vectorized kernels :meth:`build` and :meth:`add` use. Finally
+        rows/adjacency/entries/routing-sample compact and renumber.
+        Heavy removal churn still warrants a :meth:`build` (global
+        candidate sets), as with HNSW."""
+        from vq_tpu.search import _removal_keep_mask
+
+        if self.ntotal == 0:
+            raise EmptyInput("index is empty")
+        n0, W = self.ntotal, int(self.graph.shape[1])
+        mask = _removal_keep_mask(ids, n0)
+        keep_np = np.asarray(mask)
+        removed = int(n0 - keep_np.sum())
+        if removed == 0:
+            return 0
+        a2 = jnp.float32(self.alpha ** 2)
+
+        g = np.asarray(self.graph)
+        # Edges into the removed set, and the surviving nodes they leave.
+        tgt_removed = (g >= 0) & ~keep_np[np.maximum(g, 0)]
+        aff = np.nonzero(keep_np & tgt_removed.any(axis=1))[0]
+
+        graph_all = self.graph
+        if aff.size:
+            # Bridge candidates per affected node u: the union of
+            # graph[r] over u's removed targets r, filtered to surviving
+            # nodes != u, capped at 2W (valid-first stable compaction).
+            rs = np.where(tgt_removed[aff], g[aff], -1)  # [A, W]
+            br = g[np.maximum(rs, 0)].reshape(aff.size, -1)  # [A, W*W]
+            br = np.where(np.repeat(rs >= 0, W, axis=1), br, -1)
+            valid = (
+                (br >= 0)
+                & keep_np[np.maximum(br, 0)]
+                & (br != aff[:, None])
+            )
+            br = np.where(valid, br, -1)
+            order = np.argsort(~valid, axis=1, kind="stable")
+            br = np.take_along_axis(br, order, axis=1)[:, : 2 * W]
+            # Surviving own adjacency (removed targets masked out).
+            adj_np = np.where(tgt_removed[aff], -1, g[aff])
+
+            aff_j = jnp.asarray(aff, jnp.int32)
+            adj_j = jnp.asarray(adj_np)
+            br_j = jnp.asarray(br, jnp.int32)
+            rows32 = self._rows.astype(jnp.float32)
+            for s in range(0, aff.size, int(chunk)):
+                e = min(s + int(chunk), aff.size)
+                node_rows = jnp.take(rows32, aff_j[s:e], axis=0)
+                adj = adj_j[s:e]
+                adj_d = _ids_dist_jit(
+                    node_rows,
+                    adj,
+                    jnp.take(rows32, jnp.maximum(adj, 0), axis=0),
+                )
+                si, sd = _augment_candidates_chunk(
+                    node_rows, aff_j[s:e], adj, adj_d, br_j[s:e],
+                    jnp.take(
+                        rows32, jnp.maximum(br_j[s:e], 0), axis=0
+                    ),
+                )
+                # Same overflow rule as add(): underfull unions keep
+                # everything nearest-first (a dominance prune could
+                # evict the reserved small-world shortcut edges).
+                cand_rows = jnp.take(
+                    rows32, jnp.maximum(si, 0), axis=0
+                )
+                pruned = _robust_prune_chunk(
+                    node_rows, si, sd, cand_rows, a2, W
+                )
+                overflow = jnp.sum(si >= 0, axis=1) > W
+                out = jnp.where(overflow[:, None], pruned, si[:, :W])
+                graph_all = graph_all.at[aff_j[s:e]].set(out)
+
+        # Renumber + compact. new_of[old] = position among survivors.
+        alive = np.nonzero(keep_np)[0]
+        new_of = np.full(n0, -1, np.int32)
+        new_of[alive] = np.arange(alive.size, dtype=np.int32)
+        g_kept = np.asarray(graph_all)[alive]
+        ok = (g_kept >= 0) & keep_np[np.maximum(g_kept, 0)]
+        g_new = np.where(ok, new_of[np.maximum(g_kept, 0)], -1)
+        # Compact -1 pads rightward within each adjacency row.
+        g_new = np.take_along_axis(
+            g_new, np.argsort(g_new < 0, axis=1, kind="stable"), axis=1
+        )
+
+        alive_j = jnp.asarray(alive, jnp.int32)
+        self._rows = jnp.take(self._rows, alive_j, axis=0)
+        self._sqn = jnp.take(self._sqn, alive_j)
+        self.graph = jnp.asarray(g_new, jnp.int32)
+
+        def _remap(old_ids: jnp.ndarray, *, fallback_medoid: bool):
+            if alive.size == 0:
+                return jnp.zeros((0,), jnp.int32)
+            kept = new_of[np.asarray(old_ids)]
+            kept = kept[kept >= 0]
+            if kept.size == 0:
+                if fallback_medoid:
+                    rows32 = self._rows.astype(jnp.float32)
+                    mean = jnp.mean(rows32, axis=0, keepdims=True)
+                    kept = np.asarray(
+                        jnp.argmin(jnp.sum((rows32 - mean) ** 2, -1))
+                    ).reshape(1)
+                else:
+                    S = min(4096, alive.size)
+                    kept = np.asarray(
+                        jax.random.permutation(
+                            jax.random.PRNGKey(alive.size), alive.size
+                        )[:S]
+                    )
+            return jnp.asarray(kept, jnp.int32)
+
+        self.entry = _remap(self.entry, fallback_medoid=True)
+        self.sample = _remap(self.sample, fallback_medoid=False)
+        self._replica_cache = None
+        return removed
+
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> str:
         rows = np.asarray(self._rows)
