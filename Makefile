@@ -2,13 +2,16 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-docs coverage lint bench eval eval-all demo docs clean
+.PHONY: test test-fast test-doc test-docs coverage lint bench eval eval-all demo docs wheel clean
 
 test:            ## full suite: unit/property/regression/integration/sharded/docs
 	$(PY) -m pytest tests/ -q
 
 test-fast:       ## skip the slower property sweeps
 	$(PY) -m pytest tests/ -q -x --ignore=tests/test_properties.py
+
+test-doc:        ## run docstring examples (the `cargo test --doc` analog, ref Makefile:48-51)
+	$(PY) -m pytest tests/test_doctests.py -q
 
 test-docs:       ## execute every docs/README python block (rundoc analog, ref Makefile:203-221)
 	$(PY) -m pytest tests/test_docs.py -q
@@ -42,6 +45,9 @@ eval-all:        ## all four algorithms (reference Makefile:149-155)
 
 demo:            ## image-quantization demo on a synthetic image
 	$(PY) examples/image_quantization_demo.py
+
+wheel:           ## build sdist + wheel (the reference `make wheel` analog)
+	$(PY) -m build --no-isolation --outdir dist/
 
 docs: test-docs  ## alias: validated docs are the docs build
 

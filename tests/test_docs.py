@@ -26,6 +26,21 @@ def extract_python_blocks(text: str):
     return re.findall(r"```python\n(.*?)```", text, re.DOTALL)
 
 
+def test_mkdocs_nav_matches_docs_dir():
+    """Every nav entry in mkdocs.yml exists, and every docs page is in
+    the nav — the local proxy for the CI `mkdocs build --strict` job
+    (mkdocs itself is not installed in this environment)."""
+    text = (REPO / "mkdocs.yml").read_text()
+    nav = re.findall(r"^\s+- [^:]+:\s+(\S+\.md)\s*$", text, re.MULTILINE)
+    assert nav, "mkdocs.yml has no nav entries"
+    missing = [p for p in nav if not (REPO / "docs" / p).is_file()]
+    assert not missing, f"nav entries without files: {missing}"
+    orphans = sorted(
+        p.name for p in (REPO / "docs").glob("*.md") if p.name not in nav
+    )
+    assert not orphans, f"docs pages missing from nav: {orphans}"
+
+
 @pytest.mark.parametrize("relpath", DOC_FILES)
 def test_doc_code_blocks_execute(relpath, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

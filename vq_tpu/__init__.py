@@ -12,6 +12,20 @@ src/lib.rs:32-49) with batch-first TPU-native APIs:
 * ``vq_tpu.parallel`` — multi-host sharded training over a device mesh
 * :func:`get_backend` — active compute-backend introspection (the analog of
   the reference's ``get_simd_backend``, src/core/hsdlib_ffi.rs:144-155)
+
+Example (the crate-root doctest analog, reference src/lib.rs:19-30):
+
+>>> import numpy as np
+>>> import vq_tpu
+>>> data = np.tile(
+...     np.array([[0., 0., 1., 1.], [1., 1., 0., 0.]], np.float32), (8, 1)
+... )
+>>> pq = vq_tpu.ProductQuantizer(data, num_subspaces=2, num_centroids=2)
+>>> codes = pq.encode(data)
+>>> codes.shape, str(codes.dtype)
+((16, 2), 'uint8')
+>>> bool(np.allclose(pq.decode(codes), data))
+True
 """
 
 from vq_tpu.errors import (

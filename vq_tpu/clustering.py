@@ -39,6 +39,13 @@ class Kmeans:
     and keeps the centroids with the lowest inertia **measured on the same
     training set**, so the choice is deterministic for a fixed seed.
 
+    >>> import numpy as np
+    >>> pts = np.array([[0.], [0.1], [10.], [10.1]], np.float32)
+    >>> km = Kmeans(d=1, k=2, seed=3)
+    >>> _ = km.train(pts)
+    >>> sorted(round(float(c), 2) for c in np.asarray(km.centroids).ravel())
+    [0.05, 10.05]
+
     ``max_points_per_centroid`` bounds the training set at
     ``k * max_points_per_centroid`` rows (the faiss default is 256); when
     the input is larger, a seeded uniform sample without replacement is

@@ -733,6 +733,19 @@ def index_factory(
     ``"ip"``/``"inner_product"``. ``options`` forward to the terminal
     index (``keep_corpus``, ``max_list_size``, ``store_dtype``).
 
+    >>> import numpy as np
+    >>> f = index_factory(8, "IVF4,PQ2")
+    >>> f.is_trained
+    False
+    >>> x = np.random.default_rng(0).random((256, 8), dtype=np.float32)
+    >>> _ = f.train(x)  # returns self for chaining
+    >>> f.add(x)
+    >>> f.ntotal, f.is_trained
+    (256, True)
+    >>> ids, dist = f.search(x[:2], k=3, nprobe=2)
+    >>> np.asarray(ids).shape
+    (2, 3)
+
     Examples::
 
         index_factory(128, "Flat")                    # exact scan

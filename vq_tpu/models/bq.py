@@ -53,6 +53,13 @@ class BinaryQuantizer(Quantizer):
     ``quantize`` accepts any-shaped f32 input and returns u8 codes of the same
     shape; ``dequantize`` inverts to f32. Construction validates a finite
     threshold and ``low < high`` (src/bq.rs:55-73).
+
+    >>> import numpy as np
+    >>> bq = BinaryQuantizer(0.5, low=0, high=1)
+    >>> bq.quantize(np.array([0.1, 0.5, 0.9], np.float32)).tolist()
+    [0, 1, 1]
+    >>> bq.dequantize(np.array([0, 1], np.uint8)).tolist()
+    [0.0, 1.0]
     """
 
     def __init__(self, threshold: float, low: int = 0, high: int = 1):

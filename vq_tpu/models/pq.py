@@ -382,6 +382,20 @@ class ProductQuantizer(Quantizer):
     max_iters=10, distance=None, seed=42)`` with ``distance`` defaulting to
     Euclidean. ``codebooks`` may be passed directly (e.g. from a checkpoint)
     to skip training.
+
+    >>> import numpy as np
+    >>> data = np.tile(
+    ...     np.array([[0., 0., 1., 1.], [1., 1., 0., 0.]], np.float32),
+    ...     (8, 1),
+    ... )
+    >>> pq = ProductQuantizer(data, num_subspaces=2, num_centroids=2)
+    >>> pq.codebooks.shape  # [m, k, sub_dim]
+    (2, 2, 2)
+    >>> codes = pq.encode(data)  # true u8 code indices
+    >>> codes.shape, str(codes.dtype)
+    ((16, 2), 'uint8')
+    >>> bool(np.allclose(pq.decode(codes), data))
+    True
     """
 
     def __init__(

@@ -46,6 +46,15 @@ class ScalarQuantizer(Quantizer):
 
     See also :class:`PerDimScalarQuantizer` for per-dimension ranges (lower
     MSE on real data whose dimensions have different scales).
+
+    >>> import numpy as np
+    >>> sq = ScalarQuantizer(0.0, 1.0, levels=256)
+    >>> sq.quantize(np.array([0.0, 0.25, 1.0], np.float32)).tolist()
+    [0, 64, 255]
+    >>> sq.dequantize(np.array([0, 255], np.uint8)).tolist()
+    [0.0, 1.0]
+    >>> round(sq.step, 6)
+    0.003922
     """
 
     def __init__(self, min: float, max: float, levels: int = 256):

@@ -359,6 +359,20 @@ class TSVQ(Quantizer):
     distance=None)`` with ``distance`` defaulting to Euclidean
     (pyvq/src/tsvq.rs:42-70). A prebuilt :class:`TSVQTree` may be supplied
     via ``tree=`` (e.g. from a checkpoint).
+
+    A depth-1 tree splits on the max-variance dimension at its median
+    (reference src/tsvq.rs:47-81) and emits the chosen leaf's centroid
+    as f16:
+
+    >>> import numpy as np
+    >>> data = np.array(
+    ...     [[0., 0.], [0., 1.], [10., 0.], [10., 1.]], np.float32
+    ... )
+    >>> t = TSVQ(data, max_depth=1)
+    >>> t.quantize(np.array([9.5, 0.4], np.float32)).astype(
+    ...     np.float32
+    ... ).tolist()
+    [10.0, 0.5]
     """
 
     def __init__(

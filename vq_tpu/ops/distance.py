@@ -220,6 +220,14 @@ class Distance:
     Construct from a metric name or via the static factories; ``compute``
     evaluates a single pair like ``Distance.compute`` in the reference
     (pyvq/src/distance.rs:91-97) while ``pairwise`` exposes the batch path.
+
+    >>> import numpy as np
+    >>> a = np.array([0., 3.], np.float32)
+    >>> b = np.array([4., 0.], np.float32)
+    >>> float(Distance.euclidean().compute(a, b))
+    5.0
+    >>> float(Distance("manhattan").compute(a, b))
+    7.0
     """
 
     __slots__ = ("metric",)

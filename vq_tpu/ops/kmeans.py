@@ -465,6 +465,12 @@ def lloyd(
     src/core/vector.rs:412-413) or ``"kmeans++"`` (D²-weighted seeding;
     better minima, deviation from the reference documented).
 
+    >>> import numpy as np
+    >>> pts = np.array([[0.], [0.1], [10.], [10.1]], np.float32)
+    >>> res = lloyd(pts, k=2, max_iters=5, seed=0)
+    >>> sorted(round(float(c), 2) for c in np.asarray(res.centroids).ravel())
+    [0.05, 10.05]
+
     ``spherical=True`` (faiss ``Clustering`` spherical option, no
     reference counterpart) projects the centroids back onto the unit
     sphere after every update, so squared-L2 assignment of unit-norm

@@ -262,7 +262,16 @@ class FlatIndex:
         cls, data, *, metric: str = "squared_euclidean",
         storage: str = "float32",
     ) -> "FlatIndex":
-        """Build an index holding ``data``."""
+        """Build an index holding ``data``.
+
+        >>> import numpy as np
+        >>> idx = FlatIndex.from_data(
+        ...     np.array([[0., 0.], [1., 1.], [2., 2.]], np.float32)
+        ... )
+        >>> ids, dist = idx.search(np.array([[0.9, 0.9]], np.float32), k=2)
+        >>> ids.tolist()
+        [[1, 0]]
+        """
         x = jnp.asarray(data)
         idx = cls(x.shape[-1], metric=metric, storage=storage)
         idx.add(x)
