@@ -14,11 +14,19 @@ Env: GRAPH_BENCH_N (default 1_000_000), GRAPH_BENCH_DEGREE (32).
 
 import functools
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from benchmarks._artifact import Rows  # noqa: E402
+
+ART = Rows(os.environ.get("GRAPH_BENCH_JSONL"))
 
 N = int(os.environ.get("GRAPH_BENCH_N", 1_000_000))
 D, NLIST = 128, 1000
@@ -66,6 +74,11 @@ def per_call(label, fn, reps=(2, 8)):
     ms = max((t2 - t1) / (reps[1] - reps[0]), 1e-9) * 1000
     print(f"{label}: {ms:.2f} ms / {Q} queries = {Q*1000/ms:.0f} QPS",
           flush=True)
+    ART.emit(
+        bench="graph_1Mx128", label=label, n=N, degree=DEGREE,
+        noise=NOISE, q_batch=Q, k=TOPK, ms_per_batch=round(ms, 2),
+        qps=round(Q * 1000 / ms, 1),
+    )
     return ms
 
 

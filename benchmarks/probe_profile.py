@@ -16,10 +16,19 @@ bench's shapes (1M x 128, nlist=1000, Q=128, nprobe=8):
     PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/probe_profile.py
 """
 
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from benchmarks._artifact import Rows  # noqa: E402
+
+ART = Rows(os.environ.get("PROBE_PROFILE_JSONL"))
 
 N, D, NLIST, Q, NPROBE, TOPK = 1_000_000, 128, 1000, 128, 8, 10
 
@@ -55,6 +64,10 @@ def per_call(label, fn, reps=(2, 10)):
     t2 = min(run(reps[1]) for _ in range(2))
     ms = max((t2 - t1) / (reps[1] - reps[0]), 1e-9) * 1000
     print(f"{label}: {ms:.2f} ms / batch", flush=True)
+    ART.emit(
+        bench="probe_profile_1Mx128", stage=label.strip(), n=N,
+        q_batch=Q, nprobe=NPROBE, ms_per_batch=round(ms, 2),
+    )
     return ms
 
 
@@ -174,5 +187,10 @@ ms16 = per_call(
 print(
     f"device time per 128-query batch (dispatch amortized over {T}): "
     f"{ms16/T:.2f} ms -> {Q*T*1000/ms16:.0f} QPS", flush=True,
+)
+ART.emit(
+    bench="probe_profile_1Mx128", stage="device_per_batch", n=N,
+    q_batch=Q, nprobe=NPROBE, ms_per_batch=round(ms16 / T, 2),
+    qps=round(Q * T * 1000 / ms16, 1),
 )
 print("done", flush=True)

@@ -10,16 +10,25 @@ block_until_ready lies through the tunnel.
 """
 import gc
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from benchmarks._artifact import Rows  # noqa: E402
+
+ART = Rows(os.environ.get("SERVING_BENCH_JSONL"))
+
 N, D, NLIST = 1_000_000, 128, 1000
 Q, NPROBE, TOPK = 128, 8, 10
 RUN = set(
     os.environ.get(
-        "SERVING_BENCH_ONLY", "flat,sq,rq,ivfflat,ivfsq,ivfrq,ivfbinary"
+        "SERVING_BENCH_ONLY",
+        "flat,pq,sq,rq,ivfflat,ivfsq,ivfrq,ivfbinary",
     ).split(",")
 )
 
@@ -63,6 +72,10 @@ def qps(label, fn, reps=(2, 8)):
         f"{label}: {per*1000:.1f} ms / {Q} queries = {Q/per:.0f} QPS",
         flush=True,
     )
+    ART.emit(
+        bench="serving_1Mx128", label=label, n=N, q_batch=Q, k=TOPK,
+        ms_per_batch=round(per * 1e3, 2), qps=round(Q / per, 1),
+    )
     return ids
 
 
@@ -71,7 +84,10 @@ def top1_recall(ids, gt):
         return float("nan")
     import numpy as np
 
-    return float((np.asarray(ids)[:, 0] == np.asarray(gt)).mean())
+    r = float((np.asarray(ids)[:, 0] == np.asarray(gt)).mean())
+    if ART.rows:
+        ART.rows[-1]["top1_recall"] = round(r, 4)
+    return r
 
 
 # Ground truth top-1 by blockwise exact scan (device).
@@ -136,6 +152,24 @@ if "flat" in RUN:
         print("  top-1 recall:", top1_recall(ids, gt), flush=True)
         del idx
         gc.collect()
+
+if "pq" in RUN:
+    from vq_tpu.models.pq import ProductQuantizer
+    from vq_tpu.search import PQIndex
+
+    t0 = time.perf_counter()
+    pq8 = ProductQuantizer(data[:200_000], 8, 256, max_iters=8, seed=1)
+    pqidx = PQIndex(pq8)
+    pqidx.add(data)
+    print(f"PQIndex build (8x256): {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    ids = qps(
+        "PQIndex ADC scan (8-byte codes, fused topk)",
+        lambda: pqidx.search(queries, k=TOPK),
+    )
+    print("  top-1 recall:", top1_recall(ids, gt), flush=True)
+    del pqidx, pq8
+    gc.collect()
 
 if "sq" in RUN:
     t0 = time.perf_counter()

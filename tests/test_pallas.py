@@ -99,6 +99,83 @@ def test_adc_lookup_fused_matches_xla(rng):
     )
 
 
+def test_adc_scan_topk_fused_matches_chunked():
+    """The VMEM-resident scan+top-k returns EXACT ids + bit-identical
+    distances vs the XLA chunked scan (same f32 summation order, lowest
+    global id on exact ties)."""
+    from vq_tpu.models.pq import (
+        _adc_search_chunked_jit,
+        _adc_search_fused_jit,
+        _adc_tables_jit,
+    )
+    from vq_tpu.ops.distance import Metric
+
+    rng = np.random.default_rng(123)  # own stream: the session fixture's
+    # draws are consumed in file order and later files are boundary-tuned
+    m, k, sub = 4, 256, 4
+    cb = jnp.asarray(rng.random((m, k, sub), dtype=np.float32))
+    q = jnp.asarray(rng.random((6, m * sub), dtype=np.float32))
+    codes = rng.integers(0, k, (3000, m)).astype(np.uint8)
+    # Exact ties: duplicate code rows — both paths must return the
+    # LOWEST global id first.
+    codes[500] = codes[100]
+    codes[2999] = codes[100]
+    codes = jnp.asarray(codes)
+
+    for metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN,
+                   Metric.MANHATTAN):
+        tables = _adc_tables_jit(q, cb, metric)
+        ids_f, d_f = _adc_search_fused_jit(
+            tables, codes, 10, metric, interpret=True
+        )
+        cb_sqn = jnp.sum(cb * cb, axis=-1)
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+        chunks = codes.astype(jnp.int32).reshape(3, 1000, m)
+        ids_c, d_c = _adc_search_chunked_jit(
+            tables, cb_sqn, qn, chunks, jnp.int32(3000), metric, 10
+        )
+        np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_c))
+        np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_c))
+
+
+def test_adc_scan_topk_fused_k128_and_short_tail():
+    """k <= 128 single-gather path + a corpus shorter than `fetch` in its
+    last tile (inf/-1 padding)."""
+    from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
+
+    rng = np.random.default_rng(124)
+    m, k, n, Q = 3, 100, 300, 4
+    tables = jnp.asarray(rng.random((Q, m, k), dtype=np.float32))
+    codes_t = jnp.asarray(
+        rng.integers(0, k, (m, n)).astype(np.uint8)
+    )
+    vals, ids = adc_scan_topk_fused(
+        tables, codes_t, fetch=16, block_cols=256, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    # brute force per-tile top-16
+    full = np.zeros((Q, n), np.float32)
+    tb = np.asarray(tables)
+    ct = np.asarray(codes_t)
+    for i in range(m):
+        full += tb[:, i, :][:, ct[i]]
+    for t, lo in enumerate(range(0, n, 256)):
+        hi = min(lo + 256, n)
+        want_order = np.argsort(full[:, lo:hi], axis=1, kind="stable")
+        got_v = vals[:, t * 128: t * 128 + 16]
+        got_i = ids[:, t * 128: t * 128 + 16]
+        take = min(16, hi - lo)
+        want_v = np.take_along_axis(
+            full[:, lo:hi], want_order[:, :take], axis=1
+        )
+        np.testing.assert_allclose(got_v[:, :take], want_v, rtol=1e-6)
+        np.testing.assert_array_equal(
+            got_i[:, :take], lo + want_order[:, :take]
+        )
+        assert np.isinf(got_v[:, take:]).all()
+        assert (got_i[:, take:] == -1).all()
+
+
 def test_pq_lloyd_accumulate_fused_matches_batched(rng):
     """The fused multi-subspace accumulate must agree with the XLA path."""
     import jax

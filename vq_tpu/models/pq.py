@@ -244,6 +244,41 @@ def _adc_search_chunked_jit(
     return best_i, best_d
 
 
+@functools.partial(
+    jax.jit, static_argnames=("fetch", "metric", "interpret")
+)
+def _adc_search_fused_jit(
+    tables: jnp.ndarray,  # [Q, m, k] f32
+    codes: jnp.ndarray,  # [n, m] u8
+    fetch: int,
+    metric: Metric,
+    interpret: bool = False,
+):
+    """Flat ADC top-``fetch`` via the VMEM-resident scan+top-k kernel.
+
+    The distance matrix never touches HBM: the kernel emits per-tile
+    top-``fetch`` candidates and ONE stable ``top_k`` merges them
+    (2.27× the XLA chunked scan's device time at 1M×8×256 —
+    docs/performance.md). Distances are bit-identical to the XLA
+    chunked scan (same per-element f32 summation order) and exact ties
+    resolve to the lowest global id in both, so returned ids match
+    exactly (verified at 1M rows on hardware).
+    """
+    from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
+
+    codes_t = codes.astype(jnp.uint8).T  # [m, n], lane-contiguous
+    vals, ids = adc_scan_topk_fused(
+        tables, codes_t, fetch, interpret=interpret
+    )
+    neg, pos = jax.lax.top_k(-vals, fetch)
+    dist = -neg
+    idx = jnp.take_along_axis(ids, pos, axis=1)
+    idx = jnp.where(jnp.isinf(dist), -1, idx)
+    if metric == Metric.EUCLIDEAN:
+        dist = jnp.sqrt(jnp.maximum(dist, 0.0))
+    return idx, dist
+
+
 def _adc_lookup_best(tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """ADC table-sum entry point. Measured on TPU (Q=128, n=1M, 8x256):
     the XLA scan (41 ms) slightly beats the fused Pallas kernel (48 ms,
@@ -585,7 +620,30 @@ class ProductQuantizer(Quantizer):
         codes_arr = jnp.asarray(codes)
         n = codes_arr.shape[0]
         fetch = max(int(k), int(rerank)) if rerank else int(k)
-        if n > int(chunk) and fetch < n:
+        fused_ok = (
+            jax.default_backend() == "tpu"
+            and int(pack_bits) == 8
+            and self.num_centroids <= 256
+            and self._metric in (
+                Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN,
+                Metric.MANHATTAN,
+            )
+            and 1 <= fetch <= 128
+            and n > 32_768
+            and fetch < n
+        )
+        if fused_ok:
+            d = None
+            q2d, _ = as_batch_f32(queries)
+            if q2d.shape[1] != self.dim:
+                raise DimensionMismatch(
+                    expected=self.dim, found=q2d.shape[1]
+                )
+            tables = _adc_tables_jit(q2d, self._codebooks, self._metric)
+            ids, dist = _adc_search_fused_jit(
+                tables, codes_arr, fetch, self._metric
+            )
+        elif n > int(chunk) and fetch < n:
             d = None
             ids, dist = self._adc_search_chunked(
                 queries, codes_arr, min(fetch, n), int(chunk),

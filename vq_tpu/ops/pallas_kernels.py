@@ -43,6 +43,7 @@ __all__ = [
     "lloyd_accumulate_fused",
     "pq_lloyd_accumulate_fused",
     "adc_lookup_fused",
+    "adc_scan_topk_fused",
     "ivf_probe_adc_fused",
     "ivf_probe_matvec_fused",
 ]
@@ -609,6 +610,190 @@ def adc_lookup_fused(
     codes = jnp.asarray(codes).astype(jnp.int32)
     block_cols = min(block_cols, _round_up(codes.shape[0], 8))
     return _adc_lookup_fused_jit(tables, codes, int(block_cols), bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused ADC scan + per-tile top-k: tables [Q, m, k] x codes [m, n]
+#   -> per-tile top-`fetch` (values, global ids)
+# ---------------------------------------------------------------------------
+
+
+_ADC_TOPK_LANES = 128  # per-tile candidate block width (one lane tile)
+_INF_KEY = 0x7F800000  # _orderable_key(+inf), as a Python literal
+
+
+def _adc_scan_topk_kernel(
+    tab_hbm, codes_ref, vals_ref, ids_ref, tab_ref, tab_sem,
+    *, m, k, fetch, n, block,
+):
+    """One corpus tile: VMEM-resident distances + in-tile top-``fetch``.
+
+    The distances never leave VMEM: per 128-lane slice, each subspace's
+    contribution is a VPU lane-gather of the query's table row
+    (``take_along_axis`` → ``tpu.dynamic_gather``; k ≤ 256 splits into
+    two 128-lane halves + select — no one-hot, so no 256×-wasted MXU
+    passes, which bound both the XLA scan and the round-1 one-hot
+    kernel), then ``fetch`` iterations of the ``int2`` orderable-key min
+    extract the tile's best candidates in ascending (distance, id)
+    order. HBM traffic drops from the scan's ``[Q, n]`` accumulator
+    round-trips to ``codes`` (m bytes/vec) + ``[Q, ntiles·128]``
+    candidate blocks. Measured at Q=128, n=1M, 8×256 with T=16 searches
+    chained in one dispatch (the only honest timing through this
+    tunnel — per-dispatch RPC is ~29 ms): 10.6 ms/batch device vs 24.0
+    for the XLA chunked scan — 2.27×, 12.1k QPS/chip
+    (benchmarks/adc_vmem_bench.py).
+
+    Summation order per element matches the XLA scan (subspace 0..m-1,
+    f32), so distances are bit-identical and ties resolve to the lowest
+    global id in both paths (verified exact at 1M rows on hardware).
+    """
+    kh = k // 128  # 1 or 2 lane-tile halves
+    q = tab_ref.shape[2]
+    tn = codes_ref.shape[1]
+    t = pl.program_id(0)
+
+    # Tables live in HBM and are DMA'd into persistent VMEM scratch ONCE
+    # (a constant-index VMEM BlockSpec re-DMAs every grid step), in the
+    # gather-friendly [m, kh, q, 128] layout so each subspace-half is a
+    # contiguous [q, 128] tile — slicing a [q, m, k] scratch instead
+    # forces a sublane relayout per use per step, which measured as the
+    # whole kernel cost on this chip.
+    @pl.when(t == 0)
+    def _load_tables():
+        dma = pltpu.make_async_copy(tab_hbm, tab_ref, tab_sem)
+        dma.start()
+        dma.wait()
+
+    parts = []
+    for s in range(0, tn, 128):
+        acc = jnp.zeros((q, 128), jnp.float32)
+        for i in range(m):
+            c = codes_ref[i, s:s + 128].astype(jnp.int32)  # [128]
+            idx = jnp.broadcast_to(c[None, :], (q, 128))
+            m7 = jnp.bitwise_and(idx, 127)
+            if kh == 1:
+                g = jnp.take_along_axis(tab_ref[i, 0], m7, axis=1)
+            else:
+                g = jnp.where(
+                    idx < 128,
+                    jnp.take_along_axis(tab_ref[i, 0], m7, axis=1),
+                    jnp.take_along_axis(tab_ref[i, 1], m7, axis=1),
+                )
+            acc = acc + g
+        parts.append(acc)
+    acc = jnp.concatenate(parts, axis=1)  # [q, tn]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, tn), 1)
+    gid0 = t * block
+    valid = (gid0 + col) < n
+    inf_key = jnp.int32(_INF_KEY)
+    key0 = jnp.where(valid, _orderable_key(acc), inf_key)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, _ADC_TOPK_LANES), 1)
+    vals0 = jnp.full((q, _ADC_TOPK_LANES), jnp.inf, jnp.float32)
+    ids0 = jnp.full((q, _ADC_TOPK_LANES), -1, jnp.int32)
+
+    def extract(j, state):
+        key, vals, ids = state
+        mkey = jnp.min(key, axis=-1, keepdims=True)  # [q, 1]
+        idx = jnp.min(
+            jnp.where(key == mkey, col, jnp.int32(0x7FFFFFFF)),
+            axis=-1, keepdims=True,
+        )  # [q, 1] lowest index among minima (exact ties)
+        hit = mkey < inf_key
+        vals = jnp.where((lane == j) & hit, _key_to_f32(mkey), vals)
+        ids = jnp.where((lane == j) & hit, gid0 + idx, ids)
+        key = jnp.where(col == idx, inf_key, key)
+        return key, vals, ids
+
+    _, vals, ids = jax.lax.fori_loop(
+        0, fetch, extract, (key0, vals0, ids0)
+    )
+    vals_ref[:, :] = vals
+    ids_ref[:, :] = ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fetch", "block_cols", "interpret")
+)
+def _adc_scan_topk_jit(
+    tables, codes_t, fetch: int, block_cols: int, interpret: bool
+):
+    q, m, k = tables.shape
+    n = codes_t.shape[1]
+    q_pad = _round_up(q, 8)
+    k_pad = 128 if k <= 128 else 256
+    kh = k_pad // 128
+    # Gather-friendly layout: [m, kh, q, 128] — each (subspace, half)
+    # slice is one contiguous [q, 128] VMEM tile (see kernel docstring).
+    tab = (
+        jnp.pad(tables, ((0, q_pad - q), (0, 0), (0, k_pad - k)))
+        .reshape(q_pad, m, kh, 128)
+        .transpose(1, 2, 0, 3)
+    )
+    n_pad = _round_up(n, block_cols)
+    cp = jnp.pad(codes_t, ((0, 0), (0, n_pad - n)))
+    ntiles = n_pad // block_cols
+    P = _ADC_TOPK_LANES
+    vals, ids = pl.pallas_call(
+        functools.partial(
+            _adc_scan_topk_kernel,
+            m=m, k=k_pad, fetch=fetch, n=n, block=block_cols,
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tables stay in HBM
+            pl.BlockSpec((m, block_cols), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_pad, P), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, P), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, ntiles * P), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, ntiles * P), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, kh, q_pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(tab, cp)
+    return vals[:q], ids[:q]
+
+
+def adc_scan_topk_fused(
+    tables,
+    codes_t,
+    fetch: int,
+    block_cols: int = 8192,
+    interpret: bool = False,
+):
+    """Per-tile top-``fetch`` ADC candidates without materializing [Q, n].
+
+    ``tables``: ``[Q, m, k]`` f32 (k ≤ 256); ``codes_t``: ``[m, n]``
+    integer codes TRANSPOSED so each subspace's codes are lane-contiguous
+    (u8 stays u8 into VMEM). Returns ``(vals [Q, T*128], ids [Q, T*128])``
+    where tile ``t``'s candidates occupy lanes ``[t*128, t*128+fetch)`` in
+    ascending (value, id) order, ``inf``/``-1``-padded; the caller merges
+    with one stable ``top_k`` (lowest global id wins exact ties, matching
+    the XLA chunked scan). ``fetch`` ≤ 128.
+    """
+    if not 1 <= int(fetch) <= _ADC_TOPK_LANES:
+        raise ValueError(f"fetch must be in [1, {_ADC_TOPK_LANES}]")
+    tables = jnp.asarray(tables, jnp.float32)
+    if tables.shape[2] > 256:
+        raise ValueError("adc_scan_topk_fused requires k <= 256")
+    codes_t = jnp.asarray(codes_t)
+    if codes_t.dtype != jnp.uint8:
+        codes_t = codes_t.astype(jnp.int32)
+    block_cols = min(block_cols, _round_up(codes_t.shape[1], 128))
+    return _adc_scan_topk_jit(
+        tables, codes_t, int(fetch), int(block_cols), bool(interpret)
+    )
 
 
 # ---------------------------------------------------------------------------
