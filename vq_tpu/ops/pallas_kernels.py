@@ -845,6 +845,51 @@ def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile, cap):
         out_ref[j, :] = jnp.where(lane_valid, acc, 0.0)[0]
 
 
+def _ivf_probe_gather_kernel(probe_ref, tab_ref, *refs, m, kh, cap_tile, cap):
+    """Gather variant of :func:`_ivf_probe_kernel` for kk ≤ 256.
+
+    The one-hot row-matvec fills 1 of the MXU's 128 rows per pair; here
+    each subspace's table entry comes from a VPU lane-gather instead,
+    with all 8 pairs stacked on sublanes (``idx [8, 128]`` rows from the
+    8 probed lists' codes, source ``tab[i, half] [8, 128]`` rows from
+    the 8 pairs' tables) — full vreg utilization, no MXU pass, same
+    exact f32 table entries summed in the same subspace order as the
+    one-hot path (bit-identical distances).
+    """
+    del probe_ref  # consumed by the BlockSpec index maps
+    P = _IVF_PAIRS_PER_STEP
+    codes_refs, out_ref = refs[:P], refs[-1]
+    pos0 = pl.program_id(1) * cap_tile
+    parts = []
+    for s in range(0, cap_tile, 128):
+        acc = jnp.zeros((P, 128), jnp.float32)
+        for i in range(m):
+            idx = jnp.concatenate(
+                [
+                    codes_refs[j][0, i, s:s + 128][None, :].astype(
+                        jnp.int32
+                    )
+                    for j in range(P)
+                ],
+                axis=0,
+            )  # [P, 128]
+            m7 = jnp.bitwise_and(idx, 127)
+            if kh == 1:
+                g = jnp.take_along_axis(tab_ref[i, 0], m7, axis=1)
+            else:
+                g = jnp.where(
+                    idx < 128,
+                    jnp.take_along_axis(tab_ref[i, 0], m7, axis=1),
+                    jnp.take_along_axis(tab_ref[i, 1], m7, axis=1),
+                )
+            acc = acc + g
+        lane_pos = pos0 + s + jax.lax.broadcasted_iota(
+            jnp.int32, (P, 128), 1
+        )
+        parts.append(jnp.where(lane_pos < cap, acc, 0.0))
+    out_ref[:, :] = jnp.concatenate(parts, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     qp, m, kk = tables.shape
@@ -854,9 +899,6 @@ def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     cap_pad = _round_up(cap, cap_tile)
     P = _IVF_PAIRS_PER_STEP
     qp_pad = _round_up(qp, P)
-    tab = jnp.pad(
-        tables, ((0, qp_pad - qp), (0, 0), (0, kk_pad - kk))
-    )
     probe_flat = jnp.pad(
         probe.reshape(-1).astype(jnp.int32), (0, qp_pad - qp)
     )  # padded pairs probe list 0; their rows are sliced off below
@@ -865,6 +907,54 @@ def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     # kernel masks out-of-cap lanes by position.
     if bucket_codes.dtype != jnp.uint8 or kk > 256:
         bucket_codes = bucket_codes.astype(jnp.int32)
+
+    if kk_pad <= 256:
+        # Gather path: tables in the gather-friendly [m, kh, QP, 128]
+        # layout; codes transposed so each subspace is lane-contiguous.
+        kh = kk_pad // 128
+        tab = (
+            jnp.pad(tables, ((0, qp_pad - qp), (0, 0), (0, kk_pad - kk)))
+            .reshape(qp_pad, m, kh, 128)
+            .transpose(1, 2, 0, 3)
+        )
+        codes_t = jnp.pad(
+            bucket_codes, ((0, 0), (0, cap_pad - cap), (0, 0))
+        ).transpose(0, 2, 1)  # [nlist, m, cap_pad]
+
+        def gcodes_spec(j):
+            return pl.BlockSpec(
+                (1, m, cap_tile),
+                lambda i, c, pr, j=j: (pr[i * P + j], 0, c),
+                memory_space=pltpu.VMEM,
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(qp_pad // P, cap_pad // cap_tile),
+            in_specs=[
+                pl.BlockSpec((m, kh, P, 128),
+                             lambda i, c, pr: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                *[gcodes_spec(j) for j in range(P)],
+            ],
+            out_specs=pl.BlockSpec((P, cap_tile),
+                                   lambda i, c, pr: (i, c),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _ivf_probe_gather_kernel,
+                m=m, kh=kh, cap_tile=cap_tile, cap=cap,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((qp_pad, cap_pad), jnp.float32),
+            interpret=interpret,
+        )(probe_flat, tab, *([codes_t] * P))
+        return out[:qp, :cap]
+
+    tab = jnp.pad(
+        tables, ((0, qp_pad - qp), (0, 0), (0, kk_pad - kk))
+    )
     codes = jnp.pad(
         bucket_codes, ((0, 0), (0, cap_pad - cap), (0, 0))
     )
