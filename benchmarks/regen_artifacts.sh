@@ -14,8 +14,8 @@ timeout 3000 python -u benchmarks/ivf_bench.py --output $R/ivf_1M_tpu.jsonl \
 echo "ivf rc=$?"
 
 echo "=== 2/6 eval_sq (warm grid) ==="
-timeout 3000 python -u -m vq_tpu.cli.eval_sq --output $R/eval_sq_tpu.jsonl \
-  > $L/eval_sq.log 2>&1
+timeout 3000 python -u -m vq_tpu.cli.eval_sq --recall \
+  --output $R/eval_sq_tpu.jsonl > $L/eval_sq.log 2>&1
 echo "eval_sq rc=$?"
 
 echo "=== 3/6 probe_profile ==="
