@@ -351,6 +351,47 @@ def test_ivf_probe_u8_codes_boundary(rng):
     assert d_u8.shape == (qp, cap)
 
 
+def test_rq_scan_topk_fused_matches_chunked():
+    """mode='l2'/'dot': the additive-code (RQ) fused scan returns EXACT
+    ids + bit-identical values vs the XLA chunked scan — stored row
+    norms, qn² slot, duplicate-row ties included."""
+    from vq_tpu.search import (
+        _rq_scan_jit,
+        _rq_search_fused_jit,
+        _rq_tables_jit,
+    )
+
+    rng = np.random.default_rng(223)  # own stream (session rng ordering)
+    S, k, d, n, Q = 3, 256, 16, 3000, 5
+    cbs = jnp.asarray(rng.random((S, k, d), dtype=np.float32))
+    q = jnp.asarray(rng.random((Q, d), dtype=np.float32))
+    codes = rng.integers(0, k, (n, S)).astype(np.uint8)
+    codes[700] = codes[70]
+    codes[2999] = codes[70]  # exact ties -> lowest id first
+    codes = jnp.asarray(codes)
+    # decoded squared norms, like RQIndex.add stores them
+    dec = sum(
+        jnp.take(cbs[s], codes[:, s].astype(jnp.int32), axis=0)
+        for s in range(S)
+    )
+    row_sqn = jnp.sum(dec * dec, axis=-1)
+    qn2 = jnp.sum(q * q, axis=-1)
+
+    for metric in ("squared_euclidean", "euclidean", "dot"):
+        tables = _rq_tables_jit(q, cbs, metric)
+        ids_f, d_f = _rq_search_fused_jit(
+            tables, qn2, codes, row_sqn, 10, metric, interpret=True
+        )
+        chunks = codes.astype(jnp.int32).reshape(3, 1000, S)
+        sqn_chunks = row_sqn.reshape(3, 1000)
+        ids_c, d_c, _ = _rq_scan_jit(
+            tables, qn2, chunks, sqn_chunks, jnp.int32(n),
+            jnp.float32(float("inf")), metric, 10,
+        )
+        np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_c))
+        np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_c))
+
+
 def test_ivf_probe_gather_matches_onehot_and_brute():
     """kk <= 256 probes dispatch the VPU-gather kernel; kk > 256 keeps
     the one-hot matvec. Both must match a brute-force table sum, and the

@@ -623,8 +623,8 @@ _INF_KEY = 0x7F800000  # _orderable_key(+inf), as a Python literal
 
 
 def _adc_scan_topk_kernel(
-    tab_hbm, codes_ref, vals_ref, ids_ref, tab_ref, tab_sem,
-    *, m, k, fetch, n, block,
+    tab_hbm, codes_ref, *refs,
+    m, k, fetch, n, block, mode,
 ):
     """One corpus tile: VMEM-resident distances + in-tile top-``fetch``.
 
@@ -646,7 +646,20 @@ def _adc_scan_topk_kernel(
     Summation order per element matches the XLA scan (subspace 0..m-1,
     f32), so distances are bit-identical and ties resolve to the lowest
     global id in both paths (verified exact at 1M rows on hardware).
+
+    ``mode`` selects the per-element distance assembly (each mirrors the
+    corresponding XLA scan's elementwise op order exactly):
+
+    * ``"sum"`` — d = Σ table entries (PQ ADC; sqrt outside).
+    * ``"l2"``  — d = max(qn² − 2·Σ + off, 0): additive-code (RQ)
+      squared-L2 with stored row norms as ``off``; qn² rides as an extra
+      broadcast table slot.
+    * ``"dot"`` — d = −Σ (smaller-is-better negated scores).
     """
+    if mode == "l2":
+        off_ref, vals_ref, ids_ref, tab_ref, tab_sem = refs
+    else:
+        vals_ref, ids_ref, tab_ref, tab_sem = refs
     kh = k // 128  # 1 or 2 lane-tile halves
     q = tab_ref.shape[2]
     tn = codes_ref.shape[1]
@@ -680,6 +693,12 @@ def _adc_scan_topk_kernel(
                     jnp.take_along_axis(tab_ref[i, 1], m7, axis=1),
                 )
             acc = acc + g
+        if mode == "l2":
+            qn2 = tab_ref[m, 0]  # [q, 128], lanes identical
+            off = off_ref[s // 128][None, :]  # [1, 128]
+            acc = jnp.maximum(qn2 - 2.0 * acc + off, 0.0)
+        elif mode == "dot":
+            acc = -acc
         parts.append(acc)
     acc = jnp.concatenate(parts, axis=1)  # [q, tn]
 
@@ -714,10 +733,11 @@ def _adc_scan_topk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fetch", "block_cols", "interpret")
+    jax.jit, static_argnames=("fetch", "block_cols", "mode", "interpret")
 )
 def _adc_scan_topk_jit(
-    tables, codes_t, fetch: int, block_cols: int, interpret: bool
+    tables, codes_t, qn2, offsets,
+    fetch: int, block_cols: int, mode: str, interpret: bool,
 ):
     q, m, k = tables.shape
     n = codes_t.shape[1]
@@ -735,17 +755,37 @@ def _adc_scan_topk_jit(
     cp = jnp.pad(codes_t, ((0, 0), (0, n_pad - n)))
     ntiles = n_pad // block_cols
     P = _ADC_TOPK_LANES
+    m_slots = m
+    operands = [tab, cp]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # tables stay in HBM
+        pl.BlockSpec((m, block_cols), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if mode == "l2":
+        # qn² rides as an extra broadcast table slot; per-row offsets
+        # (stored norms) pack [n/128, 128] so their block's last-two
+        # dims satisfy Mosaic's divisibility rule.
+        m_slots = m + 1
+        qrow = jnp.broadcast_to(
+            jnp.pad(qn2, (0, q_pad - q))[None, None, :, None],
+            (1, kh, q_pad, 128),
+        )
+        operands[0] = jnp.concatenate([tab, qrow], axis=0)
+        off = jnp.pad(offsets, (0, n_pad - n)).reshape(-1, 128)
+        sb = block_cols // 128
+        operands.append(off)
+        in_specs.append(
+            pl.BlockSpec((sb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
     vals, ids = pl.pallas_call(
         functools.partial(
             _adc_scan_topk_kernel,
-            m=m, k=k_pad, fetch=fetch, n=n, block=block_cols,
+            m=m, k=k_pad, fetch=fetch, n=n, block=block_cols, mode=mode,
         ),
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tables stay in HBM
-            pl.BlockSpec((m, block_cols), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((q_pad, P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -757,11 +797,11 @@ def _adc_scan_topk_jit(
             jax.ShapeDtypeStruct((q_pad, ntiles * P), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m, kh, q_pad, 128), jnp.float32),
+            pltpu.VMEM((m_slots, kh, q_pad, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(tab, cp)
+    )(*operands)
     return vals[:q], ids[:q]
 
 
@@ -770,6 +810,10 @@ def adc_scan_topk_fused(
     codes_t,
     fetch: int,
     block_cols: int = 8192,
+    *,
+    mode: str = "sum",
+    qn2=None,
+    offsets=None,
     interpret: bool = False,
 ):
     """Per-tile top-``fetch`` ADC candidates without materializing [Q, n].
@@ -781,9 +825,17 @@ def adc_scan_topk_fused(
     ascending (value, id) order, ``inf``/``-1``-padded; the caller merges
     with one stable ``top_k`` (lowest global id wins exact ties, matching
     the XLA chunked scan). ``fetch`` ≤ 128.
+
+    ``mode`` (see the kernel docstring): ``"sum"`` (PQ), ``"l2"``
+    (additive codes with per-row stored norms — pass ``qn2 [Q]`` and
+    ``offsets [n]``), or ``"dot"`` (negated score sums).
     """
     if not 1 <= int(fetch) <= _ADC_TOPK_LANES:
         raise ValueError(f"fetch must be in [1, {_ADC_TOPK_LANES}]")
+    if mode not in ("sum", "l2", "dot"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "l2" and (qn2 is None or offsets is None):
+        raise ValueError("mode='l2' requires qn2 and offsets")
     tables = jnp.asarray(tables, jnp.float32)
     if tables.shape[2] > 256:
         raise ValueError("adc_scan_topk_fused requires k <= 256")
@@ -791,8 +843,18 @@ def adc_scan_topk_fused(
     if codes_t.dtype != jnp.uint8:
         codes_t = codes_t.astype(jnp.int32)
     block_cols = min(block_cols, _round_up(codes_t.shape[1], 128))
+    if mode == "l2":
+        # The offsets block's sublane dim (block/128) must satisfy the
+        # Mosaic 8-divisibility rule.
+        block_cols = _round_up(block_cols, 1024)
+        qn2 = jnp.asarray(qn2, jnp.float32)
+        offsets = jnp.asarray(offsets, jnp.float32)
+    else:
+        qn2 = jnp.zeros((0,), jnp.float32)
+        offsets = jnp.zeros((0,), jnp.float32)
     return _adc_scan_topk_jit(
-        tables, codes_t, int(fetch), int(block_cols), bool(interpret)
+        tables, codes_t, qn2, offsets,
+        int(fetch), int(block_cols), mode, bool(interpret),
     )
 
 

@@ -1499,6 +1499,43 @@ def _rq_scan_jit(
     return best_i, best_d, hits
 
 
+@functools.partial(
+    jax.jit, static_argnames=("fetch", "metric", "interpret")
+)
+def _rq_search_fused_jit(
+    tables: jnp.ndarray,  # [Q, S, k] per-stage dot tables
+    qn2: jnp.ndarray,  # [Q]
+    codes: jnp.ndarray,  # [n, S] u8
+    row_sqn: jnp.ndarray,  # [n] f32 stored decoded norms
+    fetch: int,
+    metric: str,
+    interpret: bool = False,
+):
+    """Additive-code top-``fetch`` via the VMEM-resident scan+top-k
+    kernel (the :func:`_rq_scan_jit` fast path — same per-element f32
+    assembly order and tie preference, so results match exactly; see
+    ``adc_scan_topk_fused`` mode ``"l2"``/``"dot"``)."""
+    from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
+
+    codes_t = codes.astype(jnp.uint8).T  # [S, n]
+    if metric == "dot":
+        vals, ids = adc_scan_topk_fused(
+            tables, codes_t, fetch, mode="dot", interpret=interpret
+        )
+    else:
+        vals, ids = adc_scan_topk_fused(
+            tables, codes_t, fetch, mode="l2", qn2=qn2,
+            offsets=row_sqn, interpret=interpret,
+        )
+    neg, pos = jax.lax.top_k(-vals, fetch)
+    dist = -neg
+    idx = jnp.take_along_axis(ids, pos, axis=1)
+    idx = jnp.where(jnp.isinf(dist), -1, idx)
+    if metric == "euclidean":
+        dist = jnp.sqrt(jnp.maximum(dist, 0.0))
+    return idx, dist
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def _rq_tables_jit(q: jnp.ndarray, cbs: jnp.ndarray, metric: str):
     """Per-stage dot tables ``T[q, s, j] = q . C_s[j]`` — [Q, S, k]."""
@@ -1719,21 +1756,42 @@ class RQIndex:
         chunk = min(int(chunk), max(n, 1))
         pad = (-n) % chunk
         metric = self.metric
-        code_chunks = jnp.pad(self._codes, ((0, pad), (0, 0))).reshape(
-            -1, chunk, self.rq.num_stages
+        fused_ok = (
+            jax.default_backend() == "tpu"
+            and self.rq.codebooks.shape[1] <= 256
+            and metric in ("squared_euclidean", "euclidean", "dot")
+            and 1 <= fetch <= 128
+            and n > 32_768
         )
-        sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(-1, chunk)
-        arrays = (code_chunks, sqn_chunks, self.rq.codebooks) + (
-            (self._corpus,) if rerank else ()
-        )
+        if fused_ok:
+            # VMEM-resident gather+top-k scan (identical results to the
+            # XLA chunked scan below — see _rq_search_fused_jit).
+            arrays = (self._codes, self._row_sqn, self.rq.codebooks) + (
+                (self._corpus,) if rerank else ()
+            )
+        else:
+            code_chunks = jnp.pad(
+                self._codes, ((0, pad), (0, 0))
+            ).reshape(-1, chunk, self.rq.num_stages)
+            sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(
+                -1, chunk
+            )
+            arrays = (code_chunks, sqn_chunks, self.rq.codebooks) + (
+                (self._corpus,) if rerank else ()
+            )
 
         def fn(q, code_c, sqn_c, cbs, *rest):
             tables = _rq_tables_jit(q, cbs, metric)
             qn2 = jnp.sum(q * q, axis=-1)
-            ids, d, _ = _rq_scan_jit(
-                tables, qn2, code_c, sqn_c, jnp.int32(n),
-                jnp.float32(float("inf")), metric, fetch,
-            )
+            if fused_ok:
+                ids, d = _rq_search_fused_jit(
+                    tables, qn2, code_c, sqn_c, fetch, metric
+                )
+            else:
+                ids, d, _ = _rq_scan_jit(
+                    tables, qn2, code_c, sqn_c, jnp.int32(n),
+                    jnp.float32(float("inf")), metric, fetch,
+                )
             if rerank:
                 corpus = rest[0]
                 cand = jnp.take(corpus, ids, axis=0).astype(jnp.float32)
