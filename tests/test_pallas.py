@@ -392,6 +392,31 @@ def test_rq_scan_topk_fused_matches_chunked():
         np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_c))
 
 
+def test_mips_topk_fused_matches_chunked():
+    """mode='dot': the fused MIPS scan returns EXACT ids + scores vs the
+    chunked merge, incl. duplicate-row score ties."""
+    from vq_tpu.models.pq_anisotropic import (
+        _blocks,
+        _mips_search_fused_jit,
+        _mips_search_jit,
+    )
+
+    rng = np.random.default_rng(224)
+    m, k, s, n, Q = 4, 256, 4, 3000, 5
+    cb = jnp.asarray(rng.random((m, k, s), dtype=np.float32))
+    q = jnp.asarray(rng.random((Q, m * s), dtype=np.float32))
+    tables = jnp.einsum("qms,mks->qmk", q.reshape(Q, m, s), cb)
+    codes = rng.integers(0, k, (n, m)).astype(np.uint8)
+    codes[600] = codes[60]
+    codes[2999] = codes[60]
+    codes = jnp.asarray(codes)
+    ids_f, s_f = _mips_search_fused_jit(tables, codes, 10, interpret=True)
+    chunks, _ = _blocks(codes.astype(jnp.int32), 1000)
+    ids_c, s_c = _mips_search_jit(tables, chunks, jnp.int32(n), 10)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_c))
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_c))
+
+
 def test_ivf_probe_gather_matches_onehot_and_brute():
     """kk <= 256 probes dispatch the VPU-gather kernel; kk > 256 keeps
     the one-hot matvec. Both must match a brute-force table sum, and the

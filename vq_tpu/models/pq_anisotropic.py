@@ -395,6 +395,24 @@ def _mips_search_jit(tables, code_chunks, nvalid, topk: int):
     return best_i, best_s
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "interpret"))
+def _mips_search_fused_jit(tables, codes, topk: int, interpret=False):
+    """MIPS top-k via the VMEM-resident gather+top-k kernel (mode
+    ``"dot"``): per-tile best candidates extracted in-kernel, one stable
+    ``top_k`` merge — scores and ids exactly match
+    :func:`_mips_search_jit` (same f32 table sums, earlier position wins
+    score ties in both)."""
+    from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
+
+    codes_t = codes.astype(jnp.uint8).T  # [m, n]
+    vals, ids = adc_scan_topk_fused(
+        tables, codes_t, topk, mode="dot", interpret=interpret
+    )
+    top, pos = jax.lax.top_k(-vals, topk)  # vals = -score
+    idx = jnp.take_along_axis(ids, pos, axis=1)
+    return jnp.where(jnp.isneginf(top), -1, idx), top
+
+
 def mips_adc_search(queries, codebooks, codes, k: int = 10,
                     chunk: int = 262_144):
     """Top-k maximum-inner-product search over an encoded corpus.
@@ -414,10 +432,18 @@ def mips_adc_search(queries, codebooks, codes, k: int = 10,
         "qms,mks->qmk", q2d.reshape(-1, m, s), cb,
         preferred_element_type=jnp.float32, precision=_HIGHEST,
     )
-    codes = jnp.asarray(codes).astype(jnp.int32)
+    codes = jnp.asarray(codes)
     if codes.ndim == 1:
         codes = codes[None, :]
     n = codes.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and kk <= 256
+        and 1 <= int(k) <= 128
+        and n > 32_768
+    ):
+        return _mips_search_fused_jit(tables, codes, int(k))
+    codes = codes.astype(jnp.int32)
     chunks, _ = _blocks(codes, chunk)
     return _mips_search_jit(tables, chunks, jnp.int32(n), int(k))
 
