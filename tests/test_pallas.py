@@ -351,6 +351,42 @@ def test_ivf_probe_u8_codes_boundary(rng):
     assert d_u8.shape == (qp, cap)
 
 
+def test_adc_scan_topk_fused_packed_codes():
+    """pack_bits=4: the fused scan unpacks sub-byte codes in-kernel and
+    returns EXACT ids + distances vs the chunked scan on the same packed
+    corpus."""
+    from vq_tpu.models.pq import (
+        _adc_search_chunked_jit,
+        _adc_search_fused_jit,
+        _adc_tables_jit,
+    )
+    from vq_tpu.ops.distance import Metric
+    from vq_tpu.ops.packing import pack_codes
+
+    rng = np.random.default_rng(225)
+    m, k, sub, n = 6, 16, 4, 3000
+    cb = jnp.asarray(rng.random((m, k, sub), dtype=np.float32))
+    q = jnp.asarray(rng.random((5, m * sub), dtype=np.float32))
+    codes = rng.integers(0, k, (n, m)).astype(np.uint8)
+    codes[700] = codes[70]  # exact tie
+    packed = pack_codes(jnp.asarray(codes), 4)  # [n, 3]
+
+    metric = Metric.SQUARED_EUCLIDEAN
+    tables = _adc_tables_jit(q, cb, metric)
+    ids_f, d_f = _adc_search_fused_jit(
+        tables, packed, 10, metric, pack_bits=4, interpret=True
+    )
+    cb_sqn = jnp.sum(cb * cb, axis=-1)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    chunks = packed.reshape(3, 1000, -1)
+    ids_c, d_c = _adc_search_chunked_jit(
+        tables, cb_sqn, qn, chunks, jnp.int32(n), metric, 10,
+        pack_bits=4,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_c))
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_c))
+
+
 def test_rq_scan_topk_fused_matches_chunked():
     """mode='l2'/'dot': the additive-code (RQ) fused scan returns EXACT
     ids + bit-identical values vs the XLA chunked scan — stored row

@@ -866,8 +866,15 @@ class TestQuantizedRangeSearch:
         radius = float(np.quantile(ref, 0.1))
         ids, vals, counts = idx.range_search(q, radius, max_results=500)
         got = np.asarray(counts)
-        expect = (ref <= radius).sum(1)
-        assert (np.abs(got - expect) <= np.maximum(1, 0.02 * expect)).all()
+        # The device assembles d as qn² − 2q·y + ‖y‖² (catastrophic
+        # cancellation, ~1e-3 absolute noise), so rows AT the radius can
+        # flip either way — bound the count by the radius ± noise band
+        # instead of a fixed miscount budget (which is draw-sensitive:
+        # the session rng stream shifts under targeted subset runs).
+        atol = 1e-3 + 1e-4 * radius
+        lo = (ref <= radius - atol).sum(1)
+        hi = (ref <= radius + atol).sum(1)
+        assert ((got >= lo) & (got <= hi)).all(), (got, lo, hi)
 
     def test_pq_range_matches_adc(self, corpus, pq):
         from vq_tpu.search import PQIndex

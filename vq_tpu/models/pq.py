@@ -245,13 +245,15 @@ def _adc_search_chunked_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fetch", "metric", "interpret")
+    jax.jit,
+    static_argnames=("fetch", "metric", "pack_bits", "interpret"),
 )
 def _adc_search_fused_jit(
     tables: jnp.ndarray,  # [Q, m, k] f32
-    codes: jnp.ndarray,  # [n, m] u8
+    codes: jnp.ndarray,  # [n, m] u8 ([n, B] when pack_bits < 8)
     fetch: int,
     metric: Metric,
+    pack_bits: int = 8,
     interpret: bool = False,
 ):
     """Flat ADC top-``fetch`` via the VMEM-resident scan+top-k kernel.
@@ -266,9 +268,10 @@ def _adc_search_fused_jit(
     """
     from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
 
-    codes_t = codes.astype(jnp.uint8).T  # [m, n], lane-contiguous
+    codes_t = codes.astype(jnp.uint8).T  # [m|B, n], lane-contiguous
     vals, ids = adc_scan_topk_fused(
-        tables, codes_t, fetch, interpret=interpret
+        tables, codes_t, fetch, pack_bits=pack_bits,
+        interpret=interpret,
     )
     neg, pos = jax.lax.top_k(-vals, fetch)
     dist = -neg
@@ -622,7 +625,7 @@ class ProductQuantizer(Quantizer):
         fetch = max(int(k), int(rerank)) if rerank else int(k)
         fused_ok = (
             jax.default_backend() == "tpu"
-            and int(pack_bits) == 8
+            and int(pack_bits) in (1, 2, 4, 8)
             and self.num_centroids <= 256
             and self._metric in (
                 Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN,
@@ -641,7 +644,8 @@ class ProductQuantizer(Quantizer):
                 )
             tables = _adc_tables_jit(q2d, self._codebooks, self._metric)
             ids, dist = _adc_search_fused_jit(
-                tables, codes_arr, fetch, self._metric
+                tables, codes_arr, fetch, self._metric,
+                pack_bits=int(pack_bits),
             )
         elif n > int(chunk) and fetch < n:
             d = None

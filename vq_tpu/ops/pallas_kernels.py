@@ -624,7 +624,7 @@ _INF_KEY = 0x7F800000  # _orderable_key(+inf), as a Python literal
 
 def _adc_scan_topk_kernel(
     tab_hbm, codes_ref, *refs,
-    m, k, fetch, n, block, mode,
+    m, k, fetch, n, block, mode, pack_bits,
 ):
     """One corpus tile: VMEM-resident distances + in-tile top-``fetch``.
 
@@ -677,11 +677,21 @@ def _adc_scan_topk_kernel(
         dma.start()
         dma.wait()
 
+    per = 8 // pack_bits  # codes per stored byte (1 for plain u8)
     parts = []
     for s in range(0, tn, 128):
         acc = jnp.zeros((q, 128), jnp.float32)
         for i in range(m):
-            c = codes_ref[i, s:s + 128].astype(jnp.int32)  # [128]
+            if pack_bits == 8:
+                c = codes_ref[i, s:s + 128].astype(jnp.int32)  # [128]
+            else:
+                # Sub-byte corpus stays packed in HBM; unpack on the VPU
+                # (little-endian nibbles, vq_tpu/ops/packing.py layout).
+                byte = codes_ref[i // per, s:s + 128].astype(jnp.int32)
+                c = jnp.bitwise_and(
+                    jnp.right_shift(byte, (i % per) * pack_bits),
+                    (1 << pack_bits) - 1,
+                )
             idx = jnp.broadcast_to(c[None, :], (q, 128))
             m7 = jnp.bitwise_and(idx, 127)
             if kh == 1:
@@ -733,11 +743,15 @@ def _adc_scan_topk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fetch", "block_cols", "mode", "interpret")
+    jax.jit,
+    static_argnames=(
+        "fetch", "block_cols", "mode", "pack_bits", "interpret"
+    ),
 )
 def _adc_scan_topk_jit(
     tables, codes_t, qn2, offsets,
-    fetch: int, block_cols: int, mode: str, interpret: bool,
+    fetch: int, block_cols: int, mode: str, pack_bits: int,
+    interpret: bool,
 ):
     q, m, k = tables.shape
     n = codes_t.shape[1]
@@ -756,10 +770,11 @@ def _adc_scan_topk_jit(
     ntiles = n_pad // block_cols
     P = _ADC_TOPK_LANES
     m_slots = m
+    rows = codes_t.shape[0]  # m, or ceil(m*pack_bits/8) when packed
     operands = [tab, cp]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # tables stay in HBM
-        pl.BlockSpec((m, block_cols), lambda i: (0, i),
+        pl.BlockSpec((rows, block_cols), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     if mode == "l2":
@@ -783,6 +798,7 @@ def _adc_scan_topk_jit(
         functools.partial(
             _adc_scan_topk_kernel,
             m=m, k=k_pad, fetch=fetch, n=n, block=block_cols, mode=mode,
+            pack_bits=pack_bits,
         ),
         grid=(ntiles,),
         in_specs=in_specs,
@@ -814,6 +830,7 @@ def adc_scan_topk_fused(
     mode: str = "sum",
     qn2=None,
     offsets=None,
+    pack_bits: int = 8,
     interpret: bool = False,
 ):
     """Per-tile top-``fetch`` ADC candidates without materializing [Q, n].
@@ -829,6 +846,11 @@ def adc_scan_topk_fused(
     ``mode`` (see the kernel docstring): ``"sum"`` (PQ), ``"l2"``
     (additive codes with per-row stored norms — pass ``qn2 [Q]`` and
     ``offsets [n]``), or ``"dot"`` (negated score sums).
+
+    ``pack_bits`` < 8: ``codes_t`` is the sub-byte-packed
+    ``[ceil(m*bits/8), n]`` layout (``vq_tpu.ops.packing``, transposed);
+    bytes unpack on the VPU inside the kernel — the corpus never exists
+    unpacked.
     """
     if not 1 <= int(fetch) <= _ADC_TOPK_LANES:
         raise ValueError(f"fetch must be in [1, {_ADC_TOPK_LANES}]")
@@ -836,11 +858,21 @@ def adc_scan_topk_fused(
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "l2" and (qn2 is None or offsets is None):
         raise ValueError("mode='l2' requires qn2 and offsets")
+    if int(pack_bits) not in (1, 2, 4, 8):
+        raise ValueError("pack_bits must be 1, 2, 4, or 8")
     tables = jnp.asarray(tables, jnp.float32)
     if tables.shape[2] > 256:
         raise ValueError("adc_scan_topk_fused requires k <= 256")
     codes_t = jnp.asarray(codes_t)
-    if codes_t.dtype != jnp.uint8:
+    if pack_bits < 8:
+        want = -(-tables.shape[1] * int(pack_bits) // 8)
+        if codes_t.shape[0] != want:
+            raise ValueError(
+                f"packed codes_t must have {want} rows, got "
+                f"{codes_t.shape[0]}"
+            )
+        codes_t = codes_t.astype(jnp.uint8)
+    elif codes_t.dtype != jnp.uint8:
         codes_t = codes_t.astype(jnp.int32)
     block_cols = min(block_cols, _round_up(codes_t.shape[1], 128))
     if mode == "l2":
@@ -854,7 +886,8 @@ def adc_scan_topk_fused(
         offsets = jnp.zeros((0,), jnp.float32)
     return _adc_scan_topk_jit(
         tables, codes_t, qn2, offsets,
-        int(fetch), int(block_cols), mode, bool(interpret),
+        int(fetch), int(block_cols), mode, int(pack_bits),
+        bool(interpret),
     )
 
 
