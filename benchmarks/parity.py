@@ -228,10 +228,13 @@ def main(argv=None) -> None:
 
     import jax.numpy as jnp
 
+    from benchmarks._artifact import git_hash
+
     out = sys.stdout if args.output == "-" else open(args.output, "w")
+    git = git_hash()
 
     def emit(**fields):
-        out.write(json.dumps(fields) + "\n")
+        out.write(json.dumps({**fields, "git": git}) + "\n")
         out.flush()
 
     import jax
