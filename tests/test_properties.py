@@ -617,3 +617,50 @@ def test_weighted_accumulate_duplication_equivalence(data, reps, k):
     )
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-4)
     np.testing.assert_allclose(float(i1), float(i2), rtol=1e-4, atol=1e-2)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    m=st.integers(1, 5),
+    k=st.sampled_from([3, 16, 100, 129, 256]),
+    n=st.integers(1, 700),
+    q=st.integers(1, 9),
+    fetch=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adc_scan_topk_fused_property(m, k, n, q, fetch, seed):
+    """For ANY (m, k, n, Q, fetch): the fused gather+top-k scan's
+    per-tile candidates reproduce the brute-force table sums exactly —
+    sorted ascending with lowest-index ties, inf/-1 padded (interpret
+    mode; the hypothesis analog of the hardware parity runs)."""
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.pallas_kernels import adc_scan_topk_fused
+
+    r = np.random.default_rng(seed)
+    tables = jnp.asarray(r.random((q, m, k), dtype=np.float32))
+    codes_t = jnp.asarray(r.integers(0, k, (m, n)).astype(np.uint8))
+    block = 256
+    vals, ids = adc_scan_topk_fused(
+        tables, codes_t, fetch=fetch, block_cols=block, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    full = np.zeros((q, n), np.float32)
+    tb, ct = np.asarray(tables), np.asarray(codes_t)
+    for i in range(m):
+        full += tb[:, i, :][:, ct[i]]
+    for t, lo in enumerate(range(0, n, block)):
+        hi = min(lo + block, n)
+        take = min(fetch, hi - lo)
+        order = np.argsort(full[:, lo:hi], axis=1, kind="stable")[:, :take]
+        np.testing.assert_allclose(
+            vals[:, t * 128: t * 128 + take],
+            np.take_along_axis(full[:, lo:hi], order, axis=1),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            ids[:, t * 128: t * 128 + take], lo + order
+        )
+        assert np.isinf(vals[:, t * 128 + take: (t + 1) * 128]).all()
+        assert (ids[:, t * 128 + take: (t + 1) * 128] == -1).all()
