@@ -8,23 +8,16 @@ can always be traced to the producing commit.
 
 import atexit
 import json
-import os
-import subprocess
 import sys
 from typing import Optional
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from vq_tpu.cli.common import _git_hash
 
 
 def git_hash() -> Optional[str]:
-    try:
-        out = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, cwd=_REPO, timeout=10,
-        ).stdout.strip()
-        return out or None
-    except Exception:  # noqa: BLE001 — provenance is best-effort
-        return None
+    """One shared provenance helper (vq_tpu.cli.common) for CLI and
+    benchmark artifacts alike."""
+    return _git_hash()
 
 
 class Rows:

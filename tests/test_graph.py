@@ -366,6 +366,48 @@ class TestRemoveIds:
         ids, _ = gi.search(corpus[510], k=1, beam=32)
         assert int(np.asarray(ids)[0, 0]) == 410  # 400 kept + offset 10
 
+    def test_bridge_pads_cannot_wipe_adjacency(self):
+        """Round-3 review regression: −1-padded bridge rows entered
+        _augment_candidates_chunk with a FINITE distance (to row 0, via
+        the max(id, 0) gather), sorted ahead of real neighbors, and the
+        underfull fast path then replaced a survivor's whole adjacency
+        with −1 — full disconnection. The precise invariant: −1 slots
+        must never carry a finite distance out of the augment."""
+        import jax.numpy as jnp
+
+        from vq_tpu.graph import _augment_candidates_chunk
+
+        node = jnp.zeros((1, 4), jnp.float32)
+        nid = jnp.array([5], jnp.int32)
+        knn_ids = jnp.array([[7, -1]], jnp.int32)
+        knn_d = jnp.array([[9.0, np.inf]], jnp.float32)
+        # Two −1 pads whose gathered surrogate rows (row 0 stand-ins)
+        # sit AT the node — distance 0, closer than every real neighbor.
+        rand_ids = jnp.array([[-1, -1, 3]], jnp.int32)
+        rand_rows = jnp.zeros((1, 3, 4), jnp.float32)
+        si, sd = _augment_candidates_chunk(
+            node, nid, knn_ids, knn_d, rand_ids, rand_rows
+        )
+        si, sd = np.asarray(si)[0], np.asarray(sd)[0]
+        finite = np.isfinite(sd)
+        assert (si[finite] >= 0).all(), (si, sd)
+        assert si[0] == 3 and si[1] == 7  # real candidates, in order
+
+        # End-to-end smoke: removal with empty bridge rows never leaves
+        # a survivor fully disconnected.
+        r = np.random.default_rng(31)
+        d = 8
+        x = np.concatenate([
+            np.zeros((1, d), np.float32),
+            r.normal(0, 0.02, (1, d)).astype(np.float32),  # u, near 0
+            (r.normal(0, 0.02, (4, d)) + 0.3).astype(np.float32),  # clique
+            (r.normal(0, 0.05, (7, d)) + 50.0).astype(np.float32),
+        ])
+        gi = GraphIndex.build(x, degree=2, seed=32)
+        gi.remove_ids([2, 3, 4, 5])
+        g = np.asarray(gi.graph)
+        assert (g >= 0).any(axis=1).all(), g
+
     def test_sharded_search_sees_removal(self, corpus):
         from vq_tpu.parallel import sharded_graph_search
         from vq_tpu.parallel.mesh import make_mesh

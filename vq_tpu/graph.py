@@ -99,7 +99,14 @@ def _augment_candidates_chunk(
     )
     nn2 = jnp.sum(node_rows * node_rows, axis=-1)
     rd = jnp.maximum(nn2[:, None] - 2.0 * qy + rn, 0.0)
-    rd = jnp.where(rand_ids == node_ids[:, None], jnp.inf, rd)
+    # −1 pads carry row-0's rows (callers gather with max(id, 0)) and
+    # would otherwise enter the sort with a FINITE distance — ahead of
+    # real neighbors — and survive the underfull fast path downstream
+    # (review round 3: remove_ids could wipe a survivor's adjacency when
+    # row 0 was closer than its real neighbors).
+    rd = jnp.where(
+        (rand_ids == node_ids[:, None]) | (rand_ids < 0), jnp.inf, rd
+    )
 
     cat_i = jnp.concatenate([knn_ids, rand_ids], axis=1)
     cat_d = jnp.concatenate([knn_d, rd], axis=1)

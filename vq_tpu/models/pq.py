@@ -623,6 +623,7 @@ class ProductQuantizer(Quantizer):
         codes_arr = jnp.asarray(codes)
         n = codes_arr.shape[0]
         fetch = max(int(k), int(rerank)) if rerank else int(k)
+        q2d, _ = as_batch_f32(queries)
         fused_ok = (
             jax.default_backend() == "tpu"
             and int(pack_bits) in (1, 2, 4, 8)
@@ -632,12 +633,12 @@ class ProductQuantizer(Quantizer):
                 Metric.MANHATTAN,
             )
             and 1 <= fetch <= 128
+            and q2d.shape[0] <= 1024  # per-call VMEM bound of the kernel
             and n > 32_768
             and fetch < n
         )
         if fused_ok:
             d = None
-            q2d, _ = as_batch_f32(queries)
             if q2d.shape[1] != self.dim:
                 raise DimensionMismatch(
                     expected=self.dim, found=q2d.shape[1]

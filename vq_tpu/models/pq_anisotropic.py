@@ -440,6 +440,7 @@ def mips_adc_search(queries, codebooks, codes, k: int = 10,
         jax.default_backend() == "tpu"
         and kk <= 256
         and 1 <= int(k) <= 128
+        and q2d.shape[0] <= 1024  # per-call VMEM bound of the kernel
         and n > 32_768
     ):
         return _mips_search_fused_jit(tables, codes, int(k))

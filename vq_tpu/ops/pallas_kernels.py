@@ -874,7 +874,21 @@ def adc_scan_topk_fused(
         codes_t = codes_t.astype(jnp.uint8)
     elif codes_t.dtype != jnp.uint8:
         codes_t = codes_t.astype(jnp.int32)
-    block_cols = min(block_cols, _round_up(codes_t.shape[1], 128))
+    # Live VMEM scales as q_pad x block_cols x ~14 B (distance + key +
+    # iota tiles); block 8192 at Q=128 is the proven ceiling (~16 MB
+    # scoped VMEM), so wider query batches shrink the tile. Q > 1024
+    # must be gated/chunked by the caller.
+    q_pad = _round_up(tables.shape[0], 8)
+    if q_pad > 1024:
+        raise ValueError(
+            "adc_scan_topk_fused supports Q <= 1024 per call (VMEM); "
+            "chunk the query batch"
+        )
+    vmem_cols = max(1024, 8192 * 128 // q_pad // 1024 * 1024)
+    block_cols = min(block_cols, vmem_cols)
+    block_cols = _round_up(
+        min(block_cols, _round_up(codes_t.shape[1], 128)), 128
+    )
     if mode == "l2":
         # The offsets block's sublane dim (block/128) must satisfy the
         # Mosaic 8-divisibility rule.
@@ -915,9 +929,12 @@ def _ivf_probe_kernel(probe_ref, tab_ref, *refs, m, kk, cap_tile, cap):
     lane gathers in HBM, which is what made IVF search 20x slower than a
     flat scan in round 1 (docs/performance.md). The table lookup is m
     one-hot row-matvecs ``[1, kk] x [kk, cap_tile]`` accumulated in VMEM;
-    the second grid axis walks cap tiles so the one-hot intermediate stays
-    ~``kk x 512`` (bucket capacities can reach tens of thousands under
-    skew — one-shot ``[kk, cap]`` would blow VMEM and Mosaic compile time).
+    the second grid axis walks cap tiles, and this one-hot path clamps
+    the tile to 512 so the ``[kk, cap_tile]`` intermediate stays small
+    (bucket capacities can reach tens of thousands under skew — one-shot
+    ``[kk, cap]`` would blow VMEM and Mosaic compile time). Only kk >
+    256 configs reach this kernel; kk ≤ 256 dispatches the gather
+    variant below.
 
     Codes load at their stored width (u8 when k <= 256, upcast in VMEM),
     so the DMA reads a quarter of the bytes the old i32 path did. Lanes
@@ -994,7 +1011,11 @@ def _ivf_probe_adc_jit(tables, probe, bucket_codes, interpret: bool):
     qp, m, kk = tables.shape
     nlist, cap, _ = bucket_codes.shape
     kk_pad = _round_up(kk, 128)
-    cap_tile = min(_IVF_CAP_TILE, _round_up(cap, 128))
+    # The gather path's per-step VMEM is tiny (codes at m bytes/vec); the
+    # one-hot fallback materializes [kk_pad, cap_tile] f32 per matvec, so
+    # it keeps the original 512 tile.
+    tile_cap = _IVF_CAP_TILE if kk_pad <= 256 else 512
+    cap_tile = min(tile_cap, _round_up(cap, 128))
     cap_pad = _round_up(cap, cap_tile)
     P = _IVF_PAIRS_PER_STEP
     qp_pad = _round_up(qp, P)

@@ -70,16 +70,20 @@ def init_distributed(**kwargs) -> int:
     )
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        if "only be called once" in str(e):
-            pass  # idempotent re-entry
-        elif "before any JAX calls" in str(e) and not multi_host_intent:
-            pass  # backend already up, no cluster requested: single-host
+    except (RuntimeError, ValueError) as e:
+        already = (
+            getattr(_dist_state, "client", None) is not None
+            or "only be called once" in str(e)
+        )
+        if already:
+            pass  # idempotent re-entry (state check is version-proof)
+        elif not multi_host_intent:
+            # No kwargs and no env coordinator: nothing to misconfigure,
+            # so WHATEVER auto-detection complained about, the documented
+            # single-host path is a no-op. (Deliberately not matching
+            # JAX's error wording — it changes across versions.)
+            pass
         else:
-            raise
-    except ValueError as e:
-        auto_detect_miss = "should be defined" in str(e) or "must be defined" in str(e)
-        if multi_host_intent or not auto_detect_miss:
             raise
     return jax.process_index()
 

@@ -1763,33 +1763,31 @@ class RQIndex:
             and 1 <= fetch <= 128
             and n > 32_768
         )
-        if fused_ok:
-            # VMEM-resident gather+top-k scan (identical results to the
-            # XLA chunked scan below — see _rq_search_fused_jit).
-            arrays = (self._codes, self._row_sqn, self.rq.codebooks) + (
-                (self._corpus,) if rerank else ()
-            )
-        else:
-            code_chunks = jnp.pad(
-                self._codes, ((0, pad), (0, 0))
-            ).reshape(-1, chunk, self.rq.num_stages)
-            sqn_chunks = jnp.pad(self._row_sqn, (0, pad)).reshape(
-                -1, chunk
-            )
-            arrays = (code_chunks, sqn_chunks, self.rq.codebooks) + (
-                (self._corpus,) if rerank else ()
-            )
+        # FLAT storage either way; the chunked fallback reshapes inside
+        # the traced fn (free under jit), so the fused/chunked choice
+        # can also depend on the query-batch size, which is only known
+        # at trace time (the kernel is VMEM-bounded at Q <= 1024).
+        num_stages = self.rq.num_stages
+        arrays = (self._codes, self._row_sqn, self.rq.codebooks) + (
+            (self._corpus,) if rerank else ()
+        )
 
         def fn(q, code_c, sqn_c, cbs, *rest):
             tables = _rq_tables_jit(q, cbs, metric)
             qn2 = jnp.sum(q * q, axis=-1)
-            if fused_ok:
+            if fused_ok and q.shape[0] <= 1024:
+                # VMEM-resident gather+top-k scan (identical results to
+                # the XLA chunked scan — see _rq_search_fused_jit).
                 ids, d = _rq_search_fused_jit(
                     tables, qn2, code_c, sqn_c, fetch, metric
                 )
             else:
+                code_chunks = jnp.pad(
+                    code_c, ((0, pad), (0, 0))
+                ).reshape(-1, chunk, num_stages)
+                sqn_chunks = jnp.pad(sqn_c, (0, pad)).reshape(-1, chunk)
                 ids, d, _ = _rq_scan_jit(
-                    tables, qn2, code_c, sqn_c, jnp.int32(n),
+                    tables, qn2, code_chunks, sqn_chunks, jnp.int32(n),
                     jnp.float32(float("inf")), metric, fetch,
                 )
             if rerank:
