@@ -59,11 +59,12 @@ def test_transient_outage_recovers(bench, monkeypatch):
         return "cpu"
 
     monkeypatch.setattr(bench, "_probe_backend", flaky)
-    monkeypatch.setattr(bench, "measure_device", lambda: 1.5e7)
+    monkeypatch.setattr(bench, "measure_device", lambda: (4.5e7, 1.5e7))
     monkeypatch.setattr(bench, "measure_cpu_baseline", lambda: 1.5e5)
     out = _run_main(bench)
-    assert out["value"] == 1.5e7
-    assert out["vs_baseline"] == 100.0
+    assert out["value"] == 4.5e7  # scan-chained device rate
+    assert out["per_dispatch_value"] == 1.5e7  # rounds-1/2 method
+    assert out["vs_baseline"] == 300.0
     assert "error" not in out
 
 
