@@ -153,3 +153,18 @@ def test_init_distributed_single_host_noop():
     from vq_tpu.parallel.mesh import init_distributed
 
     assert init_distributed() == 0
+
+
+def test_init_distributed_env_autodetect_intent(monkeypatch):
+    """Multi-host intent via auto-detect env (a multi-worker
+    TPU_WORKER_HOSTNAMES list) must fail loudly when init can't complete —
+    while the single-name value that single-host TPU setups (including
+    this repo's tunnel) legitimately export stays a benign no-op."""
+    from vq_tpu.parallel.mesh import init_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises((RuntimeError, ValueError)):
+        init_distributed()
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert init_distributed() == 0

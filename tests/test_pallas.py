@@ -554,3 +554,69 @@ class TestFusedIVFScanParity:
         )
         idx.add(corpus)
         self._check(idx, corpus[:4], nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# VMEM budget of the gather+top-k kernel (round-3 advisor finding: the
+# persistent table scratch grows with m and Q and must be budgeted with
+# the tile state, not silently pushed past Mosaic's ~16 MB ceiling)
+# ---------------------------------------------------------------------------
+
+
+def test_adc_topk_vmem_budget_gate():
+    """Configs whose table scratch alone exhausts the proven VMEM ceiling
+    are inadmissible (gate returns 0; the kernel raises instead of hitting
+    a Mosaic compile failure at runtime)."""
+    from vq_tpu.ops.pallas_kernels import (
+        adc_scan_topk_fused,
+        adc_topk_max_block,
+    )
+
+    # The proven round-3 hardware config reproduces exactly.
+    assert adc_topk_max_block(128, 8, 256) == 8192
+    # More queries shrink the tile (below the old fixed 1024 floor)...
+    assert 0 < adc_topk_max_block(1024, 8, 256) < 1024
+    # ...and scratch-dominated configs are rejected outright.
+    assert adc_topk_max_block(1024, 16, 256) == 0
+    assert adc_topk_max_block(2048, 8, 256) == 0  # Q hard cap
+    # l2 pays one extra broadcast table slot and quantizes to 1024 lanes.
+    l2 = adc_topk_max_block(128, 8, 256, "l2")
+    assert l2 % 1024 == 0 and 0 < l2 < 8192
+    # Monotone in m and Q.
+    assert adc_topk_max_block(128, 16, 256) < adc_topk_max_block(128, 8, 256)
+    assert adc_topk_max_block(512, 8, 256) < adc_topk_max_block(128, 8, 256)
+
+    tables = jnp.zeros((1024, 16, 256), jnp.float32)
+    codes_t = jnp.zeros((16, 256), jnp.uint8)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        adc_scan_topk_fused(tables, codes_t, 8, interpret=True)
+
+
+def test_adc_scan_topk_fused_shrunken_block_parity():
+    """A config the budget admits only with a narrowed corpus tile
+    (Q=264, m=16, k=256 -> block < 8192) still matches the plain table-sum
+    reference exactly."""
+    from vq_tpu.ops.pallas_kernels import (
+        adc_scan_topk_fused,
+        adc_topk_max_block,
+    )
+
+    q, m, k, n, fetch = 264, 16, 256, 512, 4
+    blk = adc_topk_max_block(q, m, k)
+    assert 0 < blk < 8192
+    rng = np.random.default_rng(7)
+    tables = rng.random((q, m, k), dtype=np.float32)
+    codes = rng.integers(0, k, (n, m)).astype(np.uint8)
+    vals, ids = adc_scan_topk_fused(
+        jnp.asarray(tables), jnp.asarray(codes.T), fetch, interpret=True
+    )
+    ref = np.zeros((q, n), np.float32)
+    for i in range(m):
+        ref += tables[:, i, codes[:, i]]
+    order = np.argsort(ref, axis=1, kind="stable")[:, :fetch]
+    np.testing.assert_array_equal(np.asarray(ids[:, :fetch]), order)
+    np.testing.assert_allclose(
+        np.asarray(vals[:, :fetch]),
+        np.take_along_axis(ref, order, axis=1),
+        rtol=0, atol=0,
+    )

@@ -624,6 +624,8 @@ class ProductQuantizer(Quantizer):
         n = codes_arr.shape[0]
         fetch = max(int(k), int(rerank)) if rerank else int(k)
         q2d, _ = as_batch_f32(queries)
+        from vq_tpu.ops.pallas_kernels import adc_topk_max_block
+
         fused_ok = (
             jax.default_backend() == "tpu"
             and int(pack_bits) in (1, 2, 4, 8)
@@ -633,7 +635,11 @@ class ProductQuantizer(Quantizer):
                 Metric.MANHATTAN,
             )
             and 1 <= fetch <= 128
-            and q2d.shape[0] <= 1024  # per-call VMEM bound of the kernel
+            # Full kernel VMEM gate: Q AND the persistent [m, kh, q, 128]
+            # table scratch must fit the proven budget together.
+            and adc_topk_max_block(
+                q2d.shape[0], self.num_subspaces, self.num_centroids
+            ) > 0
             and n > 32_768
             and fetch < n
         )

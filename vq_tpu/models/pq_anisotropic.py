@@ -436,11 +436,14 @@ def mips_adc_search(queries, codebooks, codes, k: int = 10,
     if codes.ndim == 1:
         codes = codes[None, :]
     n = codes.shape[0]
+    from vq_tpu.ops.pallas_kernels import adc_topk_max_block
+
     if (
         jax.default_backend() == "tpu"
         and kk <= 256
         and 1 <= int(k) <= 128
-        and q2d.shape[0] <= 1024  # per-call VMEM bound of the kernel
+        # Full kernel VMEM gate (Q + table scratch must fit together).
+        and adc_topk_max_block(q2d.shape[0], m, kk, "dot") > 0
         and n > 32_768
     ):
         return _mips_search_fused_jit(tables, codes, int(k))

@@ -44,6 +44,7 @@ __all__ = [
     "pq_lloyd_accumulate_fused",
     "adc_lookup_fused",
     "adc_scan_topk_fused",
+    "adc_topk_max_block",
     "ivf_probe_adc_fused",
     "ivf_probe_matvec_fused",
 ]
@@ -637,11 +638,12 @@ def _adc_scan_topk_kernel(
     extract the tile's best candidates in ascending (distance, id)
     order. HBM traffic drops from the scan's ``[Q, n]`` accumulator
     round-trips to ``codes`` (m bytes/vec) + ``[Q, ntiles·128]``
-    candidate blocks. Measured at Q=128, n=1M, 8×256 with T=16 searches
-    chained in one dispatch (the only honest timing through this
-    tunnel — per-dispatch RPC is ~29 ms): 10.6 ms/batch device vs 24.0
-    for the XLA chunked scan — 2.27×, 12.1k QPS/chip
-    (benchmarks/adc_vmem_bench.py).
+    candidate blocks. Measured at Q=128, n=1M, 8×256 with searches
+    scan-chained inside one dispatch (the only honest timing through
+    this tunnel — per-dispatch RPC is ~29 ms): 10.6 ms/batch device vs
+    24.0 for the XLA chunked scan — 2.27×, 12.1k QPS/chip. Committed
+    record: docs/performance.md "Flat ADC scan" section; the kernel
+    variants and dead ends live in benchmarks/adc_vmem_bench.py.
 
     Summation order per element matches the XLA scan (subspace 0..m-1,
     f32), so distances are bit-identical and ties resolve to the lowest
@@ -821,6 +823,41 @@ def _adc_scan_topk_jit(
     return vals[:q], ids[:q]
 
 
+# Proven live-VMEM ceiling of the gather+top-k kernel: the round-3 hardware
+# config (Q=128, m=8, k=256, block 8192) = 14 B x 128 x 8192 of tile state
+# (distances + orderable keys + iotas) + the persistent [m_slots, kh, q, 128]
+# f32 table scratch. Both terms must be budgeted: the scratch grows with m
+# and Q and, unbudgeted, pushes admissible-looking configs (e.g. m=16, k=256,
+# Q~512) past Mosaic's ~16 MB scoped-VMEM limit — a compile failure at
+# runtime rather than a fallback (round-3 advisor finding).
+_ADC_TOPK_TILE_BYTES = 14
+_ADC_TOPK_BUDGET = (
+    8192 * 128 * _ADC_TOPK_TILE_BYTES + 8 * 2 * 128 * 128 * 4
+)
+
+
+def adc_topk_max_block(q: int, m: int, k: int, mode: str = "sum") -> int:
+    """Widest corpus tile ``adc_scan_topk_fused``'s VMEM budget admits.
+
+    Returns 0 when the config cannot run at all (Q > 1024, or the
+    persistent table scratch alone exhausts the proven ceiling) — callers
+    must then keep their XLA chunked scan, because the alternative is a
+    Mosaic VMEM compile failure that cannot be caught as a fallback.
+    ``mode`` matters: ``"l2"`` adds one broadcast table slot (qn²) and
+    quantizes the tile to 1024 lanes (the per-row offsets block's Mosaic
+    sublane rule).
+    """
+    q_pad = _round_up(max(int(q), 1), 8)
+    if q_pad > 1024:
+        return 0
+    kh = 2 if int(k) > 128 else 1
+    m_slots = int(m) + (1 if mode == "l2" else 0)
+    scratch = m_slots * kh * q_pad * 128 * 4
+    cols = (_ADC_TOPK_BUDGET - scratch) // (_ADC_TOPK_TILE_BYTES * q_pad)
+    quantum = 1024 if mode == "l2" else 128
+    return max(cols // quantum * quantum, 0)
+
+
 def adc_scan_topk_fused(
     tables,
     codes_t,
@@ -874,17 +911,29 @@ def adc_scan_topk_fused(
         codes_t = codes_t.astype(jnp.uint8)
     elif codes_t.dtype != jnp.uint8:
         codes_t = codes_t.astype(jnp.int32)
-    # Live VMEM scales as q_pad x block_cols x ~14 B (distance + key +
-    # iota tiles); block 8192 at Q=128 is the proven ceiling (~16 MB
-    # scoped VMEM), so wider query batches shrink the tile. Q > 1024
-    # must be gated/chunked by the caller.
+    # Live VMEM = persistent table scratch + ~14 B per [q_pad, block]
+    # tile element; budgeted together against the proven round-3 ceiling
+    # (see adc_topk_max_block). Wider query batches / more subspaces
+    # shrink the tile; configs whose scratch alone blows the budget are
+    # rejected so callers gate on adc_topk_max_block and keep the XLA
+    # chunked scan.
     q_pad = _round_up(tables.shape[0], 8)
     if q_pad > 1024:
         raise ValueError(
             "adc_scan_topk_fused supports Q <= 1024 per call (VMEM); "
             "chunk the query batch"
         )
-    vmem_cols = max(1024, 8192 * 128 // q_pad // 1024 * 1024)
+    vmem_cols = adc_topk_max_block(
+        tables.shape[0], tables.shape[1], tables.shape[2], mode
+    )
+    if vmem_cols <= 0:
+        raise ValueError(
+            "adc_scan_topk_fused: persistent table scratch for this "
+            f"(Q={tables.shape[0]}, m={tables.shape[1]}, "
+            f"k={tables.shape[2]}, mode={mode!r}) exceeds the kernel's "
+            "VMEM budget — gate with adc_topk_max_block(...) > 0 and "
+            "use the XLA chunked scan"
+        )
     block_cols = min(block_cols, vmem_cols)
     block_cols = _round_up(
         min(block_cols, _round_up(codes_t.shape[1], 128)), 128

@@ -61,18 +61,38 @@ def init_distributed(**kwargs) -> int:
     """
     import os
 
-    from jax._src.distributed import global_state as _dist_state
+    try:  # private path — a JAX refactor degrades to message matching
+        from jax._src.distributed import global_state as _dist_state
+    except ImportError:  # pragma: no cover - depends on jax version
+        _dist_state = None
 
-    if getattr(_dist_state, "client", None) is not None:
+    if _dist_state is not None and getattr(_dist_state, "client", None) is not None:
         return jax.process_index()  # already initialized — idempotent
-    multi_host_intent = bool(kwargs) or bool(
-        os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # Multi-host intent also arrives through auto-detect channels (Cloud
+    # TPU metadata / megascale env), not just explicit kwargs — a broken
+    # auto-detected init must fail loudly too, not degrade to single-host.
+    # TPU_WORKER_HOSTNAMES is a comma-separated worker list and counts
+    # only when it names MORE than one host (single-host TPU setups —
+    # including this repo's tunnel — legitimately set it to one name).
+    multi_host_intent = (
+        bool(kwargs)
+        or any(
+            os.environ.get(v)
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        )
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
     )
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
         already = (
-            getattr(_dist_state, "client", None) is not None
+            (
+                _dist_state is not None
+                and getattr(_dist_state, "client", None) is not None
+            )
             or "only be called once" in str(e)
         )
         if already:

@@ -1766,16 +1766,22 @@ class RQIndex:
         # FLAT storage either way; the chunked fallback reshapes inside
         # the traced fn (free under jit), so the fused/chunked choice
         # can also depend on the query-batch size, which is only known
-        # at trace time (the kernel is VMEM-bounded at Q <= 1024).
+        # at trace time (the kernel's VMEM gate needs Q AND the table
+        # scratch — adc_topk_max_block — to fit together).
         num_stages = self.rq.num_stages
+        num_cents = int(self.rq.codebooks.shape[1])
+        fused_mode = "dot" if metric == "dot" else "l2"
         arrays = (self._codes, self._row_sqn, self.rq.codebooks) + (
             (self._corpus,) if rerank else ()
         )
+        from vq_tpu.ops.pallas_kernels import adc_topk_max_block
 
         def fn(q, code_c, sqn_c, cbs, *rest):
             tables = _rq_tables_jit(q, cbs, metric)
             qn2 = jnp.sum(q * q, axis=-1)
-            if fused_ok and q.shape[0] <= 1024:
+            if fused_ok and adc_topk_max_block(
+                q.shape[0], num_stages, num_cents, fused_mode
+            ) > 0:
                 # VMEM-resident gather+top-k scan (identical results to
                 # the XLA chunked scan — see _rq_search_fused_jit).
                 ids, d = _rq_search_fused_jit(
