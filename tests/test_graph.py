@@ -475,3 +475,67 @@ class TestAddRegressions:
         hub_adj = set(np.asarray(gi.graph)[0].tolist())
         # the closest new point (highest id) must have won a slot
         assert (16 + B - 1) in hub_adj
+
+
+class TestRegimeGuardrail:
+    """Build-time cluster-concentration warning (round-2/3 verdict weak
+    #7): the documented GraphIndex failure regime — heavy, well-separated
+    clustering — must warn at build instead of silently capping recall."""
+
+    @staticmethod
+    def _clustered(noise, n=10_000, d=32, nlist=100, seed=66):
+        r = np.random.default_rng(seed)
+        centers = r.normal(size=(nlist, d)).astype(np.float32) * 2.0
+        which = r.integers(0, nlist, n)
+        return (
+            centers[which] + noise * r.normal(size=(n, d))
+        ).astype(np.float32)
+
+    def test_warns_on_tight_clusters_and_persists(self, tmp_path):
+        import warnings as _w
+
+        data = self._clustered(noise=0.15)
+        with pytest.warns(RuntimeWarning, match="cluster concentration"):
+            gi = GraphIndex.build(data, degree=8, seed=1)
+        assert gi.regime_warning is not None
+        assert "IVF" in gi.regime_warning  # suggests the right tool
+        # The diagnosis survives save/load.
+        p = gi.save(str(tmp_path / "tight"))
+        assert GraphIndex.load(p).regime_warning == gi.regime_warning
+
+    def test_silent_on_smooth_density(self, tmp_path):
+        import warnings as _w
+
+        data = self._clustered(noise=1.0)
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            gi = GraphIndex.build(data, degree=8, seed=1)
+        assert gi.regime_warning is None
+        p = gi.save(str(tmp_path / "smooth"))
+        assert GraphIndex.load(p).regime_warning is None
+
+    def test_small_corpora_skip_the_statistic(self):
+        import warnings as _w
+
+        from vq_tpu.graph import _CONCENTRATION_MIN_ROWS
+
+        data = self._clustered(noise=0.05, n=512, nlist=8)
+        assert data.shape[0] < _CONCENTRATION_MIN_ROWS
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            gi = GraphIndex.build(data, degree=8, seed=1)
+        assert gi.regime_warning is None
+
+    def test_statistic_separates_regimes(self):
+        import jax.numpy as jnp
+
+        from vq_tpu.graph import (
+            _CONCENTRATION_WARN,
+            _concentration_stat_jit,
+        )
+
+        tight = jnp.asarray(self._clustered(noise=0.15)[:2048])
+        smooth = jnp.asarray(self._clustered(noise=1.0)[:2048])
+        r_tight = float(_concentration_stat_jit(tight))
+        r_smooth = float(_concentration_stat_jit(smooth))
+        assert r_tight < _CONCENTRATION_WARN < r_smooth
