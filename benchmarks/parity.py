@@ -13,10 +13,13 @@ otherwise dominate every measurement).
 
 Usage:
     python benchmarks/parity.py [--n 1000000] [--queries 100] [--output -]
+    python benchmarks/parity.py --data sift1m.fvecs   # BASELINE configs 2-3
+                                                      # on the named dataset
 
-Each config prints one JSON line. Data is a seeded Gaussian-mixture corpus
-(clustered like real embedding/SIFT data — uniform noise would make recall
-meaningless).
+Each config prints one JSON line tagged with its data source. Default data
+is a seeded Gaussian-mixture corpus (clustered like real embedding/SIFT
+data — uniform noise would make recall meaningless); ``--data`` runs the
+real thing (fvecs/bvecs loader: vq_tpu/utils/datasets.py).
 """
 
 from __future__ import annotations
@@ -224,6 +227,12 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=66)
     p.add_argument("--tsvq-n", type=int, default=50_000)
     p.add_argument("--output", type=str, default="-")
+    p.add_argument(
+        "--data", type=str, default=None,
+        help="a real .fvecs/.bvecs corpus for configs 1-3 (e.g. SIFT-1M, "
+        "BASELINE configs 2-3); missing file falls back to the synthetic "
+        "mixture — every emitted row carries a 'data' tag either way",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -233,27 +242,48 @@ def main(argv=None) -> None:
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     git = git_hash()
 
+    data_tag = "synthetic"
+
     def emit(**fields):
-        out.write(json.dumps({**fields, "git": git}) + "\n")
+        out.write(
+            json.dumps({**fields, "data": data_tag, "git": git}) + "\n"
+        )
         out.flush()
 
     import jax
 
-    # Config 1-3 data: SIFT-like 128-d clustered corpus, generated on device.
-    x_dev = make_clustered_device(args.n, 128, 1000, args.seed)
+    # Config 1-3 data: a real corpus when --data names one (BASELINE
+    # configs 2-3 as written: SIFT-1M), else the SIFT-like 128-d
+    # clustered mixture generated on device.
+    dim = 128
+    if args.data and os.path.exists(args.data):
+        from vq_tpu.utils.datasets import load_dataset
+
+        x_host = load_dataset(args.data, max_rows=args.n)
+        data_tag = os.path.basename(args.data)
+        args.n, dim = x_host.shape
+        x_dev = jnp.asarray(x_host)  # one documented upload
+        del x_host
+    else:
+        if args.data:
+            print(
+                f"# --data {args.data!r} not found — synthetic fallback",
+                file=sys.stderr,
+            )
+        x_dev = make_clustered_device(args.n, dim, 1000, args.seed)
     rng = np.random.default_rng(args.seed + 1)
     q_idx = jnp.asarray(rng.choice(args.n, args.queries, replace=False))
     qk = jax.random.PRNGKey(args.seed + 1)
     q_dev = jnp.take(x_dev, q_idx, axis=0) + 0.05 * jax.random.normal(
-        qk, (args.queries, 128), jnp.float32
+        qk, (args.queries, dim), jnp.float32
     )
     x_host_sample = np.asarray(x_dev[:2000])  # ~1 MB pull for the CPU oracle
     truth = device_topk_l2(q_dev, x_dev, 10)
 
-    bench_sq(x_dev, args.n, 128, emit)
-    bench_bq(x_dev, q_dev, truth, args.n, 128, emit)
-    bench_pq(x_dev, x_host_sample, q_dev, truth, "euclidean", args.n, 128, emit)
-    bench_pq(x_dev, x_host_sample, q_dev, truth, "cosine", args.n, 128, emit)
+    bench_sq(x_dev, args.n, dim, emit)
+    bench_bq(x_dev, q_dev, truth, args.n, dim, emit)
+    bench_pq(x_dev, x_host_sample, q_dev, truth, "euclidean", args.n, dim, emit)
+    bench_pq(x_dev, x_host_sample, q_dev, truth, "cosine", args.n, dim, emit)
 
     # Config 4: GIST-like 960-d corpus (tree build is host-side; the
     # evaluation sample is device-generated from the same mixture — the

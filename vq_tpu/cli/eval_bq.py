@@ -13,9 +13,10 @@ from vq_tpu.cli.common import (
     Timer,
     base_parser,
     block,
+    device_encode_ms,
     emit,
-    generate_synthetic_data,
     reconstruction_mse,
+    resolve_corpus,
     windowed_recall_at_k,
 )
 
@@ -33,9 +34,13 @@ def main(argv=None) -> None:
     from vq_tpu.cli.common import warmup_backend
 
     warmup_backend()
+    get_data, data_tag = resolve_corpus(args)
     results = []
     for n in args.sizes:
-        data = generate_synthetic_data(n, args.dim, args.seed)
+        data = get_data(n)
+        import jax.numpy as jnp
+
+        data = jnp.asarray(data)  # one upload, outside every timed region
         with Timer() as t_train:
             q = BinaryQuantizer(args.threshold, args.low, args.high)
         if not args.cold:
@@ -63,6 +68,14 @@ def main(argv=None) -> None:
                     "pack_ms": t_pack.ms,
                     "packed_bytes_per_vector": int(packed.shape[1]) * 4,
                     "raw_bytes_per_vector": args.dim * 4,
+                    "data": data_tag,
+                    **(
+                        {"encode_ms_device": d}
+                        if not args.cold
+                        and (d := device_encode_ms(q.quantize, data))
+                        is not None
+                        else {}
+                    ),
                 },
             )
         )

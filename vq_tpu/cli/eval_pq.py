@@ -17,9 +17,10 @@ from vq_tpu.cli.common import (
     Timer,
     base_parser,
     block,
+    device_encode_ms,
     emit,
-    generate_synthetic_data,
     reconstruction_mse,
+    resolve_corpus,
     windowed_recall_at_k,
 )
 
@@ -40,9 +41,13 @@ def main(argv=None) -> None:
     from vq_tpu.cli.common import warmup_backend
 
     warmup_backend()
+    get_data, data_tag = resolve_corpus(args)
     results = []
     for n in args.sizes:
-        data = generate_synthetic_data(n, args.dim, args.seed)
+        data = get_data(n)
+        import jax.numpy as jnp
+
+        data = jnp.asarray(data)  # one upload, outside every timed region
 
         def fit():
             return ProductQuantizer(
@@ -68,7 +73,16 @@ def main(argv=None) -> None:
             "m": args.m,
             "k": args.k,
             "code_bytes_per_vector": int(codes.shape[1]) * codes.dtype.itemsize,
+            "data": data_tag,
         }
+        if not args.cold:
+            # Chip-side rate: scan-chained so the ~29 ms per-dispatch
+            # tunnel RPC (which floors encode_ms from 1k to 1M rows)
+            # amortizes away — encode_ms stays the single-dispatch
+            # CLIENT time for reference-grid continuity.
+            dev_ms = device_encode_ms(lambda x: q.encode(x), data)
+            if dev_ms is not None:
+                extra["encode_ms_device"] = dev_ms
         recall = (
             # Device arrays pass through unconverted — recall computes
             # on-device (host pull of a 1M corpus would take ~15 min

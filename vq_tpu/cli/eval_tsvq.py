@@ -11,9 +11,11 @@ from vq_tpu.cli.common import (
     Timer,
     base_parser,
     block,
+    device_encode_ms,
     emit,
     generate_synthetic_data,
     reconstruction_mse,
+    resolve_corpus,
     windowed_recall_at_k,
 )
 
@@ -32,19 +34,32 @@ def main(argv=None) -> None:
     from vq_tpu.cli.common import warmup_backend
 
     warmup_backend()
+    get_data, data_tag = resolve_corpus(args)
     results = []
     for n in args.sizes:
-        # Tree build is host-side recursion -> host data; encode/MSE run on
-        # a device-generated sample of the same distribution (uploading the
-        # host corpus through a TPU tunnel would dominate the timing).
-        data = generate_synthetic_data(n, args.dim, args.seed, device=False)
+        # Tree build is host-orchestrated -> host data; with synthetic
+        # data, encode/MSE run on a device-generated sample of the same
+        # distribution (uploading the host corpus through a TPU tunnel
+        # would dominate the timing). File corpora (--data) encode the
+        # real rows — one documented upload.
+        if data_tag == "synthetic":
+            data = generate_synthetic_data(
+                n, args.dim, args.seed, device=False
+            )
+        else:
+            data = get_data(n)
         if not args.cold:
             # Warm the per-shape build compiles so train_ms is the
             # steady-state tree-build cost.
             TSVQ(data, max_depth=args.max_depth, distance=args.distance)
         with Timer() as t_train:
             q = TSVQ(data, max_depth=args.max_depth, distance=args.distance)
-        dev_data = generate_synthetic_data(n, args.dim, args.seed + 1)
+        if data_tag == "synthetic":
+            dev_data = generate_synthetic_data(n, args.dim, args.seed + 1)
+        else:
+            import jax.numpy as jnp
+
+            dev_data = jnp.asarray(data)
         if not args.cold:
             block(q.encode(dev_data))
         with Timer() as t_enc:
@@ -67,6 +82,14 @@ def main(argv=None) -> None:
                     "max_depth": args.max_depth,
                     "nodes": q.num_nodes,
                     "leaves": q.num_leaves,
+                    "data": data_tag,
+                    **(
+                        {"encode_ms_device": d}
+                        if not args.cold
+                        and (d := device_encode_ms(q.encode, dev_data))
+                        is not None
+                        else {}
+                    ),
                 },
             )
         )

@@ -1,5 +1,12 @@
-"""Utilities: serialization (checkpoint/save-load) and metrics logging."""
+"""Utilities: serialization (checkpoint/save-load), metrics logging, and
+standard ANN-benchmark dataset readers."""
 
+from vq_tpu.utils.datasets import (
+    load_dataset,
+    read_bvecs,
+    read_fvecs,
+    read_ivecs,
+)
 from vq_tpu.utils.metrics import MetricsLogger, trace
 from vq_tpu.utils.serialize import (
     KMeansCheckpoint,
@@ -17,4 +24,8 @@ __all__ = [
     "load_kmeans_state",
     "MetricsLogger",
     "trace",
+    "read_fvecs",
+    "read_bvecs",
+    "read_ivecs",
+    "load_dataset",
 ]
