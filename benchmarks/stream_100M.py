@@ -1,0 +1,288 @@
+"""North-star config 5 at real scale: streaming PQ 16x256 train on
+100M x 1536 (BASELINE.json configs[4]).
+
+The corpus NEVER exists — not on host, not on device, not on disk
+(600 GB of f32). Each block is generated on device from a seeded,
+block-indexed PRNG fold inside the SAME jit that consumes it
+(a ``lax.scan`` of ``pq_minibatch_update`` over generate->update steps,
+one dispatch per superblock — SURVEY §7.3 "multi-host input pipeline":
+per-shard generation from split seeds, never gather). Data is a seeded
+Gaussian mixture (1024 modes) so the trained codebooks have structure
+to learn and the final inertia is comparable against a full-Lloyd
+reference.
+
+Checkpoint/kill/resume at scale (the round-3 verdict's ask): the running
+``(centroids [m,k,s], counts [m,k], cursor)`` state checkpoints to one
+npz after every superblock (~1.6 MB — the only thing that ever crosses
+the tunnel); ``--kill-after S`` aborts the process mid-run after S
+superblocks, and ``--resume`` continues from the cursor with the same
+per-block key schedule, so a resumed run consumes exactly the blocks the
+uninterrupted run would have.
+
+Final quality: the streamed codebooks' PQ inertia on a held-out 1M-row
+eval sample vs codebooks trained by FULL 10-iteration Lloyd
+(vq_tpu.models.pq.pq_train) on that same 1M sample — the
+"1M-subsample full-Lloyd reference" the artifact commits.
+
+Usage (defaults are the full north-star config):
+    python benchmarks/stream_100M.py --kill-after 3    # first run, aborts
+    python benchmarks/stream_100M.py --resume          # finishes
+Appends JSONL rows to --output (default
+benchmarks/results/stream_100M_tpu.jsonl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLUSTERS = 1024
+NOISE = 0.25
+
+
+def build_step(centers, m, k, sub, block_rows):
+    """One jitted superblock: scan generate->update over block indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.kmeans_stream import pq_minibatch_update
+
+    d = m * sub
+
+    def step(carry, block_idx):
+        cents, counts, inert = carry
+        key = jax.random.fold_in(jax.random.PRNGKey(66), block_idx)
+        kw, kn = jax.random.split(key)
+        which = jax.random.randint(kw, (block_rows,), 0, CLUSTERS)
+        x = jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(
+            kn, (block_rows, d), jnp.float32
+        )
+        cents, counts, bi = pq_minibatch_update(cents, counts, x)
+        return (cents, counts, inert + jnp.sum(bi)), None
+
+    @jax.jit
+    def superblock(cents, counts, block_ids):
+        (cents, counts, inert), _ = jax.lax.scan(
+            step, (cents, counts, jnp.float32(0.0)), block_ids
+        )
+        return cents, counts, inert
+
+    return superblock
+
+
+def gen_eval_rows(centers, n_eval, d, seed_off=1_000_003):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.fold_in(jax.random.PRNGKey(66), seed_off)
+    kw, kn = jax.random.split(key)
+    which = jax.random.randint(kw, (n_eval,), 0, CLUSTERS)
+    return jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(
+        kn, (n_eval, d), jnp.float32
+    )
+
+
+def pq_inertia(x, centroids, m, sub, chunk=131_072):
+    """Total squared PQ quantization error of ``x`` under ``centroids``."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chunk_inertia(xc, cents):
+        xb = xc.reshape(xc.shape[0], m, sub).transpose(1, 0, 2)  # [m,b,s]
+
+        def one(c, xs):
+            cc = jnp.sum(c * c, axis=-1)
+            xc_ = jax.lax.dot_general(
+                xs, c, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores = cc[None, :] - 2.0 * xc_
+            xx = jnp.sum(xs * xs, axis=-1)
+            return jnp.sum(jnp.maximum(jnp.min(scores, -1) + xx, 0.0))
+
+        return jnp.sum(jax.vmap(one)(cents, xb))
+
+    total = 0.0
+    n = x.shape[0]
+    for lo in range(0, n, chunk):
+        total += float(chunk_inertia(x[lo : lo + chunk], centroids))
+    return total
+
+
+def hbm_peak_bytes():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", 0)) or None
+    except Exception:  # noqa: BLE001 — not all PJRT backends expose stats
+        return None
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n-total", type=int, default=100_000_000)
+    p.add_argument("--dim", type=int, default=1536)
+    p.add_argument("--m", type=int, default=16)
+    p.add_argument("--k", type=int, default=256)
+    p.add_argument("--block-rows", type=int, default=131_072)
+    p.add_argument("--blocks-per-superblock", type=int, default=48)
+    p.add_argument("--n-eval", type=int, default=1_000_000)
+    p.add_argument("--kill-after", type=int, default=0,
+                   help="abort (exit 42) after this many superblocks — "
+                   "simulates a mid-run failure for the resume test")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--checkpoint", type=str,
+                   default="/tmp/stream_100M_ckpt.npz")
+    p.add_argument("--output", type=str,
+                   default="benchmarks/results/stream_100M_tpu.jsonl")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests; the TPU "
+                   "tunnel allows one process at a time)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from benchmarks._artifact import git_hash
+
+    m, k, sub = args.m, args.k, args.dim // args.m
+    assert args.dim == m * sub
+    n_blocks = args.n_total // args.block_rows
+    git = git_hash()
+
+    def emit(**fields):
+        row = {**fields, "git": git}
+        with open(args.output, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    # Mixture modes: tiny ([1024, d] ~ 6 MB), device-generated, seeded —
+    # identical across runs and across the train/eval split.
+    kc = jax.random.PRNGKey(7)
+    centers = 2.0 * jax.random.normal(kc, (CLUSTERS, args.dim), jnp.float32)
+
+    cursor = 0
+    if args.resume:
+        st = np.load(args.checkpoint)
+        cents = jnp.asarray(st["centroids"])
+        counts = jnp.asarray(st["counts"])
+        cursor = int(st["cursor"])
+        assert cents.shape == (m, k, sub), cents.shape
+        print(f"resumed from block {cursor}/{n_blocks}", flush=True)
+    else:
+        # Reference-style seeded sample-k init from the first block's
+        # distribution (one generated block, k rows per subspace). The
+        # fold index is outside the data-block range so init rows never
+        # repeat a training block.
+        key = jax.random.fold_in(jax.random.PRNGKey(66), 2_000_003)
+        kw, kn, ki = jax.random.split(key, 3)
+        which = jax.random.randint(kw, (args.block_rows,), 0, CLUSTERS)
+        x0 = jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(
+            kn, (args.block_rows, args.dim), jnp.float32
+        )
+        idx = jax.random.choice(
+            ki, args.block_rows, (m, k), replace=False
+        )
+        cents = jnp.stack(
+            [x0[idx[i]].reshape(k, m, sub)[:, i, :] for i in range(m)]
+        )
+        counts = jnp.zeros((m, k), jnp.float32)
+        del x0
+
+    superblock = build_step(centers, m, k, sub, args.block_rows)
+    sb = args.blocks_per_superblock
+
+    t_start = time.perf_counter()
+    rows_done = 0
+    n_super = 0
+    while cursor < n_blocks:
+        ids = jnp.arange(
+            cursor, min(cursor + sb, n_blocks), dtype=jnp.int32
+        )
+        t0 = time.perf_counter()
+        cents, counts, inert = superblock(cents, counts, ids)
+        inert_f = float(inert)  # forces completion (data-dependent)
+        dt = time.perf_counter() - t0
+        cursor += int(ids.shape[0])
+        rows_done += int(ids.shape[0]) * args.block_rows
+        n_super += 1
+        # Checkpoint: the full resumable state is ~1.6 MB.
+        c_host, ct_host = np.asarray(cents), np.asarray(counts)
+        np.savez(args.checkpoint, centroids=c_host, counts=ct_host,
+                 cursor=cursor)
+        vps = int(ids.shape[0]) * args.block_rows / dt
+        print(
+            f"superblock {n_super}: blocks {cursor}/{n_blocks}, "
+            f"{dt:.1f}s ({vps/1e6:.2f}M rows/s), "
+            f"batch inertia {inert_f:.3e}",
+            flush=True,
+        )
+        if args.kill_after and n_super >= args.kill_after:
+            emit(
+                phase="killed",
+                blocks_done=cursor,
+                rows_done=rows_done,
+                note="simulated mid-run failure; restart with --resume",
+            )
+            os._exit(42)  # hard abort: no cleanup, like a real failure
+
+    wall = time.perf_counter() - t_start
+    emit(
+        phase="train",
+        config="pq16x256_stream",
+        n_total=args.n_total,
+        dim=args.dim,
+        m=m,
+        k=k,
+        block_rows=args.block_rows,
+        rows_this_run=rows_done,
+        wall_s=round(wall, 2),
+        sustained_vectors_per_sec=round(rows_done / wall, 1),
+        resumed=bool(args.resume),
+        hbm_peak_bytes=hbm_peak_bytes(),
+        checkpoint_bytes=os.path.getsize(args.checkpoint),
+    )
+
+    if args.skip_eval:
+        return 0
+
+    # Quality: streamed codebooks vs full 10-iteration Lloyd trained on a
+    # held-out 1M sample, both scored on that same sample.
+    from vq_tpu.models.pq import pq_train
+
+    x_eval = gen_eval_rows(centers, args.n_eval, args.dim)
+    stream_inertia = pq_inertia(x_eval, cents, m, sub)
+    t0 = time.perf_counter()
+    full_cb = pq_train(x_eval, m, k, max_iters=10, seed=66)
+    full_cb.block_until_ready()
+    full_train_s = time.perf_counter() - t0
+    full_inertia = pq_inertia(x_eval, full_cb, m, sub)
+    emit(
+        phase="eval",
+        n_eval=args.n_eval,
+        stream_inertia=stream_inertia,
+        full_lloyd_inertia=full_inertia,
+        stream_over_full=round(stream_inertia / full_inertia, 4),
+        full_lloyd_train_s=round(full_train_s, 2),
+        hbm_peak_bytes=hbm_peak_bytes(),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,3 +66,76 @@ def test_stream_requires_init(blobs):
 def test_validation():
     with pytest.raises(InvalidParameter):
         lloyd_minibatch(np.zeros((3, 2), np.float32), 5)
+
+
+def test_pq_minibatch_update_matches_per_subspace_loop():
+    """pq_minibatch_update is exactly a vmap of minibatch_update over
+    subspaces — centroids, counts, and inertia agree per subspace."""
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.kmeans_stream import minibatch_update, pq_minibatch_update
+
+    r = np.random.default_rng(5)
+    m, k, s, b = 4, 8, 6, 64
+    cents = jnp.asarray(r.random((m, k, s), dtype=np.float32))
+    counts = jnp.asarray(r.integers(0, 50, (m, k)).astype(np.float32))
+    batch = jnp.asarray(r.random((b, m * s), dtype=np.float32))
+
+    nc, nct, inertia = pq_minibatch_update(cents, counts, batch)
+    xb = np.asarray(batch).reshape(b, m, s)
+    for i in range(m):
+        ci, cti, ii = minibatch_update(
+            cents[i], counts[i], jnp.asarray(xb[:, i, :]), k
+        )
+        np.testing.assert_allclose(np.asarray(nc[i]), np.asarray(ci),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(nct[i]), np.asarray(cti))
+        np.testing.assert_allclose(float(inertia[i]), float(ii), rtol=1e-5)
+
+
+def test_pq_minibatch_update_shape_validation():
+    import jax.numpy as jnp
+
+    from vq_tpu.ops.kmeans_stream import pq_minibatch_update
+    from vq_tpu.errors import InvalidParameter
+
+    cents = jnp.zeros((2, 4, 3))
+    counts = jnp.zeros((2, 4))
+    with pytest.raises(InvalidParameter):
+        pq_minibatch_update(cents, counts, jnp.zeros((8, 5)))
+
+
+def test_stream_harness_kill_resume_matches_uninterrupted(tmp_path):
+    """benchmarks/stream_100M.py (scaled down): a run killed mid-stream
+    and resumed from its checkpoint produces EXACTLY the centroids of an
+    uninterrupted run — the block-indexed key schedule makes the resumed
+    run consume identical blocks in identical order."""
+    import subprocess
+    import sys
+
+    base = [
+        sys.executable, "-u", "benchmarks/stream_100M.py", "--cpu",
+        "--n-total", str(8 * 2048), "--dim", "32", "--m", "4", "--k", "8",
+        "--block-rows", "2048", "--blocks-per-superblock", "2",
+        "--skip-eval",
+    ]
+
+    def run(extra, ck, out, expect_rc=0):
+        r = subprocess.run(
+            base + ["--checkpoint", str(ck), "--output", str(out)] + extra,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == expect_rc, (r.returncode, r.stdout, r.stderr)
+
+    ck_a, out_a = tmp_path / "a.npz", tmp_path / "a.jsonl"
+    run([], ck_a, out_a)
+
+    ck_b, out_b = tmp_path / "b.npz", tmp_path / "b.jsonl"
+    run(["--kill-after", "2"], ck_b, out_b, expect_rc=42)
+    st = np.load(ck_b)
+    assert 0 < int(st["cursor"]) < 8  # really stopped mid-stream
+    run(["--resume"], ck_b, out_b)
+
+    a, b = np.load(ck_a), np.load(ck_b)
+    np.testing.assert_array_equal(a["centroids"], b["centroids"])
+    np.testing.assert_array_equal(a["counts"], b["counts"])

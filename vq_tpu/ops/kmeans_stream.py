@@ -25,7 +25,12 @@ import numpy as np
 from vq_tpu.errors import EmptyInput, InvalidParameter
 from vq_tpu.ops.kmeans import KMeansResult, _assign_codes, default_block_rows
 
-__all__ = ["lloyd_minibatch", "minibatch_update", "kmeans_plusplus_init"]
+__all__ = [
+    "lloyd_minibatch",
+    "minibatch_update",
+    "pq_minibatch_update",
+    "kmeans_plusplus_init",
+]
 
 
 def kmeans_plusplus_init(
@@ -88,6 +93,33 @@ def minibatch_update(centroids, counts, batch, k: int):
     rate = jnp.where(new_counts > 0, batch_mass / jnp.maximum(new_counts, 1.0), 0.0)
     new_centroids = centroids + (batch_mean - centroids) * rate[:, None]
     return new_centroids, new_counts, inertia
+
+
+def pq_minibatch_update(centroids, counts, batch):
+    """One mini-batch step over ALL PQ subspaces at once.
+
+    ``centroids``: ``[m, k, s]``; ``counts``: ``[m, k]`` running
+    per-center masses; ``batch``: ``[b, m*s]``. Returns
+    ``(new_centroids, new_counts, inertia [m])`` — a vmap of
+    :func:`minibatch_update` over the subspace axis, so semantics (exact
+    online-mean learning rate, squared-L2 assignment) are identical per
+    subspace. Fully traceable: the 100M-scale streaming harness
+    (benchmarks/stream_100M.py) runs it inside a ``lax.scan`` over
+    on-device-generated blocks, one dispatch per superblock — nothing
+    corpus-sized ever exists, on host or device (SURVEY §7.3 "multi-host
+    input pipeline"; BASELINE configs[4]).
+    """
+    m, k, s = centroids.shape
+    if batch.ndim != 2 or batch.shape[1] != m * s:
+        raise InvalidParameter(
+            "batch", f"expected [b, {m * s}] rows, got {batch.shape}"
+        )
+    xb = jnp.asarray(batch, jnp.float32).reshape(
+        batch.shape[0], m, s
+    ).transpose(1, 0, 2)  # [m, b, s]
+    return jax.vmap(
+        lambda c, ct, x: minibatch_update(c, ct, x, int(k))
+    )(jnp.asarray(centroids, jnp.float32), jnp.asarray(counts, jnp.float32), xb)
 
 
 def lloyd_minibatch(
