@@ -77,16 +77,35 @@ def build_step(centers, m, k, sub, block_rows):
     return superblock
 
 
-def gen_eval_rows(centers, n_eval, d, seed_off=1_000_003):
+def gen_eval_rows(centers, n_eval, d, seed_off=1_000_003, chunk=65_536):
+    """Held-out eval rows, generated in chunks: one [n_eval, d] output
+    buffer, per-chunk temporaries only (a single-shot take+add at
+    1M x 1536 materializes 3 x 6.1 GB and OOMs a 16 GB chip)."""
     import jax
     import jax.numpy as jnp
 
-    key = jax.random.fold_in(jax.random.PRNGKey(66), seed_off)
-    kw, kn = jax.random.split(key)
-    which = jax.random.randint(kw, (n_eval,), 0, CLUSTERS)
-    return jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(
-        kn, (n_eval, d), jnp.float32
-    )
+    chunk = min(chunk, n_eval)
+    while n_eval % chunk:  # snap down to a divisor of n_eval
+        chunk //= 2
+    assert chunk >= 1
+
+    @jax.jit
+    def gen(centers):
+        def one(i):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(66), seed_off + i
+            )
+            kw, kn = jax.random.split(key)
+            which = jax.random.randint(kw, (chunk,), 0, CLUSTERS)
+            return jnp.take(centers, which, axis=0) + (
+                NOISE * jax.random.normal(kn, (chunk, d), jnp.float32)
+            )
+
+        return jax.lax.map(
+            one, jnp.arange(n_eval // chunk, dtype=jnp.int32)
+        ).reshape(n_eval, d)
+
+    return gen(centers)
 
 
 def pq_inertia(x, centroids, m, sub, chunk=131_072):
@@ -142,6 +161,8 @@ def main(argv=None) -> int:
                    "simulates a mid-run failure for the resume test")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; score the checkpoint's codebooks")
     p.add_argument("--checkpoint", type=str,
                    default="/tmp/stream_100M_ckpt.npz")
     p.add_argument("--output", type=str,
@@ -177,7 +198,7 @@ def main(argv=None) -> int:
     centers = 2.0 * jax.random.normal(kc, (CLUSTERS, args.dim), jnp.float32)
 
     cursor = 0
-    if args.resume:
+    if args.resume or args.eval_only:
         st = np.load(args.checkpoint)
         cents = jnp.asarray(st["centroids"])
         counts = jnp.asarray(st["counts"])
@@ -210,7 +231,7 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     rows_done = 0
     n_super = 0
-    while cursor < n_blocks:
+    while not args.eval_only and cursor < n_blocks:
         ids = jnp.arange(
             cursor, min(cursor + sb, n_blocks), dtype=jnp.int32
         )
@@ -242,21 +263,22 @@ def main(argv=None) -> int:
             os._exit(42)  # hard abort: no cleanup, like a real failure
 
     wall = time.perf_counter() - t_start
-    emit(
-        phase="train",
-        config="pq16x256_stream",
-        n_total=args.n_total,
-        dim=args.dim,
-        m=m,
-        k=k,
-        block_rows=args.block_rows,
-        rows_this_run=rows_done,
-        wall_s=round(wall, 2),
-        sustained_vectors_per_sec=round(rows_done / wall, 1),
-        resumed=bool(args.resume),
-        hbm_peak_bytes=hbm_peak_bytes(),
-        checkpoint_bytes=os.path.getsize(args.checkpoint),
-    )
+    if not args.eval_only:
+        emit(
+            phase="train",
+            config="pq16x256_stream",
+            n_total=args.n_total,
+            dim=args.dim,
+            m=m,
+            k=k,
+            block_rows=args.block_rows,
+            rows_this_run=rows_done,
+            wall_s=round(wall, 2),
+            sustained_vectors_per_sec=round(rows_done / wall, 1),
+            resumed=bool(args.resume),
+            hbm_peak_bytes=hbm_peak_bytes(),
+            checkpoint_bytes=os.path.getsize(args.checkpoint),
+        )
 
     if args.skip_eval:
         return 0

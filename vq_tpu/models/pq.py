@@ -354,6 +354,11 @@ def pq_train(
     sub = dim // m
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vq_tpu.ops.pallas_kernels import pq_fused_block_cap
+
+        if pq_fused_block_cap(m, k, sub) <= 0:
+            use_pallas = False  # VMEM budget: keep the XLA accumulate
     if use_pallas and n >= k:
         from vq_tpu.ops.kmeans import _pq_lloyd_fused_jit, _validate_kmeans_args
 

@@ -794,6 +794,11 @@ def lloyd_batched(
     # pathologically slow — 355x slower than the fused kernel at 1M rows).
     x = jnp.moveaxis(data, 0, 1).reshape(n, m * d)
     use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vq_tpu.ops.pallas_kernels import pq_fused_block_cap
+
+        if pq_fused_block_cap(m, k, d) <= 0:
+            use_pallas = False  # VMEM budget: keep the XLA accumulate
     return _pq_lloyd_fused_jit(
         x, keys, k, int(max_iters), float(eps),
         min(int(block_rows), 1024) if use_pallas else int(block_rows),

@@ -42,6 +42,7 @@ __all__ = [
     "pq_encode_fused",
     "lloyd_accumulate_fused",
     "pq_lloyd_accumulate_fused",
+    "pq_fused_block_cap",
     "adc_lookup_fused",
     "adc_scan_topk_fused",
     "adc_topk_max_block",
@@ -524,22 +525,59 @@ def _pq_lloyd_accumulate_jit(x, cb, block_rows: int, interpret: bool):
     return sums[:, :k], counts[:, :k], inertia[0, 0]
 
 
+def pq_fused_block_cap(m: int, k: int, s: int) -> int:
+    """Largest safe data-tile height for the fused PQ-Lloyd accumulate.
+
+    Resident VMEM: double-buffered ``[TN, m·s]`` x block, codebooks +
+    sums (``2·m·k_pad·s·4`` B), and ~4 live ``[TN, k_pad]`` f32
+    temporaries (scores/one-hot/argmin keys). The round-3 default
+    (TN=1024 unconditionally) compile-crashed the remote Mosaic helper
+    at the north-star d=1536 m=16 shape (~19 MB live); this budget
+    clamps the tile instead (416 rows there, unchanged 1024 at the
+    d=128 bench shape). Returns 0 when no tile fits — callers fall back
+    to the XLA accumulate.
+    """
+    k_pad = _round_up(max(int(k), 128), 128)
+    d = int(m) * int(s)
+    fixed = 2 * m * k_pad * s * 4 + 2 * m * k_pad * 4
+    budget = 10 * 1024 * 1024 - fixed
+    if budget <= 0:
+        return 0
+    per_row = (2 * d + 4 * k_pad) * 4
+    tn = budget // per_row
+    if tn < 64:
+        return 0
+    return int(min(1024, tn // 8 * 8))
+
+
 def pq_lloyd_accumulate_fused(
     x, codebooks, block_rows: int = 1024, interpret: bool = False
 ):
     """One fused PQ-Lloyd pass over ``x [n, m*s]``: per-subspace
     ``(sums [m, k, s], counts [m, k])`` and total inertia, accumulated in
-    VMEM across the data sweep (one HBM read of x for all m sub-problems)."""
+    VMEM across the data sweep (one HBM read of x for all m sub-problems).
+
+    ``block_rows`` is clamped by :func:`pq_fused_block_cap`; shapes the
+    budget rejects outright raise (callers gate on the cap and keep the
+    XLA accumulate — a Mosaic VMEM failure is a remote compiler crash,
+    not a catchable fallback)."""
     x = jnp.asarray(x, jnp.float32)
     cb = jnp.asarray(codebooks, jnp.float32)
+    m, k, sdim = cb.shape
     if x.shape[0] == 0:
-        m, k, sdim = cb.shape
         return (
             jnp.zeros((m, k, sdim), jnp.float32),
             jnp.zeros((m, k), jnp.float32),
             jnp.float32(0.0),
         )
-    block_rows = min(block_rows, _round_up(x.shape[0], 8), 1024)
+    cap = pq_fused_block_cap(m, k, sdim)
+    if cap <= 0:
+        raise ValueError(
+            f"pq_lloyd_accumulate_fused: (m={m}, k={k}, s={sdim}) "
+            "exceeds the kernel's VMEM budget — gate with "
+            "pq_fused_block_cap(...) > 0 and use the XLA accumulate"
+        )
+    block_rows = min(block_rows, _round_up(x.shape[0], 8), cap)
     return _pq_lloyd_accumulate_jit(x, cb, int(block_rows), bool(interpret))
 
 
