@@ -256,3 +256,69 @@ class TestChunkedADCSearch:
         # exact rerank: query finds itself first with ~0 distance
         assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
         assert float(np.asarray(dist)[:, 0].max()) < 1e-3
+
+
+class TestEncodePrecisionLadder:
+    """pq_encode(precision=...): the m-packed bf16 fast modes (round 4).
+
+    On CPU every precision computes in f32, so all modes must produce
+    IDENTICAL codes — this pins the m-packed layout (block-diagonal W +
+    per-subspace argmin) against the reference path; the bf16 flip rates
+    on TPU are characterized in docs/performance.md."""
+
+    def test_high_modes_match_reference_on_cpu(self, rng):
+        # HIGH is full f32 on CPU -> the m-packed layout itself must be
+        # exact (same argmin, lowest-index ties, padding path at odd n).
+        from vq_tpu.models.pq import pq_encode, pq_train
+
+        x = rng.random((700, 32), dtype=np.float32)  # odd n: padding path
+        cb = pq_train(x, 4, 16, max_iters=3, seed=1)
+        ref = np.asarray(pq_encode(x, cb))
+        for precision in ("high", "bf16x3"):
+            got = np.asarray(pq_encode(x, cb, precision=precision))
+            np.testing.assert_array_equal(got, ref, err_msg=precision)
+
+    def test_default_mode_flips_near_ties_only(self, rng):
+        # "default" REALLY computes in bf16 (explicit cast, identical
+        # contract on every backend): codes may flip, but only where the
+        # exact score gap between chosen and reference centroid is tiny.
+        from vq_tpu.models.pq import pq_encode, pq_train
+
+        x = rng.random((700, 32), dtype=np.float32)
+        cb = np.asarray(pq_train(x, 4, 16, max_iters=3, seed=1))
+        ref = np.asarray(pq_encode(x, cb))
+        got = np.asarray(pq_encode(x, cb, precision="default"))
+        match = (got == ref).mean()
+        assert match > 0.97, match
+        xs = x.reshape(700, 4, 8)
+        for n_i, m_i in zip(*np.nonzero(got != ref)):
+            d_ref = ((xs[n_i, m_i] - cb[m_i, ref[n_i, m_i]]) ** 2).sum()
+            d_got = ((xs[n_i, m_i] - cb[m_i, got[n_i, m_i]]) ** 2).sum()
+            scale = ((xs[n_i, m_i] ** 2).sum() + 1e-9)
+            assert abs(d_got - d_ref) / scale < 0.02, (n_i, m_i)
+
+    def test_quantizer_encode_precision_passthrough(self, rng):
+        import vq_tpu
+
+        x = rng.random((300, 16), dtype=np.float32)
+        pq = vq_tpu.ProductQuantizer(x, 2, 8, max_iters=2, seed=3)
+        got = np.asarray(pq.encode(x, precision="high"))
+        np.testing.assert_array_equal(got, np.asarray(pq.encode(x)))
+
+    def test_bad_precision_rejected(self, rng):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.models.pq import pq_encode, pq_train
+
+        x = rng.random((64, 8), dtype=np.float32)
+        cb = pq_train(x, 2, 4, max_iters=1, seed=0)
+        with pytest.raises(InvalidParameter):
+            pq_encode(x, cb, precision="bf16x9")
+
+    def test_non_l2_metric_falls_back(self, rng):
+        from vq_tpu.models.pq import pq_encode, pq_train
+
+        x = rng.random((64, 8), dtype=np.float32)
+        cb = pq_train(x, 2, 4, max_iters=1, seed=0)
+        got = pq_encode(x, cb, metric="manhattan", precision="default")
+        ref = pq_encode(x, cb, metric="manhattan")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -387,17 +387,103 @@ def pq_train(
     return codebooks
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "tile"))
+def _pq_encode_mpacked_jit(
+    x: jnp.ndarray, cb: jnp.ndarray, precision, tile: int = 4096
+) -> jnp.ndarray:
+    """m-packed encode: ONE dense ``[tile, d] x [d, m*k]`` block-diagonal
+    matmul per tile + per-subspace argmin (lowest-index ties).
+
+    The point is the PRECISION ladder, not the layout: the dense form
+    lets XLA run the contraction at the chip's single-pass bf16 rate
+    (measured 512 TFLOP/s vs 34.5 at HIGHEST, round-4 recalibration —
+    benchmarks/roofline_chain.py), which the per-subspace [tile, s=16]
+    contraction cannot reach (Mosaic's lower-precision paths measured
+    4x SLOWER in-kernel; benchmarks/mpacked_encode.py). Measured at
+    1M x 128 8x256 scan-chained device time vs the shipped HIGHEST
+    kernel's 17.1 ms: DEFAULT (1-pass bf16) 6.25 ms with 98.42% code
+    match, HIGH (bf16x3) 13.2 ms with 99.995% — near-tie argmin flips
+    only, no measurable MSE/recall change (docs/performance.md quality
+    table). At HIGHEST this layout is a wash (equal MAC count — both
+    sit at the dense f32 roofline with 8x structural waste), so exact
+    encodes keep the Pallas kernel.
+    """
+    n, d = x.shape
+    m, k, s = cb.shape
+    # Block-diagonal W = [-2 c^T] built at trace time (m is static).
+    W = jnp.zeros((d, m * k), jnp.float32)
+    for i in range(m):
+        W = W.at[i * s:(i + 1) * s, i * k:(i + 1) * k].set(
+            -2.0 * cb[i].T
+        )
+    ccb = jnp.sum(cb * cb, axis=-1).reshape(-1)  # [m*k]
+    if precision == jax.lax.Precision.DEFAULT:
+        x = x.astype(jnp.bfloat16)
+        W = W.astype(jnp.bfloat16)
+        precision = None  # single-pass native bf16
+    tile = min(tile, _round_up_rows(n))
+    pad = (-n) % tile
+    tiles = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, tile, d)
+
+    def one(tl):
+        scores = jax.lax.dot_general(
+            tl, W, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + ccb[None, :]
+        return jnp.argmin(
+            scores.reshape(tile, m, k), axis=-1
+        ).astype(jnp.int32)
+
+    return jax.lax.map(one, tiles).reshape(-1, m)[:n]
+
+
+def _round_up_rows(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+_ENCODE_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16x3": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16_fast": jax.lax.Precision.DEFAULT,
+}
+
+
 def pq_encode(
     x, codebooks, metric: Metric | str = Metric.EUCLIDEAN,
     block_rows: Optional[int] = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
-    """Encode ``[n, d]`` vectors to ``[n, m]`` int32 code indices."""
+    """Encode ``[n, d]`` vectors to ``[n, m]`` int32 code indices.
+
+    ``precision`` selects the speed/exactness trade (TPU, L2 metrics):
+
+    * ``"highest"`` (default) — bit-exact vs the CPU oracle; the fused
+      Pallas kernel (17.1 ms device / 1M x 128 8x256).
+    * ``"high"`` / ``"bf16x3"`` — 3-pass bf16 m-packed (13.2 ms, 1.30x;
+      99.995% identical codes, near-tie flips only).
+    * ``"default"`` / ``"bf16_fast"`` — single-pass bf16 m-packed
+      (6.25 ms, 2.74x; 98.4% identical codes, no measurable MSE or
+      recall change — docs/performance.md quality table).
+    """
     metric = Metric.parse(metric)
     cb = jnp.asarray(codebooks, jnp.float32)
     x2d, _ = as_batch_compute(x)  # f16/bf16 corpora stay half in HBM
     m, k, s = cb.shape
     if x2d.shape[1] != m * s:
         raise DimensionMismatch(expected=m * s, found=x2d.shape[1])
+    if precision not in _ENCODE_PRECISIONS:
+        raise InvalidParameter(
+            "precision",
+            f"must be one of {sorted(_ENCODE_PRECISIONS)}",
+        )
+    if precision != "highest" and metric in (
+        Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN
+    ):
+        return _pq_encode_mpacked_jit(
+            x2d.astype(jnp.float32), cb, _ENCODE_PRECISIONS[precision]
+        )
     if block_rows is None:
         block_rows = default_block_rows(x2d.shape[0], k * m, s)
     # Single entry point like the reference (src/pq.rs:167-199): every
@@ -517,15 +603,20 @@ class ProductQuantizer(Quantizer):
 
     # -- code-index API (TPU-native; true u8 storage) -----------------------
 
-    def encode(self, x) -> jnp.ndarray:
+    def encode(self, x, precision: str = "highest") -> jnp.ndarray:
         """``[n, d]`` (or ``[d]``) -> ``[n, m]`` (or ``[m]``) code indices.
 
         Returned as uint8 when ``k <= 256`` — the actual PQ byte budget.
         f16/bf16 input stays half-width in HBM (codes identical to f32
         input of the same values; reference ``Vector<f16>`` analog).
+        ``precision``: see :func:`pq_encode` — ``"high"``/``"default"``
+        opt into the 1.3x/2.7x m-packed bf16 encodes.
         """
         x2d, was_1d = as_batch_compute(x)
-        codes = pq_encode(x2d, self._codebooks, self._metric, self._block_rows)
+        codes = pq_encode(
+            x2d, self._codebooks, self._metric, self._block_rows,
+            precision=precision,
+        )
         if self.num_centroids <= 256:
             codes = codes.astype(jnp.uint8)
         if was_1d:
