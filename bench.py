@@ -151,7 +151,63 @@ def measure_device() -> tuple:
     t2 = min(run_chain(6) for _ in range(2))
     per_chain = max((t2 - t1) / 4.0, 1e-9)
     device_vps = N_DEVICE * T / per_chain
-    return device_vps, per_dispatch_vps
+
+    # Informational extras (never allowed to break the headline):
+    # rpc-subtracted kernel rate (the chain residual is ~RPC/T) and the
+    # opt-in m-packed bf16 fast mode (98.4% identical codes — round 4,
+    # docs/performance.md quality table).
+    extras = {}
+    try:
+        g = jax.jit(lambda v: jnp.sum(v * 1.000001))
+        probe_x = jnp.ones((8, 8), jnp.float32)
+        float(g(probe_x))
+
+        def run_null(r):
+            t0 = time.perf_counter()
+            vals = [g(probe_x) for _ in range(r)]
+            for v in vals:
+                float(v)
+            return time.perf_counter() - t0
+        run_null(2)
+        na = min(run_null(3) for _ in range(2))
+        nb = min(run_null(13) for _ in range(2))
+        rpc = max((nb - na) / 10.0, 0.0)
+        kernel_s = max(per_chain - rpc, 1e-9) / T
+        extras["device_kernel_value"] = round(N_DEVICE / kernel_s, 1)
+        extras["rpc_ms"] = round(rpc * 1e3, 2)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from vq_tpu.models.pq import pq_encode
+
+        @jax.jit
+        def fast_chain(x, cb):
+            def step(_, t):
+                codes = pq_encode(
+                    x + 1e-6 * jnp.float32(t), cb, Metric.EUCLIDEAN,
+                    precision="default",
+                )
+                return None, jnp.sum(codes[:8, :].astype(jnp.int32))
+            _, sums = jax.lax.scan(
+                step, None, jnp.arange(T, dtype=jnp.int32)
+            )
+            return jnp.sum(sums)
+
+        int(fast_chain(x, cb))
+        def run_fast(reps: int) -> float:
+            t0 = time.perf_counter()
+            vals = [fast_chain(x, cb) for _ in range(reps)]
+            for v in vals:
+                int(v)
+            return time.perf_counter() - t0
+        run_fast(1)
+        f1 = min(run_fast(2) for _ in range(2))
+        f2 = min(run_fast(6) for _ in range(2))
+        per_fast = max((f2 - f1) / 4.0, 1e-9)
+        extras["bf16_fast_value"] = round(N_DEVICE * T / per_fast, 1)
+    except Exception:  # noqa: BLE001
+        pass
+    return device_vps, per_dispatch_vps, extras
 
 
 def measure_cpu_baseline() -> float | None:
@@ -184,11 +240,12 @@ def main() -> None:
     }
     try:
         _with_retries(_probe_backend, "backend init probe")
-        device_vps, per_dispatch_vps = _with_retries(
+        device_vps, per_dispatch_vps, extras = _with_retries(
             measure_device, "device measurement"
         )
         result["value"] = round(device_vps, 1)
         result["per_dispatch_value"] = round(per_dispatch_vps, 1)
+        result.update(extras)
         cpu_vps = measure_cpu_baseline()
         if cpu_vps:
             result["vs_baseline"] = round(device_vps / cpu_vps, 2)

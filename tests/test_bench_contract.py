@@ -59,7 +59,9 @@ def test_transient_outage_recovers(bench, monkeypatch):
         return "cpu"
 
     monkeypatch.setattr(bench, "_probe_backend", flaky)
-    monkeypatch.setattr(bench, "measure_device", lambda: (4.5e7, 1.5e7))
+    monkeypatch.setattr(
+        bench, "measure_device", lambda: (4.5e7, 1.5e7, {"rpc_ms": 25.0})
+    )
     monkeypatch.setattr(bench, "measure_cpu_baseline", lambda: 1.5e5)
     out = _run_main(bench)
     assert out["value"] == 4.5e7  # scan-chained device rate

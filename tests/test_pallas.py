@@ -620,3 +620,36 @@ def test_adc_scan_topk_fused_shrunken_block_parity():
         np.take_along_axis(ref, order, axis=1),
         rtol=0, atol=0,
     )
+
+
+def test_pq_fused_block_cap_budget():
+    """Fused multi-subspace trainer VMEM budget (round 4): the bench
+    shape keeps its full tile, the north-star d=1536 shape (which
+    compile-crashed the remote Mosaic helper at TN=1024) is clamped,
+    and over-budget shapes are rejected so pq_train falls back to XLA."""
+    from vq_tpu.ops.pallas_kernels import (
+        pq_fused_block_cap,
+        pq_lloyd_accumulate_fused,
+    )
+
+    assert pq_fused_block_cap(8, 256, 16) == 1024   # bench shape
+    cap_ns = pq_fused_block_cap(16, 256, 96)        # north-star shape
+    assert 0 < cap_ns < 1024
+    assert pq_fused_block_cap(64, 256, 96) == 0     # scratch alone blows it
+
+    with pytest.raises(ValueError, match="VMEM budget"):
+        pq_lloyd_accumulate_fused(
+            jnp.zeros((64, 64 * 96), jnp.float32),
+            jnp.zeros((64, 256, 96), jnp.float32),
+            interpret=True,
+        )
+
+    # pq_train on a rejected shape must not raise even with
+    # use_pallas=True — the cap gate downgrades it to the XLA fallback
+    # (on CPU a non-interpret pallas_call would error, which doubles as
+    # proof the gate really rerouted).
+    from vq_tpu.models.pq import pq_train
+
+    x = np.random.default_rng(0).random((300, 64 * 96), dtype=np.float32)
+    cb = pq_train(x, 64, 256, max_iters=1, seed=0, use_pallas=True)
+    assert cb.shape == (64, 256, 96)
