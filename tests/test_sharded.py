@@ -790,3 +790,67 @@ def test_sharded_binary_ivf_matches_single_device():
     same = np.asarray(ids_s) == np.asarray(ids_1)
     ties = np.asarray(d_s) == np.asarray(d_1)
     assert (same | ties).all()
+
+
+class TestShardedStreaming:
+    """sharded_pq_minibatch_update == pq_minibatch_update on the global
+    batch (exact online-mean update; psum-merged stats)."""
+
+    def test_matches_single_device(self, data):
+        import jax.numpy as jnp
+
+        from vq_tpu.ops.kmeans_stream import pq_minibatch_update
+        from vq_tpu.parallel import make_mesh, sharded_pq_minibatch_update
+
+        m, k, s = 4, 8, data.shape[1] // 4
+        r = np.random.default_rng(3)
+        cents = jnp.asarray(r.random((m, k, s), dtype=np.float32))
+        counts = jnp.asarray(r.integers(0, 40, (m, k)).astype(np.float32))
+        batch = data[:128]
+        mesh = make_mesh()
+        nc_s, nt_s, in_s = sharded_pq_minibatch_update(
+            cents, counts, batch, mesh=mesh
+        )
+        nc_1, nt_1, in_1 = pq_minibatch_update(cents, counts, batch)
+        np.testing.assert_allclose(
+            np.asarray(nc_s), np.asarray(nc_1), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(nt_s), np.asarray(nt_1))
+        np.testing.assert_allclose(
+            np.asarray(in_s), np.asarray(in_1), rtol=1e-5
+        )
+
+    def test_chained_stream_converges_like_single(self, data):
+        """A few chained sharded steps track the single-device stream."""
+        import jax.numpy as jnp
+
+        from vq_tpu.ops.kmeans_stream import pq_minibatch_update
+        from vq_tpu.parallel import make_mesh, sharded_pq_minibatch_update
+
+        m, k, s = 2, 4, data.shape[1] // 2
+        r = np.random.default_rng(5)
+        cents = jnp.asarray(r.random((m, k, s), dtype=np.float32))
+        counts = jnp.zeros((m, k), jnp.float32)
+        c1, t1 = cents, counts
+        cs, ts = cents, counts
+        mesh = make_mesh()
+        for lo in range(0, 256, 128):
+            b = data[lo:lo + 128]
+            c1, t1, _ = pq_minibatch_update(c1, t1, b)
+            cs, ts, _ = sharded_pq_minibatch_update(cs, ts, b, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(cs), np.asarray(c1), rtol=1e-4, atol=1e-5
+        )
+
+    def test_uneven_rows_rejected(self):
+        from vq_tpu.errors import InvalidParameter
+        from vq_tpu.parallel import make_mesh, sharded_pq_minibatch_update
+
+        mesh = make_mesh()
+        import jax.numpy as jnp
+
+        with pytest.raises(InvalidParameter):
+            sharded_pq_minibatch_update(
+                jnp.zeros((2, 4, 4)), jnp.zeros((2, 4)),
+                jnp.zeros((130, 8)), mesh=mesh,
+            )

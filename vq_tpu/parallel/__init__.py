@@ -19,6 +19,7 @@ from vq_tpu.parallel.ivf import (
     sharded_ivf_search_core,
 )
 from vq_tpu.parallel.opq import sharded_opq_train
+from vq_tpu.parallel.stream import sharded_pq_minibatch_update
 from vq_tpu.parallel.refine import (
     sharded_refine_search,
     sharded_refine_search_core,
@@ -52,6 +53,7 @@ __all__ = [
     "sharded_lloyd",
     "sharded_pq_train",
     "sharded_opq_train",
+    "sharded_pq_minibatch_update",
     "sharded_from_callback",
     "sharded_synthetic_corpus",
     "sharded_pq_encode",

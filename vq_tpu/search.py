@@ -608,11 +608,14 @@ class PQIndex:
         itemsize = 1 if self.pq.num_centroids <= 256 else 4
         return self.pq.num_subspaces * itemsize
 
-    def add(self, vectors) -> None:
+    def add(self, vectors, *, precision: str = "highest") -> None:
         """Encode and append a batch of raw vectors.
 
         f16/bf16 batches stay half-width: encode upcasts per-tile and a
         kept corpus is stored half (rerank upcasts candidates only).
+        ``precision``: bulk-ingest speed knob — ``"high"``/``"default"``
+        opt into the 1.3x/2.7x m-packed bf16 encode (near-tie code flips
+        only; see :func:`vq_tpu.models.pq.pq_encode`).
         """
         x = jnp.asarray(vectors)
         if x.dtype not in (jnp.float16, jnp.bfloat16):
@@ -621,7 +624,7 @@ class PQIndex:
             x = x[None, :]
         if x.shape[1] != self.pq.dim:
             raise DimensionMismatch(expected=self.pq.dim, found=x.shape[1])
-        codes = self.pq.encode(x)
+        codes = self.pq.encode(x, precision=precision)
         if self.pack_bits < 8:
             from vq_tpu.ops.packing import pack_codes
 
