@@ -4,6 +4,16 @@ Simulates an unbounded embedding stream (a generator of [batch, d] blocks)
 and trains a codebook online with per-center learning-rate decay
 (Sculley-style web-scale k-means). Compare the final inertia against full
 Lloyd's on the same (materialized) data.
+
+This is the toy-scale tour; the full ladder:
+
+* PQ streaming (all subspaces per step): ``pq_minibatch_update``
+  scanned over generated blocks — `benchmarks/stream_100M.py` trains
+  PQ 16x256 over 100M x 1536 at ~6.1M rows/s sustained with mid-run
+  kill + checkpoint resume (the corpus never exists anywhere).
+* Multi-host: ``vq_tpu.parallel.sharded_pq_minibatch_update`` shards
+  each batch over a device mesh with a codebook-sized psum per step
+  (docs/distributed.md "Streaming across hosts").
 """
 
 import os

@@ -17,7 +17,11 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parent.parent
 DOC_FILES = sorted(
     p.relative_to(REPO).as_posix()
-    for p in [REPO / "README.md", *(REPO / "docs").glob("*.md")]
+    for p in [
+        REPO / "README.md",
+        *(REPO / "docs").glob("*.md"),
+        *(REPO / "pyvq" / "docs").glob("*.md"),
+    ]
     if re.search(r"```python\n", p.read_text())
 )
 
@@ -26,17 +30,22 @@ def extract_python_blocks(text: str):
     return re.findall(r"```python\n(.*?)```", text, re.DOTALL)
 
 
-def test_mkdocs_nav_matches_docs_dir():
-    """Every nav entry in mkdocs.yml exists, and every docs page is in
-    the nav — the local proxy for the CI `mkdocs build --strict` job
-    (mkdocs itself is not installed in this environment)."""
-    text = (REPO / "mkdocs.yml").read_text()
+@pytest.mark.parametrize(
+    "cfg,docs",
+    [("mkdocs.yml", "docs"), ("pyvq/mkdocs.yml", "pyvq/docs")],
+)
+def test_mkdocs_nav_matches_docs_dir(cfg, docs):
+    """Every nav entry in each mkdocs.yml exists, and every docs page is
+    in its nav — the local proxy for the CI `mkdocs build --strict` job
+    (mkdocs itself is not installed in this environment). Two sites, the
+    reference's structure: the framework site + the pyvq shim site."""
+    text = (REPO / cfg).read_text()
     nav = re.findall(r"^\s+- [^:]+:\s+(\S+\.md)\s*$", text, re.MULTILINE)
-    assert nav, "mkdocs.yml has no nav entries"
-    missing = [p for p in nav if not (REPO / "docs" / p).is_file()]
+    assert nav, f"{cfg} has no nav entries"
+    missing = [p for p in nav if not (REPO / docs / p).is_file()]
     assert not missing, f"nav entries without files: {missing}"
     orphans = sorted(
-        p.name for p in (REPO / "docs").glob("*.md") if p.name not in nav
+        p.name for p in (REPO / docs).glob("*.md") if p.name not in nav
     )
     assert not orphans, f"docs pages missing from nav: {orphans}"
 
