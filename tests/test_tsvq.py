@@ -171,3 +171,41 @@ class TestBatchedBuild:
         assert a.num_nodes == b.num_nodes == 1
         one = rng.random((1, 4), dtype=np.float32)
         assert tsvq_build_batched(one, 3).num_nodes == 1
+
+
+def test_traverse_scores_path_matches_gather_path(rng):
+    """The L2 scores-matmul traversal must pick the same leaves as the
+    per-level gather form (near-ties are measure-zero on random floats;
+    the descent rule is identical)."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import TSVQ, _tsvq_find_leaf
+
+    data = rng.random((800, 24), dtype=np.float32)
+    t = TSVQ(data, max_depth=5).tree
+    x = jnp.asarray(rng.random((333, 24), dtype=np.float32))
+    from vq_tpu.ops.distance import Metric
+
+    fast = _tsvq_find_leaf(
+        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
+    )
+    # Force the gather path by lying about the metric? No — monkeypatch
+    # the node-count gate instead: call with a manhattan metric for the
+    # reference (different metric -> different leaves), so compare
+    # against a hand-rolled numpy descent under the same L2 rule.
+    cents = np.asarray(t.centroids)
+    left, right = np.asarray(t.left), np.asarray(t.right)
+    nodes = np.zeros(x.shape[0], np.int32)
+    xs = np.asarray(x)
+    for _ in range(t.depth):
+        l, r = left[nodes], right[nodes]
+        cc = (cents ** 2).sum(-1)
+        xc = xs @ cents.T
+        sc = cc[None, :] - 2.0 * xc
+        dl = sc[np.arange(len(xs)), np.maximum(l, 0)]
+        dr = sc[np.arange(len(xs)), np.maximum(r, 0)]
+        both = (l >= 0) & (r >= 0)
+        pick_two = np.where(dl <= dr, l, r)
+        pick_one = np.where(l >= 0, l, np.where(r >= 0, r, nodes))
+        nodes = np.where(both, pick_two, pick_one).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(fast), nodes)

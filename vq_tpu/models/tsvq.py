@@ -333,8 +333,83 @@ def _tsvq_find_leaf(
     metric: Metric,
     depth: int,
 ) -> jnp.ndarray:
-    """Vectorized greedy traversal -> leaf node id per row of ``x``."""
+    """Vectorized greedy traversal -> leaf node id per row of ``x``.
+
+    Two formulations, identical descent rule (two children: ``dl <= dr``
+    goes left, src/tsvq.rs:122-126; one child: descend into it,
+    :128-129; leaf: stay):
+
+    * **scores path** (L2 family, trees up to 128 nodes — depth ≤ 6,
+      the reference eval default): ONE ``[block, d] x [d, nodes]``
+      HIGHEST matmul scores all node centroids per row block; each
+      level then reads the sign of ``dl − dr`` with one fused
+      signed-mask lane reduce. Measured at 1M×384 depth 5: **4.3 ms**
+      vs 57.7 for the old per-level gather path (which materialized
+      two ``[n, d]`` centroid copies per level) — and vs 152 ms for a
+      ``take_along_axis`` row-gather select (per-use relayouts).
+      Comparisons use ``cc - 2 x·c`` (the ``+||x||²`` term is common
+      to both sides — order-identical in exact arithmetic; the same
+      decomposed form every encode path in this framework uses). The
+      per-level select scans the full ``[block, nodes]`` score matrix,
+      so cost grows as ``nodes × depth`` — past ~128 nodes (measured:
+      157 ms at 511 nodes) the gather path wins and takes over.
+    * **gather path** (manhattan/cosine, deep trees): the original
+      per-level rowwise form.
+    """
     n = x.shape[0]
+    num_nodes = centroids.shape[0]
+    if (
+        metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN)
+        and num_nodes <= 128
+        and n > 0
+    ):
+        # Row blocks keep the [block, nodes] score matrix bounded
+        # (~512 MB of f32 scores — fewer map steps measured faster:
+        # 12.5 -> 4.6 ms/1M at depth 5 going from 8 blocks to 1).
+        block = max(min(n, 128 * 1024 * 1024 // max(num_nodes, 1)), 1)
+        block = min(block, 2 * 1024 * 1024)
+        pad = (-n) % block
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        cc = jnp.sum(centroids * centroids, axis=-1)  # [nodes]
+        node_iota = jnp.arange(num_nodes, dtype=jnp.int32)[None, :]
+
+        def one(xb):
+            xc = jax.lax.dot_general(
+                xb, centroids,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores = cc[None, :] - 2.0 * xc  # [block, nodes]
+            nodes_b = jnp.zeros((xb.shape[0],), jnp.int32)
+            for _ in range(depth):
+                l = jnp.take(left, nodes_b)
+                r = jnp.take(right, nodes_b)
+                # Signed one-hot select: ONE fused pass reads
+                # diff = dl - dr (each lane contributes +score at the
+                # left child, -score at the right, 0 elsewhere);
+                # dl <= dr <=> diff <= 0 preserves the ties-left rule.
+                lmask = node_iota == jnp.maximum(l, 0)[:, None]
+                rmask = node_iota == jnp.maximum(r, 0)[:, None]
+                diff = jnp.sum(
+                    jnp.where(lmask, scores, 0.0)
+                    - jnp.where(rmask, scores, 0.0),
+                    axis=1,
+                )
+                both = (l >= 0) & (r >= 0)
+                pick_two = jnp.where(diff <= 0.0, l, r)
+                pick_one = jnp.where(
+                    l >= 0, l, jnp.where(r >= 0, r, nodes_b)
+                )
+                nodes_b = jnp.where(both, pick_two, pick_one)
+            return nodes_b
+
+        if xp.shape[0] == block:
+            return one(xp)[:n]
+        return jax.lax.map(
+            one, xp.reshape(-1, block, x.shape[1])
+        ).reshape(-1)[:n]
+
     nodes = jnp.zeros((n,), jnp.int32)
     for _ in range(depth):
         l = jnp.take(left, nodes)
