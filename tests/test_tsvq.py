@@ -209,3 +209,27 @@ def test_traverse_scores_path_matches_gather_path(rng):
         pick_one = np.where(l >= 0, l, np.where(r >= 0, r, nodes))
         nodes = np.where(both, pick_two, pick_one).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(fast), nodes)
+
+
+def test_level_sliced_traversal_matches_shallow_paths(rng):
+    """Deep trees (>128 nodes) route through the BFS level-sliced
+    traversal; its leaves must match the per-level gather form exactly
+    on random data."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import TSVQ, _find_leaves, _tsvq_find_leaf
+    from vq_tpu.ops.distance import Metric
+
+    data = rng.random((4000, 16), dtype=np.float32)
+    t = TSVQ(data, max_depth=9).tree  # up to 1023 nodes
+    assert t.num_nodes > 128  # really exercises the level-sliced path
+    x = jnp.asarray(rng.random((777, 16), dtype=np.float32))
+    got = _find_leaves(t, x, Metric.SQUARED_EUCLIDEAN)
+    want = _tsvq_find_leaf(
+        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # BFS layout invariants: perm is a permutation, levels partition it.
+    cb, lb, rb, perm, starts = t.bfs_layout()
+    assert sorted(np.asarray(perm).tolist()) == list(range(t.num_nodes))
+    assert starts[0] == 0 and starts[-1] == t.num_nodes

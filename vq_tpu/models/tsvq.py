@@ -55,6 +55,53 @@ class TSVQTree:
         self.left = jnp.asarray(left, jnp.int32)  # [nodes], -1 = none
         self.right = jnp.asarray(right, jnp.int32)
         self.depth = int(depth)
+        self._bfs_cache = None
+
+    def bfs_layout(self):
+        """Level-major (BFS) relabeling of the tree, cached.
+
+        Returns ``(centroids_bfs, left_bfs, right_bfs, perm, starts)``:
+        node ids renumbered so level ℓ occupies ``[starts[ℓ],
+        starts[ℓ+1])`` contiguously, ``perm[new_id] = old_id`` maps
+        traversal results back. Feeds the level-sliced deep-tree
+        traversal in :func:`_tsvq_find_leaf` — at step ``t`` every
+        still-descending row sits exactly at level ``t`` (one-child
+        nodes still advance a level; leaf rows stop needing scores), so
+        only level ``t+1``'s score slice is ever read.
+        """
+        if self._bfs_cache is None:
+            left = np.asarray(self.left)
+            right = np.asarray(self.right)
+            order, starts = [], [0]
+            frontier = [0] if left.shape[0] else []
+            while frontier:
+                order.extend(frontier)
+                starts.append(len(order))
+                nxt = []
+                for p in frontier:
+                    for c in (int(left[p]), int(right[p])):
+                        if c >= 0:
+                            nxt.append(c)
+                frontier = nxt
+            perm = np.asarray(order, np.int32)  # new -> old
+            inv = np.full(left.shape[0], -1, np.int32)
+            inv[perm] = np.arange(len(perm), dtype=np.int32)
+
+            def remap(children):
+                out = np.where(
+                    children[perm] >= 0,
+                    inv[np.maximum(children[perm], 0)], -1
+                )
+                return out.astype(np.int32)
+
+            self._bfs_cache = (
+                jnp.take(self.centroids, jnp.asarray(perm), axis=0),
+                jnp.asarray(remap(left)),
+                jnp.asarray(remap(right)),
+                jnp.asarray(perm),
+                tuple(int(s) for s in starts),
+            )
+        return self._bfs_cache
 
     @property
     def num_nodes(self) -> int:
@@ -427,6 +474,129 @@ def _tsvq_find_leaf(
     return nodes
 
 
+@functools.partial(jax.jit, static_argnames=("depth", "starts"))
+def _tsvq_find_leaf_levels(
+    x: jnp.ndarray,
+    cents_bfs: jnp.ndarray,
+    left_bfs: jnp.ndarray,
+    right_bfs: jnp.ndarray,
+    perm: jnp.ndarray,
+    depth: int,
+    starts: tuple,
+):
+    """Deep-tree traversal over the BFS level-major layout (L2 family).
+
+    At step ``t`` every still-descending row is exactly at level ``t``
+    (leaf rows stop consuming scores), so the step scores ONLY level
+    ``t+1``'s centroid slice — one ``[block, d] x [d, width]`` HIGHEST
+    matmul — and picks the branch from the sign of ``dl − dr`` via the
+    fused signed one-hot reduce. Total select traffic is one pass over
+    ``Σ widths ≈ num_nodes`` columns instead of ``num_nodes × depth``
+    (the full-scores path, which loses past ~128 nodes: 157 ms at 511
+    nodes / 1M×384 where this runs in tens of ms). Same descent rule
+    and ``cc − 2 x·c`` comparison form as the shallow path; returns
+    ORIGINAL node ids via ``perm``.
+    """
+    n, d = x.shape
+    n_levels = len(starts) - 1  # starts[ℓ] .. starts[ℓ+1] = level ℓ
+    widths = [
+        starts[i + 1] - starts[i] for i in range(1, n_levels)
+    ]  # levels 1..deepest
+    max_w = max(widths, default=1)
+    block = max(min(n, 128 * 1024 * 1024 // max(max_w, 1)), 1)
+    block = min(block, 2 * 1024 * 1024)
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+    def lookup(table_lvl, idx_local, w_cur):
+        """Child ids for rows at this level via a masked lane reduce —
+        ``jnp.take`` with millions of indices into a several-hundred-row
+        table lowers to a select ladder that measured ~15 ms PER LOOKUP
+        at 511 nodes (>80% of the whole traversal); this form is a free
+        fused elementwise pass. Rows not at this level (already at a
+        shallower leaf) match no lane and come out as -1 (leaf-stay)."""
+        iota_cur = jnp.arange(w_cur, dtype=jnp.int32)[None, :]
+        return jnp.sum(
+            jnp.where(
+                iota_cur == idx_local[:, None],
+                (table_lvl + 1)[None, :], 0,
+            ), axis=1,
+        ) - 1
+
+    def one(xb):
+        nodes_b = jnp.zeros((xb.shape[0],), jnp.int32)
+        for t in range(min(depth, n_levels - 1)):
+            s0, s1 = starts[t + 1], starts[t + 2]
+            w = s1 - s0
+            if w == 0:
+                break
+            # Child lookups, level-local (rows needing them sit exactly
+            # at level t).
+            c0, c1 = starts[t], starts[t + 1]
+            idx_local = nodes_b - c0
+            l = lookup(
+                jax.lax.slice(left_bfs, (c0,), (c1,)), idx_local, c1 - c0
+            )
+            r = lookup(
+                jax.lax.slice(right_bfs, (c0,), (c1,)), idx_local, c1 - c0
+            )
+            cl = jax.lax.slice(cents_bfs, (s0, 0), (s1, d))  # [w, d]
+            cc = jnp.sum(cl * cl, axis=-1)
+            xc = jax.lax.dot_general(
+                xb, cl, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sc = cc[None, :] - 2.0 * xc  # [block, w]
+            iota_w = jnp.arange(w, dtype=jnp.int32)[None, :]
+            lm = iota_w == (l - s0)[:, None]  # shallow-leaf rows: no hit
+            rm = iota_w == (r - s0)[:, None]
+            diff = jnp.sum(
+                jnp.where(lm, sc, 0.0) - jnp.where(rm, sc, 0.0), axis=1
+            )
+            both = (l >= 0) & (r >= 0)
+            pick_two = jnp.where(diff <= 0.0, l, r)
+            pick_one = jnp.where(l >= 0, l, jnp.where(r >= 0, r, nodes_b))
+            nodes_b = jnp.where(both, pick_two, pick_one)
+        return nodes_b
+
+    if xp.shape[0] == block:
+        nodes = one(xp)[:n]
+    else:
+        nodes = jax.lax.map(
+            one, xp.reshape(-1, block, d)
+        ).reshape(-1)[:n]
+    # Back to original node ids — masked reduce, NOT jnp.take (the same
+    # select-ladder cost as the child lookups, ~15 ms at 511 nodes).
+    iota_all = jnp.arange(perm.shape[0], dtype=jnp.int32)[None, :]
+    return jnp.sum(
+        jnp.where(iota_all == nodes[:, None], perm[None, :] + 1, 0),
+        axis=1,
+    ) - 1
+
+
+# Deep-tree gate: past this node count the full-scores path's
+# nodes×depth select traffic loses to the level-sliced form.
+_TSVQ_SCORES_MAX_NODES = 128
+_TSVQ_LEVELS_MAX_NODES = 4096
+
+
+def _find_leaves(tree: "TSVQTree", x: jnp.ndarray, metric: Metric):
+    """Dispatch the fastest traversal for this tree/metric."""
+    l2 = metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN)
+    if (
+        l2
+        and _TSVQ_SCORES_MAX_NODES < tree.num_nodes <= _TSVQ_LEVELS_MAX_NODES
+    ):
+        cb, lb, rb, perm, starts = tree.bfs_layout()
+        return _tsvq_find_leaf_levels(
+            x, cb, lb, rb, perm, tree.depth, starts
+        )
+    return _tsvq_find_leaf(
+        x, tree.centroids, tree.left, tree.right, metric, tree.depth
+    )
+
+
 class TSVQ(Quantizer):
     """Tree-structured vector quantizer (reference: src/tsvq.rs:158-266).
 
@@ -517,10 +687,7 @@ class TSVQ(Quantizer):
         x2d, was_1d = as_batch_f32(x)
         if x2d.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=x2d.shape[1])
-        t = self._tree
-        nodes = _tsvq_find_leaf(
-            x2d, t.centroids, t.left, t.right, self._metric, t.depth
-        )
+        nodes = _find_leaves(self._tree, x2d, self._metric)
         return nodes[0] if was_1d else nodes
 
     def decode(self, nodes) -> jnp.ndarray:
