@@ -322,3 +322,21 @@ class TestEncodePrecisionLadder:
         got = pq_encode(x, cb, metric="manhattan", precision="default")
         ref = pq_encode(x, cb, metric="manhattan")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_decode_onehot_path_bit_exact(rng):
+    """The one-hot HIGHEST decode (TPU fast path) must reproduce the
+    gathered centroid values BIT-exactly — the bf16x6 split of an f32 is
+    lossless and one-hot products are exact selections."""
+    from vq_tpu.models.pq import _pq_decode_jit, pq_train
+
+    x = rng.random((400, 32), dtype=np.float32)
+    cb = pq_train(x, 4, 16, max_iters=2, seed=1)
+    codes = np.random.default_rng(2).integers(0, 16, (1000, 4)).astype(
+        np.int32
+    )
+    import jax.numpy as jnp
+
+    a = np.asarray(_pq_decode_jit(jnp.asarray(codes), cb, use_onehot=False))
+    b = np.asarray(_pq_decode_jit(jnp.asarray(codes), cb, use_onehot=True))
+    np.testing.assert_array_equal(a, b)

@@ -189,3 +189,20 @@ class TestJointRefinement:
         )
         assert mse(joint) <= mse(plain) * (1 + 1e-3)
         assert joint.codebooks.shape == (3, 8, 12)
+
+
+def test_rq_decode_onehot_bit_exact(rng):
+    """One-hot HIGHEST stage gathers (TPU fast path) reproduce the
+    take-based additive decode bit-exactly (same f32 stage-sum order)."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.rq import _rq_decode_jit, rq_train
+
+    x = rng.random((300, 16), dtype=np.float32)
+    cbs = rq_train(x, num_stages=3, num_centroids=8, max_iters=2, seed=1)
+    codes = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, (700, 3)).astype(np.int32)
+    )
+    a = np.asarray(_rq_decode_jit(codes, cbs, use_onehot=False))
+    b = np.asarray(_rq_decode_jit(codes, cbs, use_onehot=True))
+    np.testing.assert_array_equal(a, b)

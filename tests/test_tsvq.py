@@ -233,3 +233,17 @@ def test_level_sliced_traversal_matches_shallow_paths(rng):
     cb, lb, rb, perm, starts = t.bfs_layout()
     assert sorted(np.asarray(perm).tolist()) == list(range(t.num_nodes))
     assert starts[0] == 0 and starts[-1] == t.num_nodes
+
+
+def test_decode_onehot_matches_take(rng):
+    from vq_tpu.models.tsvq import TSVQ, _tsvq_decode_onehot_jit
+    import jax.numpy as jnp
+
+    data = rng.random((600, 12), dtype=np.float32)
+    t = TSVQ(data, max_depth=5)
+    nodes = jnp.asarray(
+        np.random.default_rng(4).integers(0, t.num_nodes, 500), jnp.int32
+    )
+    a = np.asarray(jnp.take(t.tree.centroids, nodes, axis=0))
+    b = np.asarray(_tsvq_decode_onehot_jit(nodes, t.tree.centroids))
+    np.testing.assert_array_equal(a, b)

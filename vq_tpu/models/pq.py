@@ -118,10 +118,28 @@ def _pq_encode_jit(
     return codes
 
 
-@jax.jit
-def _pq_decode_jit(codes: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("use_onehot",))
+def _pq_decode_jit(
+    codes: jnp.ndarray, cb: jnp.ndarray, use_onehot: bool = False
+) -> jnp.ndarray:
     # Gather each subspace's selected centroid: [n, m] x [m, k, s] -> [n, m*s].
     n, m = codes.shape
+    if use_onehot:
+        # TPU: jnp.take with millions of indices into a k<=256-row table
+        # lowers to a select ladder — measured 48.4 ms at 1M x 8x256 vs
+        # 5.0 for one-hot HIGHEST matmuls (9.7x), BIT-EXACT: the bf16x6
+        # split of an f32 is lossless (24 mantissa bits = 3 x 8) and the
+        # one-hot contributes exact 1.0/0.0 products, so the gathered
+        # values reconstruct exactly (verified at 1M on hardware).
+        outs = []
+        for i in range(m):
+            oh = jax.nn.one_hot(codes[:, i], cb.shape[1], dtype=jnp.float32)
+            outs.append(jax.lax.dot_general(
+                oh, cb[i], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+        return jnp.concatenate(outs, axis=1)
     picked = jax.vmap(
         lambda cb_i, codes_i: jnp.take(cb_i, codes_i, axis=0),
         in_axes=(0, 1),
@@ -500,7 +518,10 @@ def pq_decode(codes, codebooks) -> jnp.ndarray:
         codes = codes[None, :]
     if codes.shape[1] != cb.shape[0]:
         raise DimensionMismatch(expected=cb.shape[0], found=codes.shape[1])
-    return _pq_decode_jit(codes.astype(jnp.int32), cb)
+    return _pq_decode_jit(
+        codes.astype(jnp.int32), cb,
+        use_onehot=jax.default_backend() == "tpu",
+    )
 
 
 class ProductQuantizer(Quantizer):

@@ -247,11 +247,27 @@ def rq_refine_joint(
     return cbs
 
 
-@jax.jit
-def _rq_decode_jit(codes: jnp.ndarray, cbs: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("use_onehot",))
+def _rq_decode_jit(
+    codes: jnp.ndarray, cbs: jnp.ndarray, use_onehot: bool = False
+) -> jnp.ndarray:
     def body(acc, inp):
         cb, c = inp
-        return acc + jnp.take(cb, c, axis=0), None
+        if use_onehot:
+            # TPU: a take with millions of indices into a k<=256-row
+            # table lowers to a ~15 ms select ladder PER STAGE; the
+            # one-hot HIGHEST matmul gathers bit-exactly (lossless
+            # bf16x6 split + exact 1.0/0.0 products) at ~10x — same
+            # finding as PQ decode (models/pq.py::_pq_decode_jit).
+            picked = jax.lax.dot_general(
+                jax.nn.one_hot(c, cb.shape[0], dtype=jnp.float32), cb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            picked = jnp.take(cb, c, axis=0)
+        return acc + picked, None
 
     init = jnp.zeros((codes.shape[0], cbs.shape[2]), jnp.float32)
     out, _ = jax.lax.scan(body, init, (cbs, codes.T))
@@ -278,7 +294,10 @@ def rq_decode(codes, codebooks) -> jnp.ndarray:
         codes = codes[None, :]
     if codes.shape[1] != cbs.shape[0]:
         raise DimensionMismatch(expected=cbs.shape[0], found=codes.shape[1])
-    return _rq_decode_jit(codes.astype(jnp.int32), cbs)
+    return _rq_decode_jit(
+        codes.astype(jnp.int32), cbs,
+        use_onehot=jax.default_backend() == "tpu",
+    )
 
 
 class ResidualQuantizer(Quantizer):
