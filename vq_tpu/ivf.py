@@ -297,8 +297,10 @@ class IVFPQIndex:
                     init="kmeans++", spherical=spherical)
         coarse = res.centroids
         if by_residual:
+            from vq_tpu.ops.pick import pick_rows
+
             assign = res.assignments
-            train_vecs = x - jnp.take(coarse, assign, axis=0)
+            train_vecs = x - pick_rows(coarse, assign)
         else:
             train_vecs = x
         if metric == "dot" and not by_residual:
@@ -355,10 +357,11 @@ class IVFPQIndex:
             raise DimensionMismatch(expected=self.pq.dim, found=x.shape[1])
         from vq_tpu.ops.kmeans import assign
 
+        from vq_tpu.ops.pick import pick_rows
+
         lists, _ = assign(x, self.coarse)
         enc_in = (
-            x - jnp.take(self.coarse, lists, axis=0)
-            if self.by_residual else x
+            x - pick_rows(self.coarse, lists) if self.by_residual else x
         )
         codes = np.asarray(self.pq.encode(enc_in))
         lists = np.asarray(lists)

@@ -51,6 +51,7 @@ from vq_tpu.errors import (
 )
 from vq_tpu.models.sq import PerDimScalarQuantizer
 from vq_tpu.ops.kmeans import assign, lloyd
+from vq_tpu.ops.pick import pick_rows
 from vq_tpu.utils.serialize import _from_npz, _to_npz
 
 __all__ = ["IVFFlatIndex", "IVFSQIndex", "IVFRQIndex"]
@@ -1190,7 +1191,7 @@ class IVFSQIndex(_IVFScanBase):
         res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
                     init="kmeans++", spherical=spherical)
         sq_train = (
-            x - jnp.take(res.centroids, res.assignments, axis=0)
+            x - pick_rows(res.centroids, res.assignments)
             if by_residual else x
         )
         sq = PerDimScalarQuantizer.from_data(sq_train, levels)
@@ -1210,7 +1211,7 @@ class IVFSQIndex(_IVFScanBase):
             raise DimensionMismatch(expected=self.dim, found=x.shape[1])
         lists_j, _ = assign(x, self.coarse)
         enc_in = (
-            x - jnp.take(self.coarse, lists_j, axis=0)
+            x - pick_rows(self.coarse, lists_j)
             if self.by_residual else x
         )
         codes = self.sq.quantize(enc_in.astype(jnp.float32))
@@ -1440,7 +1441,7 @@ class IVFRQIndex(_IVFScanBase):
         res = lloyd(x, nlist, max_iters=max_iters, seed=seed,
                     init="kmeans++", spherical=spherical)
         rq_in = (
-            x - jnp.take(res.centroids, res.assignments, axis=0)
+            x - pick_rows(res.centroids, res.assignments)
             if by_residual else x
         )
         rq = ResidualQuantizer(
@@ -1456,7 +1457,7 @@ class IVFRQIndex(_IVFScanBase):
 
     def _encode_rows(self, x, lists_j, coarse):
         """RQ-encode residuals; returns (codes, ||ŷ||², c_list·ŷ)."""
-        c = jnp.take(jnp.asarray(coarse, jnp.float32), lists_j, axis=0)
+        c = pick_rows(jnp.asarray(coarse, jnp.float32), lists_j)
         enc_in = x - c if self.by_residual else x
         codes = self.rq.encode(enc_in.astype(jnp.float32), beam=self.beam)
         y = self.rq.decode(codes)

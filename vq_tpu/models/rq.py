@@ -46,21 +46,7 @@ __all__ = [
 ]
 
 
-
-def _pick_rows(cb: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
-    """``cb[codes]`` for millions of codes into a small table.
-
-    On TPU ``jnp.take`` here lowers to a ~15 ms select ladder per call
-    (see _rq_decode_jit); the one-hot HIGHEST matmul is ~10x and
-    BIT-exact, so the residual chains (train/encode) are unchanged."""
-    if jax.default_backend() == "tpu":
-        return jax.lax.dot_general(
-            jax.nn.one_hot(codes, cb.shape[0], dtype=jnp.float32), cb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    return jnp.take(cb, codes, axis=0)
+from vq_tpu.ops.pick import pick_rows as _pick_rows
 
 
 def rq_train(
