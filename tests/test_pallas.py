@@ -653,3 +653,24 @@ def test_pq_fused_block_cap_budget():
     x = np.random.default_rng(0).random((300, 64 * 96), dtype=np.float32)
     cb = pq_train(x, 64, 256, max_iters=1, seed=0, use_pallas=True)
     assert cb.shape == (64, 256, 96)
+
+
+def test_assign_block_cap_budget(rng):
+    """Round-4 in-the-wild find: assign_fused at k=4096 d=128 with the
+    fixed TN=1024 tile hit 16.34 MB scoped VMEM (348 KB over) during an
+    8M-row IVF build. The cap shrinks the tile with k and assign() falls
+    back to XLA when nothing fits."""
+    from vq_tpu.ops.kmeans import assign
+    from vq_tpu.ops.pallas_kernels import assign_block_cap
+
+    assert assign_block_cap(256, 128) == 1024     # bench shape unchanged
+    assert 0 < assign_block_cap(4096, 128) < 1024 # the OOM shape, clamped
+    assert assign_block_cap(40_000, 128) == 0     # centroids alone too big
+
+    # The XLA fallback must serve an over-budget shape without error.
+    x = rng.random((64, 16), dtype=np.float32)
+    import jax.numpy as jnp
+
+    c = rng.random((40, 16), dtype=np.float32)
+    codes, d = assign(x, c, use_pallas=False)
+    assert codes.shape == (64,)

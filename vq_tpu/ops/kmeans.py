@@ -184,9 +184,13 @@ def assign(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from vq_tpu.ops.pallas_kernels import assign_fused
+        from vq_tpu.ops.pallas_kernels import assign_block_cap, assign_fused
 
-        return assign_fused(data, centroids, block_rows=min(block_rows or 1024, 1024))
+        if assign_block_cap(centroids.shape[0], data.shape[1]) > 0:
+            return assign_fused(
+                data, centroids, block_rows=min(block_rows or 1024, 1024)
+            )
+        # k·d too large for the fused kernel's VMEM — XLA path below.
     if block_rows is None:
         block_rows = default_block_rows(
             data.shape[0], centroids.shape[0], data.shape[1]

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "assign_fused",
+    "assign_block_cap",
     "pq_encode_fused",
     "lloyd_accumulate_fused",
     "pq_lloyd_accumulate_fused",
@@ -210,6 +211,29 @@ def _assign_fused_jit(data, centroids, block_rows: int, interpret: bool):
     return codes[:n, 0], dists[:n, 0]
 
 
+def assign_block_cap(k: int, d: int) -> int:
+    """Largest safe data-tile height for the fused assign kernel.
+
+    The resident centroids block is ``k_pad·d·4`` B and the statically
+    unrolled k-tile loop keeps ~3-4 live ``[TN, 512]`` f32 temporaries
+    per 512-lane k-tile (measured: TN=1024 at k=4096, d=128 hit
+    16.34 MB scoped VMEM — 348 KB over the limit — during the round-4
+    8M-row IVF build). Returns 0 when no tile fits (callers fall back
+    to the XLA assign). Same budget-discipline family as
+    :func:`adc_topk_max_block` / :func:`pq_fused_block_cap`.
+    """
+    k_pad = _round_up(max(int(k), 128), 128)
+    fixed = k_pad * d * 4 + k_pad * 4
+    budget = 15 * 1024 * 1024 - fixed
+    if budget <= 0:
+        return 0
+    per_row = 4 * k_pad + 8 * d
+    tn = budget // per_row
+    if tn < 8:
+        return 0
+    return int(min(1024, tn // 8 * 8))
+
+
 def assign_fused(
     data, centroids, block_rows: int = 1024, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -229,7 +253,14 @@ def assign_fused(
             jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), jnp.float32),
         )
-    block_rows = min(block_rows, _round_up(data.shape[0], 8))
+    cap = assign_block_cap(centroids.shape[0], data.shape[1])
+    if cap <= 0:
+        raise ValueError(
+            f"assign_fused: k={centroids.shape[0]}, d={data.shape[1]} "
+            "exceeds the kernel's VMEM budget — gate with "
+            "assign_block_cap(...) > 0 and use the XLA assign"
+        )
+    block_rows = min(block_rows, _round_up(data.shape[0], 8), cap)
     return _assign_fused_jit(data, centroids, int(block_rows), bool(interpret))
 
 
