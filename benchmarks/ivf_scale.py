@@ -10,6 +10,15 @@ at the same n is measured in the same process for the crossover.
 All rates are RPC-subtracted scan-chained device times (T=8).
 One JSON row per (n, engine).
 
+Measured limit (round 4): 8.4M bf16 rows OOM a 16 GB chip during
+``_pack_buckets`` — the padded bucket tensor (nlist x cap x d) plus the
+reorder copy plus the flat rows need ~9-13 GB concurrently, and the
+k-means skew inflates cap before rebalance can run (rebalance itself
+OOMs at this size). Single-chip padded-bucket IVF therefore tops out
+between 4M and 8M rows at d=128/bf16; the intended path beyond is the
+list-sharded multi-chip serving family (vq_tpu/parallel/ivf_scan.py),
+which splits the bucket tensor across chips.
+
 Usage: python benchmarks/ivf_scale.py [--sizes 4000000 8000000]
 """
 
@@ -63,7 +72,7 @@ def chain_ms(fn, qb, *ops):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sizes", type=int, nargs="+",
-                   default=[4_000_000, 8_000_000])
+                   default=[4_194_304, 8_388_608])  # pow2: chunked scans pad-free
     p.add_argument("--clusters", type=int, default=1024)
     p.add_argument("--seed", type=int, default=66)
     args = p.parse_args(argv)
@@ -74,22 +83,62 @@ def main(argv=None) -> int:
 
     print("backend:", jax.default_backend(), flush=True)
     for n in args.sizes:
-        nlist = 4096 if n >= 4_000_000 else 1024
+        # Finer partitions at scale keep bucket caps (and the padded
+        # bucket tensor) small enough that no rebalance pass is needed
+        # on this smooth corpus.
+        nlist = 8192 if n >= 8_000_000 else (
+            4096 if n >= 4_000_000 else 1024
+        )
         kc, kw, kn, kq = jax.random.split(
             jax.random.PRNGKey(args.seed), 4
         )
         centers = jax.random.normal(kc, (args.clusters, D)) * 2.0
-        which = jax.random.randint(kw, (n,), 0, args.clusters)
-        data = (
-            jnp.take(centers, which, axis=0)
-            + 1.0 * jax.random.normal(kn, (n, D))
-        ).astype(jnp.bfloat16)  # stored width; 2 GB at 8M
+
+        # Chunked generation: a single-shot take+add materializes 3 f32
+        # copies (12.9 GB at 8.4M) whose fragmentation then starves the
+        # 4+ GB contiguous bucket buffer.
+        @jax.jit
+        def gen(centers):
+            chunk = 262_144
+
+            def one(i):
+                key = jax.random.fold_in(kn, i)
+                kw_, kn_ = jax.random.split(key)
+                which = jax.random.randint(
+                    kw_, (chunk,), 0, args.clusters
+                )
+                return (
+                    jnp.take(centers, which, axis=0)
+                    + jax.random.normal(kn_, (chunk, D))
+                ).astype(jnp.bfloat16)
+
+            return jax.lax.map(
+                one, jnp.arange(n // chunk, dtype=jnp.int32)
+            ).reshape(n, D)
+
+        assert n % 262_144 == 0
+        data = gen(centers)  # stored width; 2 GB at 8M
         queries = data[:Q].astype(jnp.float32) + 0.01 * jax.random.normal(
             kq, (Q, D), jnp.float32
         )
         qb = jnp.broadcast_to(queries, (T, Q, D)) + 1e-4 * (
             jax.random.normal(jax.random.PRNGKey(9), (T, Q, D))
         )
+
+        # Exact flat baseline FIRST (only corpus + flat live), then GT,
+        # then the IVF build — at 8M the three together overflow HBM.
+        flat = FlatIndex(dim=D, storage="bfloat16")
+        flat.add(data)
+        fn_flat, arrays = flat._search_core(TOPK)
+        ms_flat = chain_ms(
+            lambda q, *a: fn_flat(q, *a)[0], qb, *arrays
+        )
+        del arrays
+
+        from vq_tpu.tune import exact_neighbors
+
+        gt_ids, _ = exact_neighbors(data, queries, TOPK)
+        del flat
 
         t0 = time.perf_counter()
         res = lloyd(
@@ -98,16 +147,20 @@ def main(argv=None) -> int:
         )
         idx = IVFFlatIndex(res.centroids, store_dtype="bfloat16")
         idx.add(data)
+        cap0 = int(idx._build_buckets()["ids"].shape[1])
+        if cap0 > 5000:
+            # Skewed partition: oversized lists inflate every probe (and
+            # at this scale the padded bucket tensor itself) — the
+            # shipped remedy, same as the 1M artifacts.
+            info = idx.rebalance(target_max=4096)
+            print(f"rebalance: {info['split']} splits (cap {cap0})",
+                  flush=True)
         b = idx._build_buckets()
         cap = int(b["ids"].shape[1])
         build_s = time.perf_counter() - t0
         print(f"n={n}: build {build_s:.0f} s, nlist={nlist}, cap={cap}",
               flush=True)
 
-        # Exact ground truth for recall (brute force on device).
-        from vq_tpu.tune import exact_neighbors
-
-        gt_ids, _ = exact_neighbors(data, queries, TOPK)
         ids, _ = idx.search(queries, k=TOPK, nprobe=NPROBE)
         gt, got = np.asarray(gt_ids), np.asarray(ids)
         recall = float(
@@ -127,13 +180,6 @@ def main(argv=None) -> int:
 
         ms_ivf = chain_ms(ivf_fn, qb, coarse, rows, sqn, ids_b)
 
-        flat = FlatIndex(dim=D, storage="bfloat16")
-        flat.add(data)
-        fn_flat, arrays = flat._search_core(TOPK)
-        ms_flat = chain_ms(
-            lambda q, *a: fn_flat(q, *a)[0], qb, *arrays
-        )
-
         row = dict(
             bench="ivf_scale", n=n, nlist=nlist, cap=cap,
             nprobe=NPROBE, q_batch=Q, store="bfloat16",
@@ -147,7 +193,7 @@ def main(argv=None) -> int:
         )
         print(json.dumps(row), flush=True)
         ART.emit(**row)
-        del data, idx, b, rows, sqn, ids_b, flat, arrays
+        del data, idx, b, rows, sqn, ids_b
     return 0
 
 

@@ -65,7 +65,6 @@ def mpacked_encode(x, w, cc, block_rows: int, precision_name: str,
                    interpret: bool = False):
     n, d = x.shape
     mk = w.shape[1]
-    m = cc.shape[0] // (mk // cc.shape[0]) if False else None
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
