@@ -144,6 +144,9 @@ class TestEvalCliData:
             main, ["--sizes", "999", "--dim", "16", "--data", p], capsys
         )
         assert rows[0]["data"] == "c.fvecs"
+        # Clamped slices record the REAL measured row count and dim.
+        assert rows[0]["num_samples"] == fixture_rows.shape[0]
+        assert rows[0]["dim"] == 16
 
     def test_pq_and_tsvq_cli_on_file(self, tmp_path, capsys):
         from vq_tpu.cli.eval_pq import main as pq_main

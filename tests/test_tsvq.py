@@ -187,7 +187,8 @@ def test_traverse_scores_path_matches_gather_path(rng):
     from vq_tpu.ops.distance import Metric
 
     fast = _tsvq_find_leaf(
-        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
+        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth,
+        force_scores=True,
     )
     # Force the gather path by lying about the metric? No — monkeypatch
     # the node-count gate instead: call with a manhattan metric for the
@@ -224,7 +225,7 @@ def test_level_sliced_traversal_matches_shallow_paths(rng):
     t = TSVQ(data, max_depth=9).tree  # up to 1023 nodes
     assert t.num_nodes > 128  # really exercises the level-sliced path
     x = jnp.asarray(rng.random((777, 16), dtype=np.float32))
-    got = _find_leaves(t, x, Metric.SQUARED_EUCLIDEAN)
+    got = _find_leaves(t, x, Metric.SQUARED_EUCLIDEAN, force_levels=True)
     want = _tsvq_find_leaf(
         x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
     )
@@ -235,9 +236,10 @@ def test_level_sliced_traversal_matches_shallow_paths(rng):
     assert starts[0] == 0 and starts[-1] == t.num_nodes
 
 
-def test_decode_onehot_matches_take(rng):
-    from vq_tpu.models.tsvq import TSVQ, _tsvq_decode_onehot_jit
+def test_decode_pick_rows_matches_take(rng):
     import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import TSVQ
 
     data = rng.random((600, 12), dtype=np.float32)
     t = TSVQ(data, max_depth=5)
@@ -245,5 +247,5 @@ def test_decode_onehot_matches_take(rng):
         np.random.default_rng(4).integers(0, t.num_nodes, 500), jnp.int32
     )
     a = np.asarray(jnp.take(t.tree.centroids, nodes, axis=0))
-    b = np.asarray(_tsvq_decode_onehot_jit(nodes, t.tree.centroids))
+    b = np.asarray(t.decode(nodes))
     np.testing.assert_array_equal(a, b)

@@ -148,6 +148,13 @@ def resolve_corpus(args):
 
             rows = load_dataset(args.data, max_rows=max(args.sizes))
             tag = os.path.basename(args.data)
+            if rows.shape[1] != args.dim:
+                print(
+                    f"# --data is {rows.shape[1]}-d; overriding --dim "
+                    f"{args.dim} (rows record the real dimension)",
+                    file=sys.stderr,
+                )
+                args.dim = int(rows.shape[1])
 
             def get_data(n: int):
                 if n > rows.shape[0]:

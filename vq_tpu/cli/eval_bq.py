@@ -41,6 +41,7 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         data = jnp.asarray(data)  # one upload, outside every timed region
+        n = int(data.shape[0])  # file slices clamp; record the truth
         with Timer() as t_train:
             q = BinaryQuantizer(args.threshold, args.low, args.high)
         if not args.cold:

@@ -48,6 +48,7 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         data = jnp.asarray(data)  # one upload, outside every timed region
+        n = int(data.shape[0])  # file slices clamp; record the truth
 
         def fit():
             return ProductQuantizer(

@@ -36,6 +36,7 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         data = jnp.asarray(data)  # one upload, outside every timed region
+        n = int(data.shape[0])  # file slices clamp; record the truth
         if not args.cold:
             # Warm the min/max reduction compile + readback (the SQ "train")
             # so train_ms is the steady-state cost, not the per-shape

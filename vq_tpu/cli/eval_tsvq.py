@@ -48,6 +48,7 @@ def main(argv=None) -> None:
             )
         else:
             data = get_data(n)
+            n = int(data.shape[0])  # file slices clamp; record the truth
         if not args.cold:
             # Warm the per-shape build compiles so train_ms is the
             # steady-state tree-build cost.

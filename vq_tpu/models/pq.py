@@ -133,7 +133,8 @@ def _pq_decode_jit(
         # values reconstruct exactly (verified at 1M on hardware).
         outs = []
         for i in range(m):
-            oh = jax.nn.one_hot(codes[:, i], cb.shape[1], dtype=jnp.float32)
+            ci = jnp.clip(codes[:, i], 0, cb.shape[1] - 1)  # take's clip mode
+            oh = jax.nn.one_hot(ci, cb.shape[1], dtype=jnp.float32)
             outs.append(jax.lax.dot_general(
                 oh, cb[i], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -520,7 +521,11 @@ def pq_decode(codes, codebooks) -> jnp.ndarray:
         raise DimensionMismatch(expected=cb.shape[0], found=codes.shape[1])
     return _pq_decode_jit(
         codes.astype(jnp.int32), cb,
-        use_onehot=jax.default_backend() == "tpu",
+        # One-hot operands materialize [n, k]: cap k like pick_rows does
+        # (past it the take ladder is the lesser cost).
+        use_onehot=(
+            jax.default_backend() == "tpu" and cb.shape[1] <= 4096
+        ),
     )
 
 

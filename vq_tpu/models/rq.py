@@ -262,8 +262,9 @@ def _rq_decode_jit(
             # one-hot HIGHEST matmul gathers bit-exactly (lossless
             # bf16x6 split + exact 1.0/0.0 products) at ~10x — same
             # finding as PQ decode (models/pq.py::_pq_decode_jit).
+            cc = jnp.clip(c, 0, cb.shape[0] - 1)  # take's clip mode
             picked = jax.lax.dot_general(
-                jax.nn.one_hot(c, cb.shape[0], dtype=jnp.float32), cb,
+                jax.nn.one_hot(cc, cb.shape[0], dtype=jnp.float32), cb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -299,7 +300,9 @@ def rq_decode(codes, codebooks) -> jnp.ndarray:
         raise DimensionMismatch(expected=cbs.shape[0], found=codes.shape[1])
     return _rq_decode_jit(
         codes.astype(jnp.int32), cbs,
-        use_onehot=jax.default_backend() == "tpu",
+        use_onehot=(
+            jax.default_backend() == "tpu" and cbs.shape[1] <= 4096
+        ),
     )
 
 

@@ -371,7 +371,9 @@ def tsvq_build_batched(training_data, max_depth: int) -> TSVQTree:
     return TSVQTree(centroids, lefts, rights, depth=max_depth)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "depth"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "depth", "force_scores")
+)
 def _tsvq_find_leaf(
     x: jnp.ndarray,
     centroids: jnp.ndarray,
@@ -379,6 +381,7 @@ def _tsvq_find_leaf(
     right: jnp.ndarray,
     metric: Metric,
     depth: int,
+    force_scores: bool = False,
 ) -> jnp.ndarray:
     """Vectorized greedy traversal -> leaf node id per row of ``x``.
 
@@ -409,6 +412,11 @@ def _tsvq_find_leaf(
         metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN)
         and num_nodes <= 128
         and n > 0
+        # TPU-only: the scores form dodges the take select-ladder
+        # pathology; on CPU it does ~nodes·d/(2·d·depth) times MORE
+        # arithmetic than the gather form, where take was never slow.
+        # force_scores is the CPU test hook.
+        and (force_scores or jax.default_backend() == "tpu")
     ):
         # Row blocks keep the [block, nodes] score matrix bounded
         # (~512 MB of f32 scores — fewer map steps measured faster:
@@ -575,28 +583,20 @@ def _tsvq_find_leaf_levels(
     ) - 1
 
 
-@jax.jit
-def _tsvq_decode_onehot_jit(nodes: jnp.ndarray, cents: jnp.ndarray):
-    oh = jax.nn.one_hot(nodes, cents.shape[0], dtype=jnp.float32)
-    return jax.lax.dot_general(
-        oh, cents, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
 # Deep-tree gate: past this node count the full-scores path's
 # nodes×depth select traffic loses to the level-sliced form.
 _TSVQ_SCORES_MAX_NODES = 128
 _TSVQ_LEVELS_MAX_NODES = 4096
 
 
-def _find_leaves(tree: "TSVQTree", x: jnp.ndarray, metric: Metric):
-    """Dispatch the fastest traversal for this tree/metric."""
+def _find_leaves(tree: "TSVQTree", x: jnp.ndarray, metric: Metric,
+                 force_levels: bool = False):
+    """Dispatch the fastest traversal for this tree/metric/backend."""
     l2 = metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN)
     if (
         l2
         and _TSVQ_SCORES_MAX_NODES < tree.num_nodes <= _TSVQ_LEVELS_MAX_NODES
+        and (force_levels or jax.default_backend() == "tpu")
     ):
         cb, lb, rb, perm, starts = tree.bfs_layout()
         return _tsvq_find_leaf_levels(
@@ -711,12 +711,10 @@ class TSVQ(Quantizer):
         """
         nodes = jnp.asarray(nodes, jnp.int32)
         cents = self._tree.centroids
-        if (
-            jax.default_backend() == "tpu"
-            and nodes.ndim == 1
-            and cents.shape[0] <= 512
-        ):
-            return _tsvq_decode_onehot_jit(nodes, cents)
+        if nodes.ndim == 1:
+            from vq_tpu.ops.pick import pick_rows
+
+            return pick_rows(cents, nodes)  # one-hot on TPU <= 4096 rows
         return jnp.take(cents, nodes, axis=0)
 
     def quantize(self, x) -> jnp.ndarray:

@@ -36,6 +36,10 @@ def pick_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         and table.shape[0] <= _PICK_MAX_ROWS
         and table.dtype == jnp.float32
     ):
+        # Clamp out-of-range indices to match jnp.take's default "clip"
+        # mode exactly — a raw one_hot would turn an invalid index into
+        # a silent all-zero row, diverging from the CPU path.
+        idx = jnp.clip(idx, 0, table.shape[0] - 1)
         return jax.lax.dot_general(
             jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32), table,
             dimension_numbers=(((1,), (0,)), ((), ())),

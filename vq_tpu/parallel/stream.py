@@ -85,8 +85,8 @@ def sharded_pq_minibatch_update(
     if batch.shape[0] % n_data != 0:
         raise InvalidParameter(
             "batch",
-            f"rows ({batch.shape[0]}) must divide the data-axis size "
-            f"({n_data})",
+            f"rows ({batch.shape[0]}) must be divisible by the "
+            f"data-axis size ({n_data})",
         )
 
     @functools.partial(
