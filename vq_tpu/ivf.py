@@ -251,8 +251,12 @@ class IVFPQIndex:
                 expected=pq.dim, found=self.coarse.shape[1]
             )
         # Flat (append-only) storage; buckets built lazily.
-        self._flat_codes: Optional[np.ndarray] = None  # [n, m] u8/i32
-        self._flat_lists: Optional[np.ndarray] = None  # [n] i32
+        # DEVICE-resident flat storage (round 4): add() used to pull
+        # every encoded batch to the host (~8 MB/1M rows through a
+        # ~MB/s tunnel); codes/lists now stay on device like the
+        # IVF-Flat/SQ/RQ family, and only rebalance/save pull once.
+        self._flat_codes: Optional[jnp.ndarray] = None  # [n, m] u8/i32
+        self._flat_lists: Optional[jnp.ndarray] = None  # [n] i32
         self._corpus: Optional[jnp.ndarray] = None
         self._buckets: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
@@ -363,13 +367,13 @@ class IVFPQIndex:
         enc_in = (
             x - pick_rows(self.coarse, lists) if self.by_residual else x
         )
-        codes = np.asarray(self.pq.encode(enc_in))
-        lists = np.asarray(lists)
+        codes = self.pq.encode(enc_in)  # stays on device
+        lists = jnp.asarray(lists, jnp.int32)
         if self._flat_codes is None:
             self._flat_codes, self._flat_lists = codes, lists
         else:
-            self._flat_codes = np.concatenate([self._flat_codes, codes])
-            self._flat_lists = np.concatenate([self._flat_lists, lists])
+            self._flat_codes = jnp.concatenate([self._flat_codes, codes])
+            self._flat_lists = jnp.concatenate([self._flat_lists, lists])
         if self.keep_corpus:
             self._corpus = (
                 x if self._corpus is None
@@ -387,8 +391,9 @@ class IVFPQIndex:
             raise EmptyInput("index is empty")
         mask = np.asarray(_removal_keep_mask(ids, self.ntotal))
         removed = int(self.ntotal - mask.sum())
-        self._flat_codes = self._flat_codes[mask]
-        self._flat_lists = self._flat_lists[mask]
+        keep = jnp.asarray(np.nonzero(mask)[0], jnp.int32)
+        self._flat_codes = jnp.take(self._flat_codes, keep, axis=0)
+        self._flat_lists = jnp.take(self._flat_lists, keep)
         if self._corpus is not None:
             self._corpus = jnp.asarray(np.asarray(self._corpus)[mask])
         self._buckets = None
@@ -415,10 +420,10 @@ class IVFPQIndex:
                 self._flat_codes = other._flat_codes
                 self._flat_lists = other._flat_lists
             else:
-                self._flat_codes = np.concatenate(
+                self._flat_codes = jnp.concatenate(
                     [self._flat_codes, other._flat_codes]
                 )
-                self._flat_lists = np.concatenate(
+                self._flat_lists = jnp.concatenate(
                     [self._flat_lists, other._flat_lists]
                 )
         other._flat_codes = other._flat_lists = other._corpus = None
@@ -499,7 +504,9 @@ class IVFPQIndex:
         and how many entries a ``max_list_size`` cap currently drops."""
         if self._flat_lists is None:
             return {"ntotal": 0}
-        counts = np.bincount(self._flat_lists, minlength=self.nlist)
+        counts = np.bincount(
+            np.asarray(self._flat_lists), minlength=self.nlist
+        )
         bucket_codes, _ = self._build_buckets()
         cap = int(bucket_codes.shape[1])
         return {
@@ -573,8 +580,9 @@ class IVFPQIndex:
     ) -> dict:
         from vq_tpu.ivf_flat import _rebalance_pass
 
-        counts = np.bincount(self._flat_lists, minlength=self.nlist)
-        old_lists = self._flat_lists  # pre-rebalance assignment
+        lists_np = np.asarray(self._flat_lists)  # one pull; host-orchestrated pass
+        counts = np.bincount(lists_np, minlength=self.nlist)
+        old_lists = lists_np  # pre-rebalance assignment
         old_coarse = np.array(self.coarse)
         flat_codes = np.array(self._flat_codes)
 
@@ -588,7 +596,7 @@ class IVFPQIndex:
             return rec
 
         out = _rebalance_pass(
-            self._flat_lists, old_coarse, self.nlist, member_vectors,
+            lists_np, old_coarse, self.nlist, member_vectors,
             target_max=target_max,
             default_target=self.max_list_size or int(
                 max(8, 2 * max(1.0, counts.mean()))
@@ -605,9 +613,9 @@ class IVFPQIndex:
                 if self.by_residual else x
             )
             flat_codes[rows] = np.asarray(self.pq.encode(enc_in))
-        self._flat_codes = flat_codes
+        self._flat_codes = jnp.asarray(flat_codes)
         self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
-        self._flat_lists = out["lists"]
+        self._flat_lists = jnp.asarray(out["lists"], jnp.int32)
         self._buckets = None
         return {
             "split": out["split"],
@@ -764,11 +772,13 @@ class IVFPQIndex:
             "coarse": np.asarray(self.coarse),
             "codebooks": np.asarray(self.pq.codebooks),
             "flat_codes": (
-                self._flat_codes if self._flat_codes is not None
+                np.asarray(self._flat_codes)
+                if self._flat_codes is not None
                 else np.zeros((0, self.pq.num_subspaces), np.int32)
             ),
             "flat_lists": (
-                self._flat_lists if self._flat_lists is not None
+                np.asarray(self._flat_lists)
+                if self._flat_lists is not None
                 else np.zeros((0,), np.int32)
             ),
         }
@@ -811,8 +821,8 @@ class IVFPQIndex:
             metric=config.get("metric", "l2"),
         )
         if arrays["flat_codes"].shape[0]:
-            idx._flat_codes = arrays["flat_codes"]
-            idx._flat_lists = arrays["flat_lists"]
+            idx._flat_codes = jnp.asarray(arrays["flat_codes"])
+            idx._flat_lists = jnp.asarray(arrays["flat_lists"], jnp.int32)
         if "corpus" in arrays:
             idx._corpus = jnp.asarray(arrays["corpus"])
         return idx
