@@ -658,19 +658,69 @@ def test_pq_fused_block_cap_budget():
 def test_assign_block_cap_budget(rng):
     """Round-4 in-the-wild find: assign_fused at k=4096 d=128 with the
     fixed TN=1024 tile hit 16.34 MB scoped VMEM (348 KB over) during an
-    8M-row IVF build. The cap shrinks the tile with k and assign() falls
-    back to XLA when nothing fits."""
+    8M-row IVF build. The cap shrinks the tile with k; past the resident
+    budget the k-chunked dispatch takes over (round 5), so large-nlist
+    coarse quantizers keep the fused path."""
     from vq_tpu.ops.kmeans import assign
-    from vq_tpu.ops.pallas_kernels import assign_block_cap
+    from vq_tpu.ops.pallas_kernels import (
+        _assign_k_chunk,
+        _assign_resident_cap,
+        assign_block_cap,
+    )
 
     assert assign_block_cap(256, 128) == 1024     # bench shape unchanged
     assert 0 < assign_block_cap(4096, 128) < 1024 # the OOM shape, clamped
-    assert assign_block_cap(40_000, 128) == 0     # centroids alone too big
+    # Round-4 behavior: the resident kernel alone can't take k=40k/65k.
+    assert _assign_resident_cap(40_000, 128) == 0
+    assert _assign_resident_cap(65_536, 128) == 0
+    # Round 5: the chunked dispatch serves them with a real tile height.
+    assert assign_block_cap(40_000, 128) >= 256
+    assert assign_block_cap(65_536, 128) >= 256
+    # Chunk sizing: 128-aligned, within the resident budget, and the
+    # resident cap at the chunk size admits the promised tile.
+    kc = _assign_k_chunk(128)
+    assert kc % 128 == 0 and kc >= 4096
+    assert _assign_resident_cap(kc, 128) >= 256
+    # Truly too-deep dims still return 0 (no chunk fits at all).
+    assert assign_block_cap(1024, 40_000) == 0
 
     # The XLA fallback must serve an over-budget shape without error.
     x = rng.random((64, 16), dtype=np.float32)
-    import jax.numpy as jnp
-
     c = rng.random((40, 16), dtype=np.float32)
     codes, d = assign(x, c, use_pallas=False)
     assert codes.shape == (64,)
+
+
+def test_assign_fused_chunked_matches_xla(rng):
+    """k-chunked fused assign (the large-nlist path): bit-identical codes
+    to the XLA argmin, including exact ties across chunk boundaries."""
+    from vq_tpu.ops.pallas_kernels import _assign_fused_chunked_jit
+
+    x = rng.random((333, 24), dtype=np.float32)
+    c = rng.random((700, 24), dtype=np.float32)
+    # Plant exact cross-chunk duplicates: centroid 650 == centroid 10, so
+    # rows nearest 10 tie across the chunk-0/chunk-2 boundary and must
+    # keep the lower index.
+    c[650] = c[10]
+    codes_p, dist_p = _assign_fused_chunked_jit(
+        jnp.asarray(x), jnp.asarray(c), 256, 128, True
+    )
+    codes_r, dist_r = assign(x, c, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(codes_p), np.asarray(codes_r))
+    np.testing.assert_allclose(
+        np.asarray(dist_p), np.asarray(dist_r), rtol=1e-5, atol=1e-4
+    )
+    assert 650 not in np.asarray(codes_p)  # ties kept the lowest index
+
+
+def test_assign_fused_chunked_partial_tail(rng):
+    """A final partial chunk (k % k_chunk != 0) masks its pad correctly."""
+    from vq_tpu.ops.pallas_kernels import _assign_fused_chunked_jit
+
+    x = rng.random((100, 16), dtype=np.float32)
+    c = rng.random((300, 16), dtype=np.float32)  # chunks: 128, 128, 44
+    codes_p, _ = _assign_fused_chunked_jit(
+        jnp.asarray(x), jnp.asarray(c), 128, 64, True
+    )
+    codes_r, _ = assign(x, c, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(codes_p), np.asarray(codes_r))

@@ -190,7 +190,8 @@ def assign(
             return assign_fused(
                 data, centroids, block_rows=min(block_rows or 1024, 1024)
             )
-        # k·d too large for the fused kernel's VMEM — XLA path below.
+        # Only a dimension too deep for even one 128-centroid chunk
+        # lands here (large k itself now k-chunks inside assign_fused).
     if block_rows is None:
         block_rows = default_block_rows(
             data.shape[0], centroids.shape[0], data.shape[1]

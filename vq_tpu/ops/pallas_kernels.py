@@ -134,11 +134,17 @@ def _int_argmin(scores, col, mode: str):
     raise ValueError(f"unknown argmin mode {mode!r}")
 
 
-def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total):
+def _assign_kernel(
+    x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total, clamp
+):
     """One [TN, d] data tile against all centroids, k-tiled in VMEM.
 
     Scores stream through VMEM; the running (min, argmin) merge keeps the
-    lowest index on ties via strict ``<``.
+    lowest index on ties via strict ``<``. ``clamp=False`` emits the raw
+    ``min + ||x||^2`` (no max-with-0) so the k-chunked caller can merge
+    chunk minima without clamping-induced ties (two chunks whose true
+    scores differ below zero would both clamp to 0 and the merge would
+    lose the real winner).
     """
     x = x_ref[:].astype(jnp.float32)  # [TN, d]; upcast half corpora per-tile
     tn = x.shape[0]
@@ -166,11 +172,16 @@ def _assign_kernel(x_ref, c_ref, cc_ref, codes_ref, dist_ref, *, k_tile, k_total
     # tiling mismatches for s32, and (1, TN) blocks violate the sublane
     # divisibility rule; (TN, 1) satisfies both.
     codes_ref[:, 0] = run_idx
-    dist_ref[:, 0] = jnp.maximum(run_min + xx, 0.0)
+    raw = run_min + xx
+    dist_ref[:, 0] = jnp.maximum(raw, 0.0) if clamp else raw
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def _assign_fused_jit(data, centroids, block_rows: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "interpret", "clamp")
+)
+def _assign_fused_jit(
+    data, centroids, block_rows: int, interpret: bool, clamp: bool = True
+):
     n, d = data.shape
     k = centroids.shape[0]
     # Pad k to a lane-aligned tile; padded centroids sit at +inf distance.
@@ -186,7 +197,9 @@ def _assign_fused_jit(data, centroids, block_rows: int, interpret: bool):
 
     nb = n_pad // block_rows
     codes, dists = pl.pallas_call(
-        functools.partial(_assign_kernel, k_tile=k_tile, k_total=k_pad),
+        functools.partial(
+            _assign_kernel, k_tile=k_tile, k_total=k_pad, clamp=clamp
+        ),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0),
@@ -211,16 +224,17 @@ def _assign_fused_jit(data, centroids, block_rows: int, interpret: bool):
     return codes[:n, 0], dists[:n, 0]
 
 
-def assign_block_cap(k: int, d: int) -> int:
-    """Largest safe data-tile height for the fused assign kernel.
+def _assign_resident_cap(k: int, d: int) -> int:
+    """Largest safe data-tile height with the WHOLE codebook VMEM-resident.
 
     The resident centroids block is ``k_pad·d·4`` B and the statically
     unrolled k-tile loop keeps ~3-4 live ``[TN, 512]`` f32 temporaries
     per 512-lane k-tile (measured: TN=1024 at k=4096, d=128 hit
     16.34 MB scoped VMEM — 348 KB over the limit — during the round-4
-    8M-row IVF build). Returns 0 when no tile fits (callers fall back
-    to the XLA assign). Same budget-discipline family as
-    :func:`adc_topk_max_block` / :func:`pq_fused_block_cap`.
+    8M-row IVF build). Returns 0 when no tile fits; large-k callers go
+    through the k-chunked dispatch instead (see :func:`assign_block_cap`).
+    Same budget-discipline family as :func:`adc_topk_max_block` /
+    :func:`pq_fused_block_cap`.
     """
     k_pad = _round_up(max(int(k), 128), 128)
     fixed = k_pad * d * 4 + k_pad * 4
@@ -234,6 +248,44 @@ def assign_block_cap(k: int, d: int) -> int:
     return int(min(1024, tn // 8 * 8))
 
 
+# Minimum data-tile height the k-chunked path accepts: chunks sized for a
+# taller tile amortize the per-chunk re-read of x better, and 256 keeps
+# the sublane dimension comfortably aligned.
+_ASSIGN_CHUNK_MIN_ROWS = 256
+
+
+def _assign_k_chunk(d: int) -> int:
+    """Largest 128-aligned centroid-chunk size whose resident block still
+    admits a >= ``_ASSIGN_CHUNK_MIN_ROWS``-row data tile.
+
+    Closed form of ``_assign_resident_cap(kc, d) >= MIN_ROWS``: the
+    budget ``15 MB - kc·(4d+4)`` must cover ``MIN_ROWS·(4·kc + 8d)``.
+    """
+    budget = 15 * 1024 * 1024 - _ASSIGN_CHUNK_MIN_ROWS * 8 * d
+    kc = budget // (4 * d + 4 + 4 * _ASSIGN_CHUNK_MIN_ROWS)
+    return max(kc // 128 * 128, 0)
+
+
+def assign_block_cap(k: int, d: int) -> int:
+    """Data-tile height :func:`assign_fused` will use, 0 if it cannot run.
+
+    Large k no longer returns 0: once the whole codebook stops fitting
+    VMEM next to a usable data tile, :func:`assign_fused` chunks the
+    centroid axis at the XLA level (``ceil(k/k_chunk)`` identical resident
+    kernels — one compiled program — merged on unclamped scores with
+    strict ``<``, so earlier chunks win exact ties and the global argmin
+    keeps the lowest index). Only a dimension too deep for even one
+    128-centroid chunk returns 0 (d ≳ 28k at the 15 MB budget).
+    """
+    cap = _assign_resident_cap(k, d)
+    if cap > 0:
+        return cap
+    kc = _assign_k_chunk(d)
+    if kc < 128:
+        return 0
+    return _assign_resident_cap(kc, d)
+
+
 def assign_fused(
     data, centroids, block_rows: int = 1024, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -243,6 +295,15 @@ def assign_fused(
     runs the Pallas interpreter (CPU testing). bf16 data stays half-width
     in HBM and upcasts per-tile in VMEM (f16 upcasts here — Mosaic has no
     IEEE-f16 path; the XLA fallback keeps f16 resident).
+
+    Codebooks past the resident VMEM budget (~10k centroids at d=128)
+    dispatch the k-chunked form: the centroid axis is split into
+    equal-size chunks (padded so every chunk reuses ONE compiled kernel),
+    each chunk's per-row (min, argmin) is computed with clamping off, and
+    chunks merge with strict ``<`` so the lowest global index wins exact
+    ties — bit-identical codes to the XLA argmin over the full score row.
+    Data is re-read once per chunk (the codebook is read once total),
+    which is the bandwidth-minimal orientation when n >> k.
     """
     data = jnp.asarray(data)
     if data.dtype != jnp.bfloat16:
@@ -253,15 +314,61 @@ def assign_fused(
             jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), jnp.float32),
         )
-    cap = assign_block_cap(centroids.shape[0], data.shape[1])
-    if cap <= 0:
-        raise ValueError(
-            f"assign_fused: k={centroids.shape[0]}, d={data.shape[1]} "
-            "exceeds the kernel's VMEM budget — gate with "
-            "assign_block_cap(...) > 0 and use the XLA assign"
+    k, d = centroids.shape[0], data.shape[1]
+    cap = _assign_resident_cap(k, d)
+    if cap > 0:
+        block_rows = min(block_rows, _round_up(data.shape[0], 8), cap)
+        return _assign_fused_jit(
+            data, centroids, int(block_rows), bool(interpret)
         )
+    kc = _assign_k_chunk(d)
+    if kc < 128:
+        raise ValueError(
+            f"assign_fused: k={k}, d={d} exceeds the kernel's VMEM budget "
+            "even k-chunked — gate with assign_block_cap(...) > 0 and use "
+            "the XLA assign"
+        )
+    cap = _assign_resident_cap(kc, d)
     block_rows = min(block_rows, _round_up(data.shape[0], 8), cap)
-    return _assign_fused_jit(data, centroids, int(block_rows), bool(interpret))
+    return _assign_fused_chunked_jit(
+        data, centroids, int(kc), int(block_rows), bool(interpret)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_chunk", "block_rows", "interpret")
+)
+def _assign_fused_chunked_jit(
+    data, centroids, k_chunk: int, block_rows: int, interpret: bool
+):
+    """k-chunked fused assign: ceil(k/k_chunk) identical resident kernels
+    (one compiled program), merged on UNCLAMPED ``min + ||x||^2`` scores —
+    strict ``<`` keeps the earlier (lower-index) chunk on exact ties, so
+    the merged argmin is bit-identical to a single argmin over the full
+    score row. The final distance clamps to 0 once, after the merge.
+    """
+    k = centroids.shape[0]
+    nchunks = _cdiv(k, k_chunk)
+    # Full chunks share one kernel shape (one remote compile); only a
+    # partial final chunk adds a second shape (its own jit call pads and
+    # +inf-masks the tail like any small-k call).
+    run_codes = None
+    run_dist = None
+    for ci in range(nchunks):
+        lo = ci * k_chunk
+        hi = min(lo + k_chunk, k)
+        chunk = jax.lax.slice_in_dim(centroids, lo, hi, axis=0)
+        codes_c, dist_c = _assign_fused_jit(
+            data, chunk, block_rows, interpret, clamp=False
+        )
+        codes_c = codes_c + lo
+        if run_codes is None:
+            run_codes, run_dist = codes_c, dist_c
+        else:
+            better = dist_c < run_dist  # strict: earlier chunk wins ties
+            run_codes = jnp.where(better, codes_c, run_codes)
+            run_dist = jnp.where(better, dist_c, run_dist)
+    return run_codes, jnp.maximum(run_dist, 0.0)
 
 
 # ---------------------------------------------------------------------------
