@@ -249,3 +249,59 @@ def test_decode_pick_rows_matches_take(rng):
     a = np.asarray(jnp.take(t.tree.centroids, nodes, axis=0))
     b = np.asarray(t.decode(nodes))
     np.testing.assert_array_equal(a, b)
+
+
+def test_wide_level_traversal_matches_gather_form(rng):
+    """Regression for the round-4 4096-node ceiling: trees past it keep
+    the levels path, whose wide levels (width >= _TSVQ_WIDE_LEVEL_W)
+    switch from full-slice scoring to per-row child gathers — leaves
+    must still match the per-level gather form exactly."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import (
+        TSVQ,
+        _TSVQ_WIDE_LEVEL_W,
+        _find_leaves,
+        _tsvq_find_leaf,
+    )
+    from vq_tpu.ops.distance import Metric
+
+    # 8192 rows split on exact medians -> complete depth-12 tree
+    # (8191 nodes, deepest level 4096 wide — two wide levels plus the
+    # 4097-boundary crossing in one build).
+    data = rng.random((8192, 8), dtype=np.float32)
+    t = TSVQ(data, max_depth=12).tree
+    assert t.num_nodes > 4096  # past the removed ceiling
+    _, _, _, _, starts = t.bfs_layout()
+    widths = [starts[i + 1] - starts[i] for i in range(len(starts) - 1)]
+    assert max(widths) >= _TSVQ_WIDE_LEVEL_W  # wide branch exercised
+
+    x = jnp.asarray(rng.random((513, 8), dtype=np.float32))
+    got = _find_leaves(t, x, Metric.SQUARED_EUCLIDEAN, force_levels=True)
+    want = _tsvq_find_leaf(
+        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wide_level_traversal_uneven_tree(rng):
+    """Uneven deep tree (early leaves, one-child nodes, odd widths
+    crossing the wide threshold): levels leaves == gather leaves, and
+    encode->decode round-trips to real tree centroids."""
+    import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import TSVQ, _find_leaves, _tsvq_find_leaf
+    from vq_tpu.ops.distance import Metric
+
+    # Duplicated rows create unsplittable nodes at varying depths.
+    base = rng.random((1500, 6), dtype=np.float32)
+    reps = np.repeat(base, rng.integers(1, 5, size=1500), axis=0)
+    t = TSVQ(reps, max_depth=12).tree
+    assert t.num_nodes > 1024
+
+    x = jnp.asarray(rng.random((401, 6), dtype=np.float32))
+    got = _find_leaves(t, x, Metric.SQUARED_EUCLIDEAN, force_levels=True)
+    want = _tsvq_find_leaf(
+        x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

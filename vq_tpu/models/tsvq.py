@@ -482,6 +482,41 @@ def _tsvq_find_leaf(
     return nodes
 
 
+# A level at least this wide stops scoring its whole centroid slice
+# ([block, w] matmul, cost ∝ w·d per row) and instead GATHERS each row's
+# two child centroids (cost ∝ d per row, width-independent): past ~1k
+# rows XLA's row gather is a real tpu gather, not the small-table select
+# ladder that motivated the masked-reduce forms. This is what removes the
+# old 4096-node ceiling — deep levels are exactly the wide ones, and
+# their per-row cost no longer grows with width (the deepest level of a
+# complete binary tree holds half the nodes).
+_TSVQ_WIDE_LEVEL_W = 1024
+
+
+def _lookup_local(table_lvl, idx_local, w_cur):
+    """``table_lvl[idx_local]`` with out-of-range ``idx_local`` -> -1.
+
+    Narrow tables use a masked lane reduce — ``jnp.take`` with millions
+    of indices into a several-hundred-row table lowers to a select
+    ladder that measured ~15 ms PER LOOKUP at 511 nodes (>80% of the
+    whole traversal); the masked reduce is a free fused elementwise
+    pass. Wide tables (≥ :data:`_TSVQ_WIDE_LEVEL_W`) take the real
+    gather path, where the reduce's O(rows·w) lane work would dominate
+    instead. Rows not at this level (already at a shallower leaf) come
+    out as -1 (leaf-stay)."""
+    if w_cur < _TSVQ_WIDE_LEVEL_W:
+        iota_cur = jnp.arange(w_cur, dtype=jnp.int32)[None, :]
+        return jnp.sum(
+            jnp.where(
+                iota_cur == idx_local[:, None],
+                (table_lvl + 1)[None, :], 0,
+            ), axis=1,
+        ) - 1
+    hit = (idx_local >= 0) & (idx_local < w_cur)
+    picked = jnp.take(table_lvl, jnp.clip(idx_local, 0, w_cur - 1))
+    return jnp.where(hit, picked, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "starts"))
 def _tsvq_find_leaf_levels(
     x: jnp.ndarray,
@@ -495,41 +530,44 @@ def _tsvq_find_leaf_levels(
     """Deep-tree traversal over the BFS level-major layout (L2 family).
 
     At step ``t`` every still-descending row is exactly at level ``t``
-    (leaf rows stop consuming scores), so the step scores ONLY level
-    ``t+1``'s centroid slice — one ``[block, d] x [d, width]`` HIGHEST
-    matmul — and picks the branch from the sign of ``dl − dr`` via the
-    fused signed one-hot reduce. Total select traffic is one pass over
-    ``Σ widths ≈ num_nodes`` columns instead of ``num_nodes × depth``
-    (the full-scores path, which loses past ~128 nodes: 157 ms at 511
-    nodes / 1M×384 where this runs in tens of ms). Same descent rule
-    and ``cc − 2 x·c`` comparison form as the shallow path; returns
-    ORIGINAL node ids via ``perm``.
+    (leaf rows stop consuming scores), so the step touches ONLY level
+    ``t+1``'s centroid slice. Two per-level forms, chosen by the level's
+    width:
+
+    * **narrow** (< :data:`_TSVQ_WIDE_LEVEL_W`): one ``[block, d] x
+      [d, width]`` HIGHEST matmul scores the whole slice; the branch is
+      the sign of ``dl − dr`` read via the fused signed one-hot reduce
+      (same ``cc − 2 x·c`` comparison form as the shallow path). Total
+      select traffic is one pass over ``Σ widths`` columns instead of
+      ``num_nodes × depth`` (the full-scores path, which loses past
+      ~128 nodes: 157 ms at 511 nodes / 1M×384).
+    * **wide** (≥ 1024): scoring the slice would cost ``w·d`` per row
+      while each row needs only its own two children — gather those two
+      centroid rows (real tpu gather at this width, not the small-table
+      select ladder) and compare exact rowwise ``Σ(x−c)²`` distances,
+      the gather form's own float shape. Per-row cost is ``O(d)``
+      independent of width, so arbitrarily deep trees stay fast — this
+      removed the round-4 4096-node ceiling.
+
+    Same descent rule throughout (two children: ``dl <= dr`` left; one
+    child: into it; leaf: stay); returns ORIGINAL node ids via ``perm``.
     """
     n, d = x.shape
     n_levels = len(starts) - 1  # starts[ℓ] .. starts[ℓ+1] = level ℓ
     widths = [
         starts[i + 1] - starts[i] for i in range(1, n_levels)
     ]  # levels 1..deepest
-    max_w = max(widths, default=1)
+    narrow_ws = [w for w in widths if w < _TSVQ_WIDE_LEVEL_W]
+    max_w = max(narrow_ws, default=1)
     block = max(min(n, 128 * 1024 * 1024 // max(max_w, 1)), 1)
+    if any(w >= _TSVQ_WIDE_LEVEL_W for w in widths):
+        # Wide levels materialize [block, d] gathered-centroid rows
+        # (f32) — bound those temporaries the way narrow levels bound
+        # the [block, w] score matrix.
+        block = min(block, max(32 * 1024 * 1024 // max(d, 1), 8))
     block = min(block, 2 * 1024 * 1024)
     pad = (-n) % block
     xp = jnp.pad(x, ((0, pad), (0, 0)))
-
-    def lookup(table_lvl, idx_local, w_cur):
-        """Child ids for rows at this level via a masked lane reduce —
-        ``jnp.take`` with millions of indices into a several-hundred-row
-        table lowers to a select ladder that measured ~15 ms PER LOOKUP
-        at 511 nodes (>80% of the whole traversal); this form is a free
-        fused elementwise pass. Rows not at this level (already at a
-        shallower leaf) match no lane and come out as -1 (leaf-stay)."""
-        iota_cur = jnp.arange(w_cur, dtype=jnp.int32)[None, :]
-        return jnp.sum(
-            jnp.where(
-                iota_cur == idx_local[:, None],
-                (table_lvl + 1)[None, :], 0,
-            ), axis=1,
-        ) - 1
 
     def one(xb):
         nodes_b = jnp.zeros((xb.shape[0],), jnp.int32)
@@ -542,28 +580,40 @@ def _tsvq_find_leaf_levels(
             # at level t).
             c0, c1 = starts[t], starts[t + 1]
             idx_local = nodes_b - c0
-            l = lookup(
+            l = _lookup_local(
                 jax.lax.slice(left_bfs, (c0,), (c1,)), idx_local, c1 - c0
             )
-            r = lookup(
+            r = _lookup_local(
                 jax.lax.slice(right_bfs, (c0,), (c1,)), idx_local, c1 - c0
             )
-            cl = jax.lax.slice(cents_bfs, (s0, 0), (s1, d))  # [w, d]
-            cc = jnp.sum(cl * cl, axis=-1)
-            xc = jax.lax.dot_general(
-                xb, cl, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            sc = cc[None, :] - 2.0 * xc  # [block, w]
-            iota_w = jnp.arange(w, dtype=jnp.int32)[None, :]
-            lm = iota_w == (l - s0)[:, None]  # shallow-leaf rows: no hit
-            rm = iota_w == (r - s0)[:, None]
-            diff = jnp.sum(
-                jnp.where(lm, sc, 0.0) - jnp.where(rm, sc, 0.0), axis=1
-            )
+            cl_lvl = jax.lax.slice(cents_bfs, (s0, 0), (s1, d))  # [w, d]
+            if w < _TSVQ_WIDE_LEVEL_W:
+                cc = jnp.sum(cl_lvl * cl_lvl, axis=-1)
+                xc = jax.lax.dot_general(
+                    xb, cl_lvl,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                sc = cc[None, :] - 2.0 * xc  # [block, w]
+                iota_w = jnp.arange(w, dtype=jnp.int32)[None, :]
+                lm = iota_w == (l - s0)[:, None]  # shallow-leaf: no hit
+                rm = iota_w == (r - s0)[:, None]
+                diff = jnp.sum(
+                    jnp.where(lm, sc, 0.0) - jnp.where(rm, sc, 0.0),
+                    axis=1,
+                )
+                go_left = diff <= 0.0
+            else:
+                crl = jnp.take(
+                    cl_lvl, jnp.clip(l - s0, 0, w - 1), axis=0
+                )  # [block, d] real gather at this width
+                crr = jnp.take(cl_lvl, jnp.clip(r - s0, 0, w - 1), axis=0)
+                dl = jnp.sum(jnp.square(xb - crl), axis=-1)
+                dr = jnp.sum(jnp.square(xb - crr), axis=-1)
+                go_left = dl <= dr
             both = (l >= 0) & (r >= 0)
-            pick_two = jnp.where(diff <= 0.0, l, r)
+            pick_two = jnp.where(go_left, l, r)
             pick_one = jnp.where(l >= 0, l, jnp.where(r >= 0, r, nodes_b))
             nodes_b = jnp.where(both, pick_two, pick_one)
         return nodes_b
@@ -574,19 +624,26 @@ def _tsvq_find_leaf_levels(
         nodes = jax.lax.map(
             one, xp.reshape(-1, block, d)
         ).reshape(-1)[:n]
-    # Back to original node ids — masked reduce, NOT jnp.take (the same
-    # select-ladder cost as the child lookups, ~15 ms at 511 nodes).
-    iota_all = jnp.arange(perm.shape[0], dtype=jnp.int32)[None, :]
-    return jnp.sum(
-        jnp.where(iota_all == nodes[:, None], perm[None, :] + 1, 0),
-        axis=1,
-    ) - 1
+    # Back to original node ids. Narrow trees use the masked reduce (NOT
+    # jnp.take — the select-ladder cost, ~15 ms at 511 nodes); wide trees
+    # take the real gather path, where the reduce's O(n·nodes) lane work
+    # would dominate instead.
+    num_nodes = perm.shape[0]
+    if num_nodes < _TSVQ_WIDE_LEVEL_W:
+        iota_all = jnp.arange(num_nodes, dtype=jnp.int32)[None, :]
+        return jnp.sum(
+            jnp.where(iota_all == nodes[:, None], perm[None, :] + 1, 0),
+            axis=1,
+        ) - 1
+    return jnp.take(perm, nodes)
 
 
 # Deep-tree gate: past this node count the full-scores path's
-# nodes×depth select traffic loses to the level-sliced form.
+# nodes×depth select traffic loses to the level-sliced form. No upper
+# bound: levels ≥ _TSVQ_WIDE_LEVEL_W wide switch to real child gathers
+# (O(d) per row, width-independent), so the levels form scales to
+# arbitrarily deep trees (round-4's 4096-node ceiling removed).
 _TSVQ_SCORES_MAX_NODES = 128
-_TSVQ_LEVELS_MAX_NODES = 4096
 
 
 def _find_leaves(tree: "TSVQTree", x: jnp.ndarray, metric: Metric,
@@ -595,7 +652,7 @@ def _find_leaves(tree: "TSVQTree", x: jnp.ndarray, metric: Metric,
     l2 = metric in (Metric.SQUARED_EUCLIDEAN, Metric.EUCLIDEAN)
     if (
         l2
-        and _TSVQ_SCORES_MAX_NODES < tree.num_nodes <= _TSVQ_LEVELS_MAX_NODES
+        and tree.num_nodes > _TSVQ_SCORES_MAX_NODES
         and (force_levels or jax.default_backend() == "tpu")
     ):
         cb, lb, rb, perm, starts = tree.bfs_layout()
