@@ -140,7 +140,7 @@ def test_search_k_beyond_probe_pool(index, clustered):
     # Round-2 regression (ADVICE medium): k or rerank larger than
     # nprobe * cap used to raise ValueError from top_k instead of honoring
     # the documented "-1 = fewer than k candidates" padding contract.
-    cap = int(index._build_buckets()[1].shape[1])
+    cap = index._pool.cap
     big_k = 2 * cap + 3  # > nprobe * cap with nprobe=2? ensure strictly over
     ids, dist = index.search(clustered[:3], k=big_k, nprobe=1)
     ids, dist = np.asarray(ids), np.asarray(dist)
@@ -153,7 +153,7 @@ def test_search_k_beyond_probe_pool(index, clustered):
 
 
 def test_search_rerank_beyond_probe_pool(index, clustered):
-    cap = int(index._build_buckets()[1].shape[1])
+    cap = index._pool.cap
     ids, dist = index.search(clustered[:3], k=5, nprobe=1, rerank=3 * cap)
     assert np.asarray(ids).shape == (3, 5)
     # top hit is still the query itself (it's in the corpus)
@@ -172,7 +172,7 @@ def test_max_list_size_survives_save_load(clustered, tmp_path):
     p = idx.save(str(tmp_path / "capped.npz"))
     loaded = IVFPQIndex.load(p)
     assert loaded.max_list_size == 64
-    assert int(loaded._build_buckets()[1].shape[1]) <= 64
+    assert loaded._pool.cap <= 64
 
 
 def test_fused_probe_search_matches_xla(index, clustered):
@@ -181,9 +181,10 @@ def test_fused_probe_search_matches_xla(index, clustered):
     from vq_tpu.ivf import _ivf_search_jit
     import jax.numpy as jnp
 
-    bucket_codes, bucket_ids = index._build_buckets()
+    bucket_codes, bucket_ids, chains = index._build_buckets()
     q = jnp.asarray(clustered[:9])
-    args = (q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids, 4, 7)
+    args = (q, index.coarse, index.pq.codebooks, bucket_codes, bucket_ids,
+            chains, 4, 7, index._pool.cap)
     ids_x, dist_x = _ivf_search_jit(*args, use_pallas=False)
     ids_p, dist_p = _ivf_search_jit(*args, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
@@ -299,7 +300,9 @@ class TestIVFPQRangeSearch:
     def _adc_values(self, idx, q):
         """Dense ADC values of every stored row (decoded via residual
         reconstruction) — the oracle for what range_search thresholds."""
-        codes = np.asarray(idx._flat_codes)
+        codes = np.asarray(
+            idx._pool.gather_rows("codes", np.arange(idx.ntotal))
+        )
         lists = np.asarray(idx._flat_lists)
         cb = np.asarray(idx.pq.codebooks)  # [m, k, s]
         m, k, s = cb.shape

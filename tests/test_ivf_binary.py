@@ -52,7 +52,9 @@ class TestSearch:
         q = corpus[:4] + 0.02
         ids, d = idx.search(q, k=3, nprobe=4)
         qp = np.asarray(pack_bits(q >= 0.0))
-        allp = np.asarray(idx._packed)
+        allp = np.asarray(
+            idx._pool.gather_rows("codes", np.arange(idx.ntotal))
+        )
         for r in range(q.shape[0]):
             for c in range(3):
                 i = int(ids[r, c])
@@ -161,7 +163,9 @@ class TestRangeSearch:
     def test_full_probe_matches_brute_hamming(self, corpus, idx):
         q = corpus[:5] + 0.05
         qp = np.asarray(pack_bits(q >= 0.0))
-        allp = np.asarray(idx._packed)
+        allp = np.asarray(
+            idx._pool.gather_rows("codes", np.arange(idx.ntotal))
+        )
         ham = np.asarray(hamming_distance(qp, allp))  # [Q, n]
         r = 4.0
         ids, vals, counts = idx.range_search(

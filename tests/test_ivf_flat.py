@@ -71,9 +71,7 @@ class TestIVFFlat:
             corpus, nlist=16, seed=3, store_dtype="bfloat16"
         )
         idx.add(corpus)
-        assert idx._flat_rows.dtype == np.dtype("bfloat16") or (
-            str(idx._flat_rows.dtype) == "bfloat16"
-        )
+        assert str(idx._pool.data["rows"].dtype) == "bfloat16"
         ids, _ = idx.search(queries, k=1, nprobe=16)
         gt_ids, _ = brute_l2(queries, corpus, 1)
         # bf16 rounding may flip exact ties but near-duplicate top-1 holds

@@ -18,7 +18,8 @@ def clustered():
 
 def _brute(idx, queries):
     """Exact metric values against the index's own reconstructions."""
-    recon = np.asarray(idx.pq.decode(idx._flat_codes.astype(np.int32)))
+    codes = idx._pool.gather_rows("codes", np.arange(idx.ntotal))
+    recon = np.asarray(idx.pq.decode(codes.astype(np.int32)))
     if idx.by_residual:
         recon = recon + np.asarray(idx.coarse)[idx._flat_lists]
     if idx.metric == "dot":
@@ -69,11 +70,12 @@ def test_dot_pallas_matches_xla(clustered):
         max_iters=5, metric="dot",
     )
     idx.add(clustered)
-    bucket_codes, bucket_ids = idx._build_buckets()
+    bucket_codes, bucket_ids, chains = idx._build_buckets()
     import jax.numpy as jnp
 
     q = jnp.asarray(clustered[:6])
-    args = (q, idx.coarse, idx.pq.codebooks, bucket_codes, bucket_ids, 4, 7)
+    args = (q, idx.coarse, idx.pq.codebooks, bucket_codes, bucket_ids,
+            chains, 4, 7, idx._pool.cap)
     kw = dict(metric="dot", by_residual=idx.by_residual)
     ids_x, d_x = _ivf_search_jit(*args, use_pallas=False, **kw)
     ids_p, d_p = _ivf_search_jit(*args, use_pallas=True, interpret=True, **kw)
@@ -115,7 +117,8 @@ def test_dot_recall_and_padding(clustered):
     # The PQ itself bounds recall on this near-tie data; the IVF machinery
     # must recover nearly the full-scan-over-reconstructions ceiling while
     # probing half the lists.
-    recon = np.asarray(idx.pq.decode(idx._flat_codes.astype(np.int32)))
+    codes = idx._pool.gather_rows("codes", np.arange(idx.ntotal))
+    recon = np.asarray(idx.pq.decode(codes.astype(np.int32)))
     ceiling = recall(np.argsort(-(q @ recon.T), axis=1)[:, :10])
     assert recall(ids) >= 0.8 * ceiling
     assert recall(ids) > 0.05  # >> random (10/2500)

@@ -3,9 +3,11 @@
 The standard two-level large-scale ANN index (coarse k-means partition +
 PQ codes per list), built TPU-first:
 
-* **Static shapes everywhere.** Inverted lists are stored as padded dense
-  buckets ``codes [nlist, cap, m]`` / ``ids [nlist, cap]`` (−1 = pad), so a
-  search is pure gathers + matmuls under jit — no ragged structures.
+* **Static shapes everywhere.** Inverted lists live in the chunked
+  pool layout (:mod:`vq_tpu.ivf_pool`: ``codes [n_chunks, CH, m]`` +
+  per-list chunk chains, −1 = dead slot), so a search is pure gathers +
+  matmuls under jit — no ragged structures, and no padded-cap memory
+  inflation from skew.
 * **Residual encoding** (``by_residual=True``, the accuracy-standard
   formulation): PQ trains on ``x − coarse_centroid(x)`` and search builds
   per-(query, probed-list) lookup tables over the query residuals.
@@ -55,6 +57,7 @@ from vq_tpu.errors import (
     InvalidData,
     InvalidParameter,
 )
+from vq_tpu.ivf_pool import ChunkPool, take_list_ids, take_list_payload
 from vq_tpu.models.pq import ProductQuantizer, pq_train
 from vq_tpu.ops.kmeans import lloyd
 from vq_tpu.utils.serialize import _from_npz, _to_npz
@@ -63,7 +66,7 @@ __all__ = ["IVFPQIndex"]
 
 
 def _ivf_probe_dists(
-    q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+    q, coarse, cb, pool_codes, slot_ids, chains_s, nprobe, cap,
     use_pallas, interpret, metric, by_residual,
 ):
     """Probe + ADC scoring shared by search and range_search:
@@ -116,25 +119,35 @@ def _ivf_probe_dists(
         rr = jnp.sum(qres * qres, axis=-1)  # [Q, np, m]
         tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q,np,m,kk]
 
-    ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap] (row gather)
+    ch = slot_ids.shape[1]
+    ids = take_list_ids(slot_ids, chains_s, probe, cap)  # [Q, np, ce]
     if use_pallas:
-        # Fused probe kernel: scalar-prefetched list ids DMA each probed
-        # list's codes straight into VMEM; no [Q, np, cap, m] HBM gather
+        # Fused probe kernel: scalar-prefetched CHUNK ids DMA each probed
+        # chain's codes straight into VMEM; no [Q, np, ce, m] HBM gather
         # and no take_along_axis lane gathers (round-1's 20x slowdown).
+        # The kernel is the padded-bucket one unchanged — a chunk is
+        # natively one of its "lists", probed per chain position.
         from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
 
+        ct = jnp.take(chains_s, probe, axis=0)  # [Q, np, maxc_s]
+        maxc_s = ct.shape[-1]
+        tab_rep = jnp.broadcast_to(
+            tables[:, :, None], (Q, nprobe, maxc_s, m, kk)
+        ).reshape(Q * nprobe * maxc_s, m, kk)
         dist = ivf_probe_adc_fused(
-            tables.reshape(Q * nprobe, m, kk),
-            probe.reshape(-1),
-            bucket_codes,
+            tab_rep,
+            jnp.maximum(ct, 0).reshape(-1),
+            pool_codes,
             interpret=interpret,
-        ).reshape(Q, nprobe, -1)  # [Q, np, cap]
+        ).reshape(Q, nprobe, maxc_s * ch)  # [Q, np, ce]
     else:
-        # XLA fallback: gather probed buckets, sum table entries per
-        # subspace. Codes are stored u8 (k <= 256) so the big gather moves
-        # 4x less HBM; the index cast fuses into its consumer.
-        codes = jnp.take(bucket_codes, probe, axis=0)  # [Q, np, cap, m]
-        dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, cap]
+        # XLA fallback: gather probed chains' codes, sum table entries
+        # per subspace. Codes are stored u8 (k <= 256) so the big gather
+        # moves 4x less HBM; the index cast fuses into its consumer.
+        codes = take_list_payload(
+            pool_codes, chains_s, probe
+        )  # [Q, np, ce, m]
+        dist = jnp.zeros(codes.shape[:3], jnp.float32)  # [Q, np, ce]
         for i in range(m):
             dist = dist + jnp.take_along_axis(
                 tables[:, :, i, :], codes[..., i].astype(jnp.int32), axis=-1
@@ -150,17 +163,20 @@ def _ivf_probe_dists(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "k", "use_pallas", "interpret", "metric", "by_residual"
+        "nprobe", "k", "cap", "use_pallas", "interpret", "metric",
+        "by_residual",
     ),
 )
 def _ivf_search_jit(
     q: jnp.ndarray,  # [Q, d]
     coarse: jnp.ndarray,  # [nlist, d]
     cb: jnp.ndarray,  # [m, kk, s]
-    bucket_codes: jnp.ndarray,  # [nlist, cap, m] u8/int32
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32 (-1 pad)
+    pool_codes: jnp.ndarray,  # [n_chunks, CH, m] u8/int32
+    slot_ids: jnp.ndarray,  # [n_chunks, CH] int32 (-1 empty)
+    chains_s: jnp.ndarray,  # [nlist, maxc_s] int32 chunk chains
     nprobe: int,
     k: int,
+    cap: int,
     use_pallas: bool = False,
     interpret: bool = False,
     metric: str = "l2",
@@ -169,7 +185,7 @@ def _ivf_search_jit(
     """Probe + ADC + top-k merge."""
     Q = q.shape[0]
     ids, dist = _ivf_probe_dists(
-        q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+        q, coarse, cb, pool_codes, slot_ids, chains_s, nprobe, cap,
         use_pallas, interpret, metric, by_residual,
     )
     flat_dist = dist.reshape(Q, -1)
@@ -182,20 +198,20 @@ def _ivf_search_jit(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "fetch", "use_pallas", "interpret", "metric",
+        "nprobe", "fetch", "cap", "use_pallas", "interpret", "metric",
         "by_residual",
     ),
 )
 def _ivf_range_jit(
-    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, fetch: int,
-    radius, use_pallas: bool, interpret: bool, metric: str,
-    by_residual: bool,
+    q, coarse, cb, pool_codes, slot_ids, chains_s, nprobe: int,
+    fetch: int, cap: int, radius, use_pallas: bool, interpret: bool,
+    metric: str, by_residual: bool,
 ):
     """Probe + ADC radius scan: best ``fetch`` hits within ``radius``
     (smaller-is-better domain) plus TRUE per-query probed-hit counts."""
     Q = q.shape[0]
     ids, dist = _ivf_probe_dists(
-        q, coarse, cb, bucket_codes, bucket_ids, nprobe,
+        q, coarse, cb, pool_codes, slot_ids, chains_s, nprobe, cap,
         use_pallas, interpret, metric, by_residual,
     )
     flat_d = dist.reshape(Q, -1)
@@ -250,15 +266,38 @@ class IVFPQIndex:
             raise DimensionMismatch(
                 expected=pq.dim, found=self.coarse.shape[1]
             )
-        # Flat (append-only) storage; buckets built lazily.
-        # DEVICE-resident flat storage (round 4): add() used to pull
-        # every encoded batch to the host (~8 MB/1M rows through a
-        # ~MB/s tunnel); codes/lists now stay on device like the
-        # IVF-Flat/SQ/RQ family, and only rebalance/save pull once.
-        self._flat_codes: Optional[jnp.ndarray] = None  # [n, m] u8/i32
+        # Chunk-pool code storage (round 5): codes scatter in place
+        # into fixed-size chunks (vq_tpu.ivf_pool) — no padded bucket
+        # tensor, no flat shadow copy, appends peak at O(batch). The
+        # optional kept corpus stays a flat device array (exact-rerank
+        # convenience; impractical at the scales the pool targets).
+        self._pool: Optional[ChunkPool] = None
         self._flat_lists: Optional[jnp.ndarray] = None  # [n] i32
         self._corpus: Optional[jnp.ndarray] = None
-        self._buckets: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._buckets = None
+
+    def _payload_specs(self) -> dict:
+        code_dt = jnp.uint8 if self.pq.num_centroids <= 256 else jnp.int32
+        return {"codes": ((self.pq.num_subspaces,), code_dt)}
+
+    def _pool_append(self, lists, payloads: dict) -> None:
+        if self._pool is None:
+            self._pool = ChunkPool(
+                self._payload_specs(), self.nlist,
+                max_list_size=self.max_list_size,
+            )
+        self._pool.append(lists, payloads)
+        self._buckets = None
+
+    def reserve(self, rows: int) -> None:
+        """Preallocate code storage for ``rows`` total vectors so adds
+        scatter into place without doubling copies."""
+        if self._pool is None:
+            self._pool = ChunkPool(
+                self._payload_specs(), self.nlist,
+                max_list_size=self.max_list_size,
+            )
+        self._pool.reserve(int(rows))
 
     # -- construction -------------------------------------------------------
 
@@ -342,7 +381,9 @@ class IVFPQIndex:
 
     @property
     def ntotal(self) -> int:
-        return 0 if self._flat_codes is None else self._flat_codes.shape[0]
+        return 0 if self._flat_lists is None else int(
+            self._flat_lists.shape[0]
+        )
 
     # -- data ---------------------------------------------------------------
 
@@ -369,17 +410,16 @@ class IVFPQIndex:
         )
         codes = self.pq.encode(enc_in)  # stays on device
         lists = jnp.asarray(lists, jnp.int32)
-        if self._flat_codes is None:
-            self._flat_codes, self._flat_lists = codes, lists
-        else:
-            self._flat_codes = jnp.concatenate([self._flat_codes, codes])
-            self._flat_lists = jnp.concatenate([self._flat_lists, lists])
+        self._pool_append(lists, {"codes": codes})
+        self._flat_lists = (
+            lists if self._flat_lists is None
+            else jnp.concatenate([self._flat_lists, lists])
+        )
         if self.keep_corpus:
             self._corpus = (
                 x if self._corpus is None
                 else jnp.concatenate([self._corpus, x], axis=0)
             )
-        self._buckets = None  # invalidate
 
     def remove_ids(self, ids) -> int:
         """Remove stored vectors by position; remaining vectors renumber
@@ -387,17 +427,18 @@ class IVFPQIndex:
         lazily on the next search."""
         from vq_tpu.search import _removal_keep_mask
 
-        if self._flat_codes is None:
+        if self._flat_lists is None:
             raise EmptyInput("index is empty")
         mask = np.asarray(_removal_keep_mask(ids, self.ntotal))
-        removed = int(self.ntotal - mask.sum())
+        removed_idx = np.where(~mask)[0]
+        lists_np = np.asarray(self._flat_lists)
         keep = jnp.asarray(np.nonzero(mask)[0], jnp.int32)
-        self._flat_codes = jnp.take(self._flat_codes, keep, axis=0)
         self._flat_lists = jnp.take(self._flat_lists, keep)
+        self._pool.remove(removed_idx, lists_np)
         if self._corpus is not None:
             self._corpus = jnp.asarray(np.asarray(self._corpus)[mask])
         self._buckets = None
-        return removed
+        return int(removed_idx.size)
 
     def merge_from(self, other: "IVFPQIndex") -> int:
         """Move every vector of ``other`` into this index (faiss IVF
@@ -415,31 +456,24 @@ class IVFPQIndex:
         )
         moved = other.ntotal
         _merge_corpus(self, other)
-        if other._flat_codes is not None:
-            if self._flat_codes is None:
-                self._flat_codes = other._flat_codes
-                self._flat_lists = other._flat_lists
-            else:
-                self._flat_codes = jnp.concatenate(
-                    [self._flat_codes, other._flat_codes]
-                )
-                self._flat_lists = jnp.concatenate(
-                    [self._flat_lists, other._flat_lists]
-                )
-        other._flat_codes = other._flat_lists = other._corpus = None
+        if moved:
+            self._pool_append(other._flat_lists, other._pool.to_flat())
+            self._flat_lists = (
+                other._flat_lists if self._flat_lists is None
+                else jnp.concatenate([self._flat_lists, other._flat_lists])
+            )
+        other._pool = other._flat_lists = other._corpus = None
         other._buckets = None
-        self._buckets = None
         return moved
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decode stored codes for ids (coarse centroid + PQ decode of the
         residual when ``by_residual``) — the quantized approximation of
         the original vectors, like faiss ``IndexIVFPQ.reconstruct``."""
-        if self._flat_codes is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty")
         pos = jnp.asarray(ids, jnp.int32)
-        codes = jnp.take(jnp.asarray(self._flat_codes), pos, axis=0)
-        rec = self.pq.decode(codes)
+        rec = self.pq.decode(self._pool.gather_rows("codes", pos))
         if self.by_residual:
             lists = jnp.take(jnp.asarray(self._flat_lists), pos, axis=0)
             rec = rec + jnp.take(self.coarse, lists, axis=0)
@@ -454,16 +488,18 @@ class IVFPQIndex:
 
     def _reconstruct_core(self):
         """:meth:`reconstruct` as a traceable ``(fn, arrays)`` pair with
-        ``fn(ids [N] i32, *arrays) -> [N, d] f32`` — flat code/list
-        storage and the coarse centroids ride as arguments. Used by
-        :class:`vq_tpu.refine.RefineIndex` for IVFPQR-style residual
-        refinement."""
-        if self._flat_codes is None:
+        ``fn(ids [N] i32, *arrays) -> [N, d] f32`` — pool code storage
+        (+ its id->slot map), list assignments, and the coarse centroids
+        ride as arguments. Used by :class:`vq_tpu.refine.RefineIndex`
+        for IVFPQR-style residual refinement."""
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty — add() vectors first")
         pq, by_residual = self.pq, self.by_residual
+        m = self.pq.num_subspaces
 
-        def fn(ids, codes, lists, coarse):
-            rec = pq.decode(jnp.take(codes, ids, axis=0))
+        def fn(ids, codes_pool, pos, lists, coarse):
+            flat = codes_pool.reshape(-1, m)
+            rec = pq.decode(jnp.take(flat, jnp.take(pos, ids), axis=0))
             if by_residual:
                 rec = rec + jnp.take(
                     coarse, jnp.take(lists, ids, axis=0), axis=0
@@ -471,32 +507,25 @@ class IVFPQIndex:
             return rec
 
         return fn, (
-            jnp.asarray(self._flat_codes),
+            self._pool.data["codes"],
+            self._pool.pos,
             jnp.asarray(self._flat_lists, jnp.int32),
             self.coarse,
         )
 
-    def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Pack flat storage into padded dense buckets (cached).
-
-        Uses the shared device-resident packer (one jitted stable sort +
-        scatter, same as the IVF-Flat/SQ/RQ/Binary family) — the earlier
-        host-side per-list Python loop round-tripped all codes through
-        the host and iterated ``nlist`` times."""
+    def _build_buckets(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """The search view of the pool (cached): ``(codes [n_chunks, CH,
+        m], slot_ids [n_chunks, CH], chains [nlist, maxc_s])`` — plain
+        views plus one cheap chain slice, nothing repacks."""
         if self._buckets is not None:
             return self._buckets
-        if self._flat_codes is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty — add() vectors first")
-        from vq_tpu.ivf_flat import _pack_buckets
-
-        code_dtype = (
-            np.uint8 if self.pq.num_centroids <= 256 else np.int32
+        self._buckets = (
+            self._pool.data["codes"],
+            self._pool.slot_ids,
+            self._pool.chains_search(),
         )
-        packed, ids = _pack_buckets(
-            jnp.asarray(self._flat_lists), self.nlist, self.max_list_size,
-            {"codes": jnp.asarray(self._flat_codes.astype(code_dtype))},
-        )
-        self._buckets = (packed["codes"], ids)
         return self._buckets
 
     def bucket_stats(self) -> dict:
@@ -504,11 +533,8 @@ class IVFPQIndex:
         and how many entries a ``max_list_size`` cap currently drops."""
         if self._flat_lists is None:
             return {"ntotal": 0}
-        counts = np.bincount(
-            np.asarray(self._flat_lists), minlength=self.nlist
-        )
-        bucket_codes, _ = self._build_buckets()
-        cap = int(bucket_codes.shape[1])
+        counts = self._pool.lens_h
+        cap = self._pool.cap
         return {
             "ntotal": int(self.ntotal),
             "nlist": self.nlist,
@@ -518,7 +544,11 @@ class IVFPQIndex:
             "max": int(counts.max()),
             "empty_lists": int((counts == 0).sum()),
             "overflow_dropped": int(np.maximum(counts - cap, 0).sum()),
-            "padding_waste": float(1.0 - counts.clip(max=cap).sum() / (self.nlist * cap)),
+            "padding_waste": float(
+                1.0 - int(np.minimum(counts, cap).sum())
+                / (self.nlist * cap)
+            ),
+            **self._pool.stats(),
         }
 
     def rebalance(
@@ -555,7 +585,7 @@ class IVFPQIndex:
         ``target_max`` defaults to ``max_list_size`` (or 2x the mean list
         size if no cap is set). Returns a summary dict.
         """
-        if self._flat_codes is None:
+        if self._flat_lists is None:
             raise EmptyInput("index is empty — add() vectors first")
         total_split = total_retired = 0
         for r in range(max(1, int(rounds))):
@@ -584,13 +614,15 @@ class IVFPQIndex:
         counts = np.bincount(lists_np, minlength=self.nlist)
         old_lists = lists_np  # pre-rebalance assignment
         old_coarse = np.array(self.coarse)
-        flat_codes = np.array(self._flat_codes)
+        pool = self._pool
 
         def member_vectors(row_idx: np.ndarray) -> jnp.ndarray:
             if self._corpus is not None:
                 return jnp.asarray(self._corpus)[row_idx].astype(jnp.float32)
             # Reconstruct: decode(residual codes) + OLD coarse centroid.
-            rec = self.pq.decode(flat_codes[row_idx])
+            rec = self.pq.decode(
+                pool.gather_rows("codes", jnp.asarray(row_idx, jnp.int32))
+            )
             if self.by_residual:
                 rec = rec + jnp.asarray(old_coarse)[old_lists[row_idx]]
             return rec
@@ -605,15 +637,27 @@ class IVFPQIndex:
         )
         if out is None:
             return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+        new_nlist = out["coarse_new"].shape[0]
         if out["rows"] is not None:
+            # Chunk-wise move (O(affected)): re-encode the movers against
+            # their new centroids, free the emptied lists' chunks,
+            # relabel surviving chains, scatter the movers back.
             rows, x = out["rows"], out["x"]
             coarse_new = jnp.asarray(out["coarse_new"], jnp.float32)
             enc_in = (
                 x - coarse_new[out["lists"][rows]]
                 if self.by_residual else x
             )
-            flat_codes[rows] = np.asarray(self.pq.encode(enc_in))
-        self._flat_codes = jnp.asarray(flat_codes)
+            new_codes = self.pq.encode(enc_in)
+            pool.free_lists(np.unique(lists_np[rows]))
+            pool.relabel_lists(out["remap_old"], new_nlist)
+            pool.append(
+                jnp.asarray(out["new_lists"], jnp.int32),
+                {"codes": new_codes},
+                row_ids=jnp.asarray(rows, jnp.int32),
+            )
+        else:
+            pool.relabel_lists(out["remap_old"], new_nlist)
         self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
         self._flat_lists = jnp.asarray(out["lists"], jnp.int32)
         self._buckets = None
@@ -662,7 +706,8 @@ class IVFPQIndex:
         :class:`vq_tpu.serving.BatchPipeline` scans it over many query
         batches in one dispatch. Storage is passed as arguments so jitted
         callers don't bake it into the program as constants."""
-        bucket_codes, bucket_ids = self._build_buckets()
+        pool_codes, slot_ids, chains_s = self._build_buckets()
+        cap = self._pool.cap
         k = int(k)
         rerank = int(rerank)
         if rerank and self._corpus is None:
@@ -671,23 +716,24 @@ class IVFPQIndex:
             )
         nprobe = min(int(nprobe), self.nlist)
         fetch = max(k, rerank) if rerank else k
-        # The candidate pool a search actually sees is nprobe * cap (NOT
-        # nlist * cap); k / rerank beyond it are satisfied by -1/inf padding
-        # per the documented contract.
-        pool = nprobe * int(bucket_ids.shape[1])
+        # The candidate pool a search actually sees is nprobe * the
+        # per-list fetch width (NOT nlist * cap); k / rerank beyond it
+        # are satisfied by -1/inf padding per the documented contract.
+        ce = int(chains_s.shape[1]) * int(slot_ids.shape[1])
+        pool_width = nprobe * ce
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         use_pallas = bool(use_pallas)
         metric, by_residual = self.metric, self.by_residual
         codebooks = self.pq.codebooks
-        arrays = (self.coarse, codebooks, bucket_codes, bucket_ids) + (
-            (self._corpus,) if rerank else ()
-        )
+        arrays = (
+            self.coarse, codebooks, pool_codes, slot_ids, chains_s
+        ) + ((self._corpus,) if rerank else ())
 
-        def fn(q, coarse, cbs, bcodes, bids, *rest):
+        def fn(q, coarse, cbs, bcodes, bids, bchains, *rest):
             ids, dist = _ivf_search_jit(
-                q, coarse, cbs, bcodes, bids,
-                nprobe, min(fetch, pool), use_pallas,
+                q, coarse, cbs, bcodes, bids, bchains,
+                nprobe, min(fetch, pool_width), cap, use_pallas,
                 metric=metric, by_residual=by_residual,
             )
             # Internal convention is smaller-is-better (dot scores negated).
@@ -739,22 +785,23 @@ class IVFPQIndex:
         """
         if int(max_results) < 1:
             raise InvalidParameter("max_results", "must be >= 1")
-        bucket_codes, bucket_ids = self._build_buckets()
+        pool_codes, slot_ids, chains_s = self._build_buckets()
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         if q.shape[1] != self.pq.dim:
             raise DimensionMismatch(expected=self.pq.dim, found=q.shape[1])
         nprobe = min(int(nprobe), self.nlist)
-        pool = nprobe * int(bucket_ids.shape[1])
-        fetch = min(int(max_results), pool)
+        ce = int(chains_s.shape[1]) * int(slot_ids.shape[1])
+        fetch = min(int(max_results), nprobe * ce)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         r = float(radius)
         r_internal = -r if self.metric == "dot" else r
         ids, d, counts = _ivf_range_jit(
-            q, self.coarse, self.pq.codebooks, bucket_codes, bucket_ids,
-            nprobe, fetch, jnp.float32(r_internal), bool(use_pallas),
+            q, self.coarse, self.pq.codebooks, pool_codes, slot_ids,
+            chains_s, nprobe, fetch, self._pool.cap,
+            jnp.float32(r_internal), bool(use_pallas),
             False, self.metric, self.by_residual,
         )
         if ids.shape[1] < max_results:
@@ -772,8 +819,8 @@ class IVFPQIndex:
             "coarse": np.asarray(self.coarse),
             "codebooks": np.asarray(self.pq.codebooks),
             "flat_codes": (
-                np.asarray(self._flat_codes)
-                if self._flat_codes is not None
+                np.asarray(self._pool.to_flat(["codes"])["codes"])
+                if self._pool is not None and self._pool.n_rows
                 else np.zeros((0, self.pq.num_subspaces), np.int32)
             ),
             "flat_lists": (
@@ -821,8 +868,11 @@ class IVFPQIndex:
             metric=config.get("metric", "l2"),
         )
         if arrays["flat_codes"].shape[0]:
-            idx._flat_codes = jnp.asarray(arrays["flat_codes"])
-            idx._flat_lists = jnp.asarray(arrays["flat_lists"], jnp.int32)
+            lists = jnp.asarray(arrays["flat_lists"], jnp.int32)
+            idx._pool_append(lists, {
+                "codes": jnp.asarray(arrays["flat_codes"]),
+            })
+            idx._flat_lists = lists
         if "corpus" in arrays:
             idx._corpus = jnp.asarray(arrays["corpus"])
         return idx

@@ -11,9 +11,10 @@ compression); this index pairs the framework's true bit-packing
   space with a binary k-means; on TPU the float coarse scan is one
   matmul and avoids a majority-vote update with no MXU mapping, and
   queries arrive as floats in this framework anyway).
-* **Buckets** — packed codes ``[nlist, cap, ceil(d/32)]`` u32 through
-  the same padded-dense packing as every other IVF variant (static
-  shapes, −1 id pads, device-resident).
+* **Buckets** — packed codes in ``ceil(d/32)``-u32 rows through the
+  same chunk-pool storage as every other IVF variant
+  (:mod:`vq_tpu.ivf_pool`: static shapes, −1 id pads, device-resident,
+  in-place appends).
 * **Probe scan** — per probe rank: gather ``[Q, cap, words]``, XOR with
   the packed query, ``lax.population_count`` + lane-sum on the VPU.
   Code bytes are d/8 so the gather traffic is 32× smaller than
@@ -43,9 +44,9 @@ from vq_tpu.ivf_flat import (
     _IVFScanBase,
     _coarse_probe,
     _merge_probe_topk,
-    _pack_buckets,
     _range_merge,
 )
+from vq_tpu.ivf_pool import take_list_ids, take_list_payload
 from vq_tpu.models.bq import BinaryQuantizer, packed_width
 from vq_tpu.ops.kmeans import assign, lloyd
 from vq_tpu.utils.serialize import _from_npz, _to_npz
@@ -53,30 +54,32 @@ from vq_tpu.utils.serialize import _from_npz, _to_npz
 __all__ = ["IVFBinaryIndex"]
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "cap"))
 def _ivf_binary_search_jit(
     q: jnp.ndarray,  # [Q, d] f32 (for the coarse probe)
     qp: jnp.ndarray,  # [Q, words] u32 packed query bits
     coarse: jnp.ndarray,  # [nlist, d]
-    bucket_codes: jnp.ndarray,  # [nlist, cap, words] u32
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    pool_codes: jnp.ndarray,  # [n_chunks, CH, words] u32
+    slot_ids: jnp.ndarray,  # [n_chunks, CH] int32, -1 empty
+    chains_s: jnp.ndarray,  # [nlist, maxc_s] int32 chunk chains
     nprobe: int,
     k: int,
+    cap: int,
 ):
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
 
-    body = _binary_scan_body(qp, bucket_codes, bucket_ids)
+    body = _binary_scan_body(qp, pool_codes, slot_ids, chains_s, cap)
     return _merge_probe_topk(
         lambda p: body(p, p), Q, nprobe, k, probe.T
     )
 
 
-def _binary_scan_body(qp, bucket_codes, bucket_ids):
+def _binary_scan_body(qp, pool_codes, slot_ids, chains_s, cap):
     def body(pg, pl):  # [Q] list ids at one probe rank
         del pg
-        codes = jnp.take(bucket_codes, pl, axis=0)  # [Q, cap, words]
-        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
+        codes = take_list_payload(pool_codes, chains_s, pl)  # [Q, ce, w]
+        ids = take_list_ids(slot_ids, chains_s, pl, cap)  # [Q, ce]
         x = jnp.bitwise_xor(codes, qp[:, None, :])
         ham = jnp.sum(
             jax.lax.population_count(x).astype(jnp.int32), axis=-1
@@ -86,13 +89,14 @@ def _binary_scan_body(qp, bucket_codes, bucket_ids):
     return body
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "fetch"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "fetch", "cap"))
 def _ivf_binary_range_jit(
-    q, qp, coarse, bucket_codes, bucket_ids, nprobe: int, fetch: int, radius
+    q, qp, coarse, pool_codes, slot_ids, chains_s,
+    nprobe: int, fetch: int, cap: int, radius,
 ):
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
-    body = _binary_scan_body(qp, bucket_codes, bucket_ids)
+    body = _binary_scan_body(qp, pool_codes, slot_ids, chains_s, cap)
     return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
 
 
@@ -114,8 +118,12 @@ class IVFBinaryIndex(_IVFScanBase):
         )
         self.bq = BinaryQuantizer(threshold)
         self.keep_corpus = bool(keep_corpus)
-        self._packed: Optional[jnp.ndarray] = None  # [n, words] u32
-        self._corpus: Optional[jnp.ndarray] = None  # [n, d] f32 if kept
+
+    def _payload_specs(self) -> dict:
+        specs = {"codes": ((self.code_words,), jnp.uint32)}
+        if self.keep_corpus:
+            specs["corpus"] = ((self.dim,), jnp.float32)
+        return specs
 
     @classmethod
     def train(
@@ -152,65 +160,49 @@ class IVFBinaryIndex(_IVFScanBase):
         if x.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=x.shape[1])
         lists, _ = assign(x, self.coarse)
-        packed = self.bq.quantize_packed(x)
-        self._packed = (
-            packed if self._packed is None
-            else jnp.concatenate([self._packed, packed])
-        )
+        payloads = {"codes": self.bq.quantize_packed(x)}
         if self.keep_corpus:
-            self._corpus = (
-                x if self._corpus is None
-                else jnp.concatenate([self._corpus, x])
-            )
+            payloads["corpus"] = x
+        self._pool_append(lists, payloads)
         self._append_lists(lists)
-
-    def _compact_payload(self, mask) -> None:
-        from vq_tpu.search import _compact_rows
-
-        self._packed, self._corpus = _compact_rows(
-            mask, self._packed, self._corpus
-        )
 
     def merge_from(self, other) -> int:
         if isinstance(other, IVFBinaryIndex) and (
             self.bq._threshold != other.bq._threshold
         ):
             raise InvalidData("cannot merge: thresholds differ")
+        if isinstance(other, IVFBinaryIndex) and (
+            self.keep_corpus != other.keep_corpus
+        ):
+            raise InvalidData("cannot merge: keep_corpus differs")
         return super().merge_from(other)
-
-    def _merge_payload(self, other: "IVFBinaryIndex") -> None:
-        from vq_tpu.search import _concat_rows, _merge_corpus
-
-        _merge_corpus(self, other)
-        self._packed = _concat_rows(self._packed, other._packed)
-        other._packed = other._corpus = None
 
     def rebalance(self, **kwargs) -> dict:
         # Splitting needs the members in the same space as the coarse
         # centroids; decoded low/high bits are not that space, so a kept
         # float corpus is required (re-encoding itself would be a no-op —
         # binary coding is non-residual).
-        if self._corpus is None:
+        if not self.keep_corpus:
             raise InvalidData(
                 "rebalance requires keep_corpus=True for binary codes"
             )
         return super().rebalance(**kwargs)
 
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
-        return jnp.take(
-            self._corpus, jnp.asarray(rows_idx, jnp.int32), axis=0
+        return self._pool.gather_rows(
+            "corpus", jnp.asarray(rows_idx, jnp.int32)
         )
 
-    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
-        pass  # packed bits don't depend on their list assignment
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
+        return None  # packed bits don't depend on their list assignment
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
-            packed, ids = _pack_buckets(
-                self._flat_lists, self.nlist, self.max_list_size,
-                {"codes": self._packed},
-            )
-            self._buckets = {"codes": packed["codes"], "ids": ids}
+            self._buckets = {
+                "codes": self._pool.data["codes"],
+                "ids": self._pool.slot_ids,
+                "chains": self._pool.chains_search(),
+            }
         return self._buckets
 
     def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
@@ -220,7 +212,8 @@ class IVFBinaryIndex(_IVFScanBase):
         del use_pallas, interpret
         qp = self.bq.quantize_packed(q)
         return _ivf_binary_search_jit(
-            q, qp, self.coarse, buckets["codes"], buckets["ids"], nprobe, k
+            q, qp, self.coarse, buckets["codes"], buckets["ids"],
+            buckets["chains"], nprobe, k, self._pool.cap,
         )
 
     def search(
@@ -258,7 +251,7 @@ class IVFBinaryIndex(_IVFScanBase):
             return super()._search_core(
                 k, nprobe=nprobe, use_pallas=use_pallas, interpret=interpret
             )
-        if self._corpus is None:
+        if not self.keep_corpus:
             raise InvalidData(
                 "rerank requires keep_corpus=True at index construction"
             )
@@ -271,8 +264,10 @@ class IVFBinaryIndex(_IVFScanBase):
 
         def fn(q, *arrs):
             ids, _ = base_fn(q, *arrs[:nb])
-            corpus = arrs[nb]
-            cand = jnp.take(corpus, jnp.maximum(ids, 0), axis=0)  # [Q, R, d]
+            corpus_pool, pos = arrs[nb], arrs[nb + 1]
+            corpus = corpus_pool.reshape(-1, corpus_pool.shape[-1])
+            slot = jnp.take(pos, jnp.maximum(ids, 0))
+            cand = jnp.take(corpus, slot, axis=0)  # [Q, R, d]
             exact = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)  # [Q, R]
             exact = jnp.where(ids >= 0, exact, jnp.inf)
             neg, pos = jax.lax.top_k(-exact, min(k, fetch))
@@ -289,30 +284,33 @@ class IVFBinaryIndex(_IVFScanBase):
                 )
             return out_i, out_d
 
-        return fn, (*base_arrays, self._corpus)
+        return fn, (
+            *base_arrays, self._pool.data["corpus"], self._pool.pos
+        )
 
     def _range(self, q, buckets, nprobe, fetch, radius):
         # Hamming radius: hits are popcount <= radius among probed lists.
         qp = self.bq.quantize_packed(q)
         return _ivf_binary_range_jit(
             q, qp, self.coarse, buckets["codes"], buckets["ids"],
-            nprobe, fetch, radius,
+            buckets["chains"], nprobe, fetch, self._pool.cap, radius,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded low/high vectors (or exact rows when the corpus is
         kept)."""
-        if self._packed is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty")
         idx = jnp.asarray(ids, jnp.int32)
-        if self._corpus is not None:
-            return jnp.take(self._corpus, idx, axis=0)
+        if self.keep_corpus:
+            return self._pool.gather_rows("corpus", idx)
         return self.bq.dequantize_packed(
-            jnp.take(self._packed, idx, axis=0), self.dim
+            self._pool.gather_rows("codes", idx), self.dim
         )
 
     def save(self, path: str) -> str:
-        empty = self._packed is None
+        empty = self._pool is None or self._pool.n_rows == 0
+        flats = {} if empty else self._pool.to_flat()
         return _to_npz(
             path,
             "ivfbinary_index",
@@ -326,15 +324,15 @@ class IVFBinaryIndex(_IVFScanBase):
                 "coarse": np.asarray(self.coarse),
                 "packed": (
                     np.zeros((0, self.code_words), np.uint32) if empty
-                    else np.asarray(self._packed)
+                    else np.asarray(flats["codes"])
                 ),
                 "lists": (
                     np.zeros((0,), np.int32) if empty
                     else np.asarray(self._flat_lists)
                 ),
                 "corpus": (
-                    np.asarray(self._corpus)
-                    if self._corpus is not None
+                    np.asarray(flats["corpus"])
+                    if not empty and self.keep_corpus
                     else np.zeros((0, self.dim), np.float32)
                 ),
             },
@@ -354,10 +352,12 @@ class IVFBinaryIndex(_IVFScanBase):
             keep_corpus=config.get("keep_corpus", False),
         )
         if arrays["packed"].shape[0]:
-            idx._packed = jnp.asarray(arrays["packed"])
-            idx._flat_lists = jnp.asarray(arrays["lists"])
-            if arrays["corpus"].shape[0]:
-                idx._corpus = jnp.asarray(arrays["corpus"])
+            lists = jnp.asarray(arrays["lists"])
+            payloads = {"codes": jnp.asarray(arrays["packed"])}
+            if idx.keep_corpus and arrays["corpus"].shape[0]:
+                payloads["corpus"] = jnp.asarray(arrays["corpus"])
+            idx._pool_append(lists, payloads)
+            idx._flat_lists = lists
         return idx
 
     def __repr__(self) -> str:

@@ -24,14 +24,17 @@ library has no index layer at all):
   the decoded rows. Same code bytes as IVF-PQ at m = S, better
   reconstruction on data without coordinate-aligned structure.
 
-TPU-first structure, shared with IVF-PQ: padded dense buckets (static
-shapes, −1 = pad), coarse scan as one ``[Q, nlist]`` MXU matmul, then a
-``lax.scan`` over probe ranks so the working set per step is one
-``[Q, cap, d]`` block — no ``[Q, nprobe, cap, d]`` mega-gather ever
-materializes. Probed candidates merge through a running top-k exactly like
-the chunked flat scans. Storage is device-resident end-to-end (rows,
-codes, and bucket packing — one stable sort + scatter jit): a 1M-row
-corpus never round-trips to the host, only the capacity scalar does.
+TPU-first structure, shared with IVF-PQ: storage is a chunked
+inverted-list pool (:mod:`vq_tpu.ivf_pool` — fixed ``CH``-row chunks +
+per-list chains; appends scatter in place, no padded ``[nlist, cap, …]``
+tensor or flat shadow copy ever materializes, which is what lifts the
+single-chip build past the round-4 4-8M-row ceiling). The coarse scan is
+one ``[Q, nlist]`` MXU matmul, then a ``lax.scan`` over probe ranks so
+the working set per step is one ``[Q, cap, d]`` virtual-bucket gather —
+no ``[Q, nprobe, cap, d]`` mega-gather. Probed candidates merge through
+a running top-k exactly like the chunked flat scans. Storage is
+device-resident end-to-end: a 32M-row corpus never round-trips to the
+host, only per-list counts do.
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ from vq_tpu.errors import (
     InvalidData,
     InvalidParameter,
 )
+from vq_tpu.ivf_pool import ChunkPool, take_list_ids, take_list_payload
 from vq_tpu.models.sq import PerDimScalarQuantizer
 from vq_tpu.ops.kmeans import assign, lloyd
 from vq_tpu.ops.pick import pick_rows
@@ -141,20 +145,25 @@ def _flat_topk(d: jnp.ndarray, ids: jnp.ndarray, k: int):
 # ---------------------------------------------------------------------------
 # Per-probe-rank scan bodies, shared by the single-device lax.scan search
 # and the list-sharded multi-device search (vq_tpu/parallel/ivf_scan.py).
-# Each maker closes over the query-side precomputations and the bucket
-# arrays and returns ``body(pg, pl) -> (d [Q, cap] inf-masked, ids)``:
+# Each maker closes over the query-side precomputations and the chunk-pool
+# arrays and returns ``body(pg, pl) -> (d [Q, cap_eff] inf-masked, ids)``:
 # ``pg`` are GLOBAL list ids (index replicated arrays: coarse, qc, cc),
-# ``pl`` index the bucket arrays — identical to ``pg`` on one device,
-# shard-local (pre-clamped) under shard_map.
+# ``pl`` index the chains — identical to ``pg`` on one device,
+# shard-local (pre-clamped) under shard_map. A probed "bucket" is the
+# virtual gather of the list's chunk chain (ivf_pool.take_list_*); ids
+# are −1 wherever a slot is dead, which downstream masking already
+# handles exactly as it handled −1 pads in the old dense layout.
 # ---------------------------------------------------------------------------
 
 
-def _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids):
+def _flat_scan_body(
+    q, qn2, metric, pool_rows, pool_sqn, slot_ids, chains_s, cap
+):
     def body(pg, pl):
         del pg
-        rows = jnp.take(bucket_rows, pl, axis=0).astype(jnp.float32)
-        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
+        rows = take_list_payload(pool_rows, chains_s, pl).astype(jnp.float32)
+        ids = take_list_ids(slot_ids, chains_s, pl, cap)  # [Q, ce]
+        sqn = take_list_payload(pool_sqn, chains_s, pl)  # [Q, ce]
         qy = jnp.einsum(
             "qd,qcd->qc", q, rows,
             preferred_element_type=jnp.float32,
@@ -171,12 +180,14 @@ def _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids):
 
 def _sq_scan_body(
     q, qc, coarse, lo, step, metric, by_residual,
-    bucket_codes, bucket_sqn, bucket_ids,
+    pool_codes, pool_sqn, slot_ids, chains_s, cap,
 ):
     def body(pg, pl):
-        codes = jnp.take(bucket_codes, pl, axis=0).astype(jnp.float32)
-        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
+        codes = take_list_payload(pool_codes, chains_s, pl).astype(
+            jnp.float32
+        )
+        ids = take_list_ids(slot_ids, chains_s, pl, cap)  # [Q, ce]
+        sqn = take_list_payload(pool_sqn, chains_s, pl)  # [Q, ce]
         if metric == "dot":
             qs = q * step[None, :]
             qy = (q @ lo)[:, None] + jnp.einsum(
@@ -207,15 +218,15 @@ def _sq_scan_body(
 
 def _rq_scan_body(
     q, qn2, qc, cc, tables, metric, by_residual,
-    bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+    pool_codes, pool_sqn, pool_cross, slot_ids, chains_s, cap,
 ):
-    S = bucket_codes.shape[-1]
+    S = pool_codes.shape[-1]
 
     def body(pg, pl):
-        codes = jnp.take(bucket_codes, pl, axis=0).astype(jnp.int32)
-        ids = jnp.take(bucket_ids, pl, axis=0)  # [Q, cap]
-        sqn = jnp.take(bucket_sqn, pl, axis=0)  # [Q, cap]
-        cross = jnp.take(bucket_cross, pl, axis=0)  # [Q, cap]
+        codes = take_list_payload(pool_codes, chains_s, pl).astype(jnp.int32)
+        ids = take_list_ids(slot_ids, chains_s, pl, cap)  # [Q, ce]
+        sqn = take_list_payload(pool_sqn, chains_s, pl)  # [Q, ce]
+        cross = take_list_payload(pool_cross, chains_s, pl)  # [Q, ce]
         tsum = jnp.zeros(codes.shape[:2], jnp.float32)
         for s in range(S):
             tsum = tsum + jnp.take_along_axis(
@@ -238,46 +249,64 @@ def _rq_scan_body(
     return body
 
 
+def _probe_chains(chains_s, probe):
+    """Chain entries of the probed lists, flattened for the fused
+    kernels: the pool is addressed as an ``[n_chunks, CH, …]`` bucket
+    array probed with CHUNK ids — one kernel pair slot per (query,
+    probe, chain position). Dead entries clamp to chunk 0; their lanes
+    are masked outside via :func:`take_list_ids`."""
+    ct = jnp.take(chains_s, probe, axis=0)  # [Q, np, maxc_s]
+    return jnp.maximum(ct, 0).reshape(-1), ct.shape[-1]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("nprobe", "k", "cap", "metric", "use_pallas", "interpret"),
 )
 def _ivf_flat_search_jit(
     q: jnp.ndarray,  # [Q, d] f32
     coarse: jnp.ndarray,  # [nlist, d]
-    bucket_rows: jnp.ndarray,  # [nlist, cap, d] f32/bf16/f16
-    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||stored row||²
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    pool_rows: jnp.ndarray,  # [n_chunks, CH, d] f32/bf16/f16
+    pool_sqn: jnp.ndarray,  # [n_chunks, CH] f32 ||stored row||²
+    slot_ids: jnp.ndarray,  # [n_chunks, CH] int32, -1 empty
+    chains_s: jnp.ndarray,  # [nlist, maxc_s] int32 chunk chains, -1 pad
     nprobe: int,
     k: int,
+    cap: int,
     metric: str,
     use_pallas: bool = False,
     interpret: bool = False,
 ):
     Q, d_ = q.shape
+    ch = slot_ids.shape[1]
     probe, _ = _coarse_probe(q, coarse, nprobe, metric)
     qn2 = jnp.sum(q * q, axis=-1)  # [Q]
 
     if use_pallas:
-        # Fused probe: scalar-prefetched list ids DMA each probed list's
-        # rows straight into VMEM at stored width — no [Q, np, cap, d]
-        # HBM gather.
+        # Fused probe: scalar-prefetched CHUNK ids DMA each probed
+        # chain's chunks straight into VMEM at stored width — no
+        # [Q, np, cap, d] HBM gather. The kernel is the padded-bucket
+        # one unchanged: a chunk is natively one of its "lists".
         from vq_tpu.ops.pallas_kernels import ivf_probe_matvec_fused
 
+        chunks, maxc_s = _probe_chains(chains_s, probe)
         qvecs = jnp.broadcast_to(
-            q[:, None, :], (Q, nprobe, d_)
+            q[:, None, None, :], (Q, nprobe, maxc_s, d_)
         ).reshape(-1, d_)
         qy = ivf_probe_matvec_fused(
-            qvecs, probe.reshape(-1), bucket_rows, interpret=interpret
-        ).reshape(Q, nprobe, -1)
-        ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
+            qvecs, chunks, pool_rows, interpret=interpret
+        ).reshape(Q, nprobe, maxc_s * ch)
+        ids = take_list_ids(slot_ids, chains_s, probe, cap)  # [Q, np, ce]
         if metric == "dot":
             d = -qy
         else:
-            sqn = jnp.take(bucket_sqn, probe, axis=0)
+            sqn = take_list_payload(pool_sqn, chains_s, probe)
             d = jnp.maximum(qn2[:, None, None] - 2.0 * qy + sqn, 0.0)
         return _flat_topk(jnp.where(ids >= 0, d, jnp.inf), ids, k)
 
-    body = _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids)
+    body = _flat_scan_body(
+        q, qn2, metric, pool_rows, pool_sqn, slot_ids, chains_s, cap
+    )
     return _merge_probe_topk(
         lambda p: body(p, p), Q, nprobe, k, probe.T
     )
@@ -286,7 +315,8 @@ def _ivf_flat_search_jit(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "k", "metric", "by_residual", "use_pallas", "interpret"
+        "nprobe", "k", "cap", "metric", "by_residual", "use_pallas",
+        "interpret",
     ),
 )
 def _ivf_sq_search_jit(
@@ -294,11 +324,13 @@ def _ivf_sq_search_jit(
     coarse: jnp.ndarray,  # [nlist, d]
     lo: jnp.ndarray,  # [d]
     step: jnp.ndarray,  # [d]
-    bucket_codes: jnp.ndarray,  # [nlist, cap, d] u8
-    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||decoded residual ŷ||²
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    pool_codes: jnp.ndarray,  # [n_chunks, CH, d] u8
+    pool_sqn: jnp.ndarray,  # [n_chunks, CH] f32 ||decoded residual ŷ||²
+    slot_ids: jnp.ndarray,  # [n_chunks, CH] int32, -1 empty
+    chains_s: jnp.ndarray,  # [nlist, maxc_s] int32 chunk chains
     nprobe: int,
     k: int,
+    cap: int,
     metric: str,
     by_residual: bool,
     use_pallas: bool = False,
@@ -316,25 +348,28 @@ def _ivf_sq_search_jit(
     Exact decoded-row distances either way (``||ŷ||²`` is stored exact).
     """
     Q, d_ = q.shape
+    ch = slot_ids.shape[1]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
 
     if use_pallas:
         # Fused probe over u8 codes (quarter the DMA bytes of f32 rows);
-        # the affine offsets (qr·lo, norms) assemble outside on [Q, cap]
+        # the affine offsets (qr·lo, norms) assemble outside on [Q, ce]
         # shapes. The left vectors carry the residual shift per
         # (query, probe) pair, so one kernel serves both codings.
         from vq_tpu.ops.pallas_kernels import ivf_probe_matvec_fused
 
-        ids = jnp.take(bucket_ids, probe, axis=0)  # [Q, np, cap]
-        sqn = jnp.take(bucket_sqn, probe, axis=0)
+        chunks, maxc_s = _probe_chains(chains_s, probe)
+        ids = take_list_ids(slot_ids, chains_s, probe, cap)  # [Q, np, ce]
+        sqn = take_list_payload(pool_sqn, chains_s, probe)
         if metric == "dot":
             lhs = jnp.broadcast_to(
-                (q * step[None, :])[:, None, :], (Q, nprobe, d_)
+                (q * step[None, :])[:, None, None, :],
+                (Q, nprobe, maxc_s, d_),
             )
             partial = ivf_probe_matvec_fused(
-                lhs.reshape(-1, d_), probe.reshape(-1), bucket_codes,
+                lhs.reshape(-1, d_), chunks, pool_codes,
                 interpret=interpret,
-            ).reshape(Q, nprobe, -1)
+            ).reshape(Q, nprobe, maxc_s * ch)
             qy = (q @ lo)[:, None, None] + partial
             if by_residual:
                 qy = qy + jnp.take_along_axis(qc, probe, axis=1)[..., None]
@@ -345,10 +380,14 @@ def _ivf_sq_search_jit(
                 if by_residual
                 else jnp.broadcast_to(q[:, None, :], (Q, nprobe, d_))
             )  # [Q, np, d]
+            lhs = jnp.broadcast_to(
+                (qr * step[None, None, :])[:, :, None, :],
+                (Q, nprobe, maxc_s, d_),
+            )
             partial = ivf_probe_matvec_fused(
-                (qr * step[None, None, :]).reshape(-1, d_),
-                probe.reshape(-1), bucket_codes, interpret=interpret,
-            ).reshape(Q, nprobe, -1)
+                lhs.reshape(-1, d_), chunks, pool_codes,
+                interpret=interpret,
+            ).reshape(Q, nprobe, maxc_s * ch)
             qry = (qr @ lo)[..., None] + partial
             qrn2 = jnp.sum(qr * qr, axis=-1)  # [Q, np]
             d = jnp.maximum(qrn2[..., None] - 2.0 * qry + sqn, 0.0)
@@ -356,7 +395,7 @@ def _ivf_sq_search_jit(
 
     body = _sq_scan_body(
         q, qc, coarse, lo, step, metric, by_residual,
-        bucket_codes, bucket_sqn, bucket_ids,
+        pool_codes, pool_sqn, slot_ids, chains_s, cap,
     )
     return _merge_probe_topk(
         lambda p: body(p, p), Q, nprobe, k, probe.T
@@ -366,19 +405,22 @@ def _ivf_sq_search_jit(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "k", "metric", "by_residual", "use_pallas", "interpret"
+        "nprobe", "k", "cap", "metric", "by_residual", "use_pallas",
+        "interpret",
     ),
 )
 def _ivf_rq_search_jit(
     q: jnp.ndarray,  # [Q, d] f32
     coarse: jnp.ndarray,  # [nlist, d]
     codebooks: jnp.ndarray,  # [S, k, d] RQ stage codebooks
-    bucket_codes: jnp.ndarray,  # [nlist, cap, S] u8
-    bucket_sqn: jnp.ndarray,  # [nlist, cap] f32 ||decoded residual ŷ||²
-    bucket_cross: jnp.ndarray,  # [nlist, cap] f32 c_list·ŷ (0 non-residual)
-    bucket_ids: jnp.ndarray,  # [nlist, cap] int32, -1 pad
+    pool_codes: jnp.ndarray,  # [n_chunks, CH, S] u8
+    pool_sqn: jnp.ndarray,  # [n_chunks, CH] f32 ||decoded residual ŷ||²
+    pool_cross: jnp.ndarray,  # [n_chunks, CH] f32 c_list·ŷ (0 non-residual)
+    slot_ids: jnp.ndarray,  # [n_chunks, CH] int32, -1 empty
+    chains_s: jnp.ndarray,  # [nlist, maxc_s] int32 chunk chains
     nprobe: int,
     k: int,
+    cap: int,
     metric: str,
     by_residual: bool,
     use_pallas: bool = False,
@@ -402,6 +444,7 @@ def _ivf_rq_search_jit(
     """
     Q = q.shape[0]
     S = codebooks.shape[0]
+    ch = slot_ids.shape[1]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
     tables = jnp.einsum(
         "qd,skd->qsk", q, codebooks,
@@ -415,19 +458,20 @@ def _ivf_rq_search_jit(
         # The tables are probe-INDEPENDENT (raw-query dots; the stored
         # c_list·ŷ cross-terms carry the residual shift), so the fused
         # ADC probe kernel applies directly — tables just replicate per
-        # probe slot.
+        # (probe, chain-position) slot.
         from vq_tpu.ops.pallas_kernels import ivf_probe_adc_fused
 
         kk = tables.shape[-1]
+        chunks, maxc_s = _probe_chains(chains_s, probe)
         tab_rep = jnp.broadcast_to(
-            tables[:, None], (Q, nprobe, S, kk)
-        ).reshape(Q * nprobe, S, kk)
+            tables[:, None, None], (Q, nprobe, maxc_s, S, kk)
+        ).reshape(Q * nprobe * maxc_s, S, kk)
         tsum = ivf_probe_adc_fused(
-            tab_rep, probe.reshape(-1), bucket_codes, interpret=interpret
-        ).reshape(Q, nprobe, -1)  # [Q, np, cap]
-        ids = jnp.take(bucket_ids, probe, axis=0)
-        sqn = jnp.take(bucket_sqn, probe, axis=0)
-        cross = jnp.take(bucket_cross, probe, axis=0)
+            tab_rep, chunks, pool_codes, interpret=interpret
+        ).reshape(Q, nprobe, maxc_s * ch)  # [Q, np, ce]
+        ids = take_list_ids(slot_ids, chains_s, probe, cap)
+        sqn = take_list_payload(pool_sqn, chains_s, probe)
+        cross = take_list_payload(pool_cross, chains_s, probe)
         qc_sel = jnp.take_along_axis(qc, probe, axis=1)  # [Q, np]
         if metric == "dot":
             qy = tsum + (qc_sel[..., None] if by_residual else 0.0)
@@ -444,48 +488,55 @@ def _ivf_rq_search_jit(
 
     body = _rq_scan_body(
         q, qn2, qc, cc, tables, metric, by_residual,
-        bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+        pool_codes, pool_sqn, pool_cross, slot_ids, chains_s, cap,
     )
     return _merge_probe_topk(
         lambda p: body(p, p), Q, nprobe, k, probe.T
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "fetch", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "fetch", "cap", "metric")
+)
 def _ivf_flat_range_jit(
-    q, coarse, bucket_rows, bucket_sqn, bucket_ids,
-    nprobe: int, fetch: int, radius, metric: str,
+    q, coarse, pool_rows, pool_sqn, slot_ids, chains_s,
+    nprobe: int, fetch: int, cap: int, radius, metric: str,
 ):
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, metric)
     qn2 = jnp.sum(q * q, axis=-1)
-    body = _flat_scan_body(q, qn2, metric, bucket_rows, bucket_sqn, bucket_ids)
-    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("nprobe", "fetch", "metric", "by_residual")
-)
-def _ivf_sq_range_jit(
-    q, coarse, lo, step, bucket_codes, bucket_sqn, bucket_ids,
-    nprobe: int, fetch: int, radius, metric: str, by_residual: bool,
-):
-    Q = q.shape[0]
-    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
-    body = _sq_scan_body(
-        q, qc, coarse, lo, step, metric, by_residual,
-        bucket_codes, bucket_sqn, bucket_ids,
+    body = _flat_scan_body(
+        q, qn2, metric, pool_rows, pool_sqn, slot_ids, chains_s, cap
     )
     return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "fetch", "metric", "by_residual")
+    jax.jit,
+    static_argnames=("nprobe", "fetch", "cap", "metric", "by_residual"),
+)
+def _ivf_sq_range_jit(
+    q, coarse, lo, step, pool_codes, pool_sqn, slot_ids, chains_s,
+    nprobe: int, fetch: int, cap: int, radius, metric: str,
+    by_residual: bool,
+):
+    Q = q.shape[0]
+    probe, qc = _coarse_probe(q, coarse, nprobe, metric)
+    body = _sq_scan_body(
+        q, qc, coarse, lo, step, metric, by_residual,
+        pool_codes, pool_sqn, slot_ids, chains_s, cap,
+    )
+    return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "fetch", "cap", "metric", "by_residual"),
 )
 def _ivf_rq_range_jit(
-    q, coarse, codebooks, bucket_codes, bucket_sqn, bucket_cross,
-    bucket_ids, nprobe: int, fetch: int, radius, metric: str,
-    by_residual: bool,
+    q, coarse, codebooks, pool_codes, pool_sqn, pool_cross,
+    slot_ids, chains_s, nprobe: int, fetch: int, cap: int, radius,
+    metric: str, by_residual: bool,
 ):
     Q = q.shape[0]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
@@ -498,7 +549,7 @@ def _ivf_rq_range_jit(
     cc = jnp.sum(coarse * coarse, axis=-1)
     body = _rq_scan_body(
         q, qn2, qc, cc, tables, metric, by_residual,
-        bucket_codes, bucket_sqn, bucket_cross, bucket_ids,
+        pool_codes, pool_sqn, pool_cross, slot_ids, chains_s, cap,
     )
     return _range_merge(body, Q, nprobe, fetch, radius, probe.T)
 
@@ -530,35 +581,6 @@ def _pack_buckets_jit(lists: jnp.ndarray, payloads: tuple, nlist: int, cap: int)
         order.astype(jnp.int32)
     )
     return tuple(out), ids[:-1].reshape(nlist, cap)
-
-
-def _pack_buckets(
-    lists: jnp.ndarray,
-    nlist: int,
-    max_list_size: Optional[int],
-    payloads: dict,
-):
-    """Pack flat per-row payload arrays into padded dense buckets.
-
-    ``payloads`` maps name → ``[n, ...]`` array; returns the same names
-    mapped to ``[nlist, cap, ...]`` plus ``"ids" [nlist, cap]`` (−1 pad).
-    Capacity is the largest list rounded up to 8, clipped to
-    ``max_list_size`` **rounded up to a multiple of 8** (the f32 sublane
-    height — bucket blocks must tile; a configured cap of 4 therefore
-    keeps up to 8 entries per list, and ``bucket_stats``'s
-    ``overflow_dropped`` counts against the rounded cap); overflow
-    entries are dropped from the probe structure. Only the capacity
-    scalar reads back to the host; rows stay on device.
-    """
-    counts = jnp.bincount(lists, length=nlist)
-    cap = max(8, int(-(-int(counts.max()) // 8) * 8))
-    if max_list_size is not None:
-        cap = min(cap, max(8, int(-(-int(max_list_size) // 8) * 8)))
-    names = list(payloads)
-    packed, ids = _pack_buckets_jit(
-        jnp.asarray(lists), tuple(payloads[k] for k in names), nlist, cap
-    )
-    return dict(zip(names, packed)), ids
 
 
 def _rebalance_pass(
@@ -658,16 +680,23 @@ def _rebalance_pass(
         "rows": rows,
         "x": x,
         "new_lists": new_lists,
+        # old list id -> new id (-1 = retired); the chunk pool relabels
+        # its chains with this instead of repacking the whole corpus.
+        "remap_old": np.where(keep, remap[:nlist], -1).astype(np.int32),
     }
 
 
 class _IVFScanBase:
-    """Shared plumbing for the raw-row / SQ-row IVF variants: flat
-    append-only storage, lazy bucket packing, occupancy stats, and the
-    coarse-probe search driver. Subclasses define what a per-row payload
-    is and how a probed bucket is scored."""
+    """Shared plumbing for the raw-row / SQ-row IVF variants:
+    chunk-pool storage (:class:`vq_tpu.ivf_pool.ChunkPool`), occupancy
+    stats, and the coarse-probe search driver. Subclasses declare their
+    per-row payloads (:meth:`_payload_specs`) and how a probed bucket is
+    scored."""
 
-    def __init__(self, coarse_centroids, *, metric, max_list_size):
+    def __init__(
+        self, coarse_centroids, *, metric, max_list_size,
+        chunk_rows: int = 256,
+    ):
         if metric not in ("l2", "dot"):
             raise InvalidParameter("metric", "must be 'l2' or 'dot'")
         self.metric = metric
@@ -677,8 +706,35 @@ class _IVFScanBase:
                 "coarse_centroids", "expected a non-empty [nlist, d] matrix"
             )
         self.max_list_size = max_list_size
+        self.chunk_rows = int(chunk_rows)
         self._flat_lists: Optional[jnp.ndarray] = None  # [n] i32 (device)
+        self._pool: Optional[ChunkPool] = None
         self._buckets = None
+
+    def _payload_specs(self) -> dict:
+        raise NotImplementedError
+
+    def _pool_append(self, lists, payloads: dict) -> None:
+        if self._pool is None:
+            self._pool = ChunkPool(
+                self._payload_specs(), self.nlist,
+                chunk_rows=self.chunk_rows,
+                max_list_size=self.max_list_size,
+            )
+        self._pool.append(lists, payloads)
+        self._buckets = None
+
+    def reserve(self, rows: int) -> None:
+        """Preallocate storage for ``rows`` total vectors so every
+        ``add`` scatters into place without a doubling copy — at 10M+
+        rows the copy is the difference between fitting and OOM."""
+        if self._pool is None:
+            self._pool = ChunkPool(
+                self._payload_specs(), self.nlist,
+                chunk_rows=self.chunk_rows,
+                max_list_size=self.max_list_size,
+            )
+        self._pool.reserve(int(rows))
 
     @property
     def nlist(self) -> int:
@@ -701,30 +757,39 @@ class _IVFScanBase:
 
     def remove_ids(self, ids) -> int:
         """Remove stored vectors by position; remaining vectors renumber
-        sequentially (faiss ``remove_ids`` contract). Buckets rebuild
-        lazily on the next search."""
+        sequentially (faiss ``remove_ids`` contract). Only lists that
+        contained removed rows repack their chunks."""
         from vq_tpu.search import _removal_keep_mask, _compact_rows
 
         if self._flat_lists is None:
             raise EmptyInput("index is empty")
         mask = _removal_keep_mask(ids, self.ntotal)
-        removed = self.ntotal - int(mask.sum())
+        mask_np = np.asarray(mask)
+        removed_idx = np.where(~mask_np)[0]
+        lists_np = np.asarray(self._flat_lists)
         (self._flat_lists,) = _compact_rows(mask, self._flat_lists)
-        self._compact_payload(mask)
+        self._pool.remove(removed_idx, lists_np)
+        self._compact_extra(mask)
         self._buckets = None
-        return removed
+        return int(removed_idx.size)
+
+    def _compact_extra(self, mask) -> None:
+        """Hook for per-row storage OUTSIDE the pool (binary's kept
+        corpus); the pool itself compacts in :meth:`remove_ids`."""
 
     _merge_attrs: tuple = ()
 
     def _merge_arrays(self, other):
         return ()
 
+    def _merge_extra(self, other) -> None:
+        """Hook for non-pool storage moves (binary's kept corpus)."""
+
     def merge_from(self, other) -> int:
         """Move every vector of ``other`` into this index (faiss IVF
         ``merge_from``: same coarse quantizer and coding parameters; the
         stored codes are copied, never re-encoded, and ``other`` is left
-        empty). Returns the number of vectors moved. Buckets repack
-        lazily on the next search."""
+        empty). Returns the number of vectors moved."""
         from vq_tpu.search import _merge_check
 
         _merge_check(
@@ -735,10 +800,14 @@ class _IVFScanBase:
             ),
         )
         moved = other.ntotal
-        self._merge_payload(other)
-        if other._flat_lists is not None:
+        if moved:
+            self._pool_append(
+                other._flat_lists, other._pool.to_flat()
+            )
+            self._merge_extra(other)
             self._append_lists(other._flat_lists)
         other._flat_lists = None
+        other._pool = None
         other._buckets = None
         return moved
 
@@ -750,27 +819,32 @@ class _IVFScanBase:
         return _search_and_reconstruct(self, queries, k, **kw)
 
     def bucket_stats(self) -> dict:
-        """Occupancy diagnostics (same fields as ``IVFPQIndex``)."""
+        """Occupancy diagnostics (same fields as ``IVFPQIndex``).
+
+        ``cap`` is the searched rows per probed list (``max_list_size``
+        truncation applies at search, rows past it stay stored);
+        ``overflow_dropped`` counts rows past cap — unsearchable, same
+        contract as the old padded layout which physically dropped
+        them. ``padding_waste`` is now a probe-COST metric (fraction of
+        per-probe fetch slots that are dead); storage slack is the
+        pool's ``slack_rows``."""
         if self._flat_lists is None:
             return {"ntotal": 0}
-        counts = jnp.bincount(self._flat_lists, length=self.nlist)
-        self._build_buckets()
-        cap = int(self._buckets["ids"].shape[1])
+        counts = self._pool.lens_h
+        cap = self._pool.cap
         return {
             "ntotal": self.ntotal,
             "nlist": self.nlist,
             "cap": cap,
             "min": int(counts.min()),
-            "mean": float(jnp.mean(counts.astype(jnp.float32))),
+            "mean": float(counts.mean()),
             "max": int(counts.max()),
             "empty_lists": int((counts == 0).sum()),
-            "overflow_dropped": int(
-                jnp.maximum(counts - cap, 0).sum()
-            ),
+            "overflow_dropped": int(np.maximum(counts - cap, 0).sum()),
             "padding_waste": float(
-                1.0
-                - int(jnp.minimum(counts, cap).sum()) / (self.nlist * cap)
+                1.0 - int(np.minimum(counts, cap).sum()) / (self.nlist * cap)
             ),
+            **self._pool.stats(),
         }
 
     def rebalance(
@@ -831,10 +905,28 @@ class _IVFScanBase:
         )
         if out is None:
             return {"split": 0, "retired": 0, "new_nlist": self.nlist}
+        pool = self._pool
+        new_nlist = out["coarse_new"].shape[0]
         if out["rows"] is not None:
-            self._reencode_rows(
+            # Chunk-wise storage move, O(affected): gather the movers'
+            # payloads (re-encoded where the coding depends on the list,
+            # else straight from the pool), free the emptied lists'
+            # chunks, relabel surviving chains, scatter the movers back.
+            rows = jnp.asarray(out["rows"], jnp.int32)
+            payloads = self._reencode_rows(
                 out["rows"], out["x"], out["new_lists"], out["coarse_new"]
+            ) or {}
+            for name in pool.specs:
+                if name not in payloads:
+                    payloads[name] = pool.gather_rows(name, rows)
+            pool.free_lists(np.unique(lists_np[out["rows"]]))
+            pool.relabel_lists(out["remap_old"], new_nlist)
+            pool.append(
+                jnp.asarray(out["new_lists"], jnp.int32), payloads,
+                row_ids=rows,
             )
+        else:
+            pool.relabel_lists(out["remap_old"], new_nlist)
         self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
         self._flat_lists = jnp.asarray(out["lists"])
         self._buckets = None
@@ -899,8 +991,8 @@ class _IVFScanBase:
         arrays = tuple(buckets[n] for n in names)
         k = int(k)
         nprobe = min(int(nprobe), self.nlist)
-        pool = nprobe * int(buckets["ids"].shape[1])
-        k_eff = min(k, pool)
+        ce = int(buckets["chains"].shape[1]) * int(buckets["ids"].shape[1])
+        k_eff = min(k, nprobe * ce)
         use_pallas, interpret = bool(use_pallas), bool(interpret)
         metric = self.metric
 
@@ -945,8 +1037,8 @@ class _IVFScanBase:
         buckets = self._build_buckets()
         q = self._check_query(queries)
         nprobe = min(int(nprobe), self.nlist)
-        pool = nprobe * int(buckets["ids"].shape[1])
-        fetch = min(int(max_results), pool)
+        ce = int(buckets["chains"].shape[1]) * int(buckets["ids"].shape[1])
+        fetch = min(int(max_results), nprobe * ce)
         r = float(radius)
         r_internal = -r if self.metric == "dot" else r
         ids, d, counts = self._range(
@@ -975,9 +1067,11 @@ class IVFFlatIndex(_IVFScanBase):
         metric: str = "l2",
         store_dtype: str = "float32",
         max_list_size: Optional[int] = None,
+        chunk_rows: int = 256,
     ):
         super().__init__(
-            coarse_centroids, metric=metric, max_list_size=max_list_size
+            coarse_centroids, metric=metric, max_list_size=max_list_size,
+            chunk_rows=chunk_rows,
         )
         if store_dtype not in _STORE_DTYPES:
             raise InvalidParameter(
@@ -985,7 +1079,6 @@ class IVFFlatIndex(_IVFScanBase):
                 "must be 'float32', 'bfloat16', or 'float16'",
             )
         self.store_dtype = store_dtype
-        self._flat_rows: Optional[jnp.ndarray] = None  # [n, d] (device)
 
     @classmethod
     def train(
@@ -999,6 +1092,7 @@ class IVFFlatIndex(_IVFScanBase):
         store_dtype: str = "float32",
         max_list_size: Optional[int] = None,
         spherical: bool = False,
+        chunk_rows: int = 256,
     ) -> "IVFFlatIndex":
         """Fit the coarse partition (k-means++-seeded Lloyd's)."""
         x = jnp.asarray(training_data, jnp.float32)
@@ -1006,11 +1100,19 @@ class IVFFlatIndex(_IVFScanBase):
                     init="kmeans++", spherical=spherical)
         return cls(
             res.centroids, metric=metric, store_dtype=store_dtype,
-            max_list_size=max_list_size,
+            max_list_size=max_list_size, chunk_rows=chunk_rows,
         )
 
+    def _payload_specs(self) -> dict:
+        return {
+            "rows": ((self.dim,), _STORE_DTYPES[self.store_dtype]),
+            "sqn": ((), jnp.float32),
+        }
+
     def add(self, vectors) -> None:
-        """Coarse-assign and append a batch of raw vectors."""
+        """Coarse-assign and scatter a batch of raw vectors into the
+        pool (in place — peak memory is O(batch) above the stored
+        corpus; call :meth:`reserve` first for multi-GB builds)."""
         x = jnp.asarray(vectors)
         if x.dtype not in (jnp.float16, jnp.bfloat16):
             x = x.astype(jnp.float32)
@@ -1019,77 +1121,65 @@ class IVFFlatIndex(_IVFScanBase):
         if x.shape[1] != self.dim:
             raise DimensionMismatch(expected=self.dim, found=x.shape[1])
         lists, _ = assign(x, self.coarse)
+        # Distances are computed against the STORED rows, so norms come
+        # from the (possibly down-cast) stored values — values returned
+        # by search are exact for what the index holds.
         rows = x.astype(_STORE_DTYPES[self.store_dtype])
-        self._flat_rows = (
-            rows if self._flat_rows is None
-            else jnp.concatenate([self._flat_rows, rows])
-        )
+        rows_f32 = rows.astype(jnp.float32)
+        self._pool_append(lists, {
+            "rows": rows, "sqn": jnp.sum(rows_f32 * rows_f32, axis=-1),
+        })
         self._append_lists(lists)
-
-    def _compact_payload(self, mask) -> None:
-        from vq_tpu.search import _compact_rows
-
-        (self._flat_rows,) = _compact_rows(mask, self._flat_rows)
 
     _merge_attrs = ("store_dtype",)
 
-    def _merge_payload(self, other: "IVFFlatIndex") -> None:
-        from vq_tpu.search import _concat_rows
-
-        self._flat_rows = _concat_rows(self._flat_rows, other._flat_rows)
-        other._flat_rows = None
-
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
-        return jnp.take(
-            self._flat_rows, jnp.asarray(rows_idx, jnp.int32), axis=0
+        return self._pool.gather_rows(
+            "rows", jnp.asarray(rows_idx, jnp.int32)
         ).astype(jnp.float32)
 
-    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
-        pass  # raw rows don't depend on their list assignment
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
+        return None  # raw rows don't depend on their list assignment
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
-            # Distances are computed against the STORED rows, so norms come
-            # from the (possibly down-cast) stored values — values returned
-            # by search are exact for what the index holds.
-            rows_f32 = self._flat_rows.astype(jnp.float32)
-            packed, ids = _pack_buckets(
-                self._flat_lists, self.nlist, self.max_list_size,
-                {
-                    "rows": self._flat_rows,
-                    "sqn": jnp.sum(rows_f32 * rows_f32, axis=-1),
-                },
-            )
             self._buckets = {
-                "rows": packed["rows"], "sqn": packed["sqn"], "ids": ids,
+                "rows": self._pool.data["rows"],
+                "sqn": self._pool.data["sqn"],
+                "ids": self._pool.slot_ids,
+                "chains": self._pool.chains_search(),
             }
         return self._buckets
 
     def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
         return _ivf_flat_search_jit(
             q, self.coarse, buckets["rows"], buckets["sqn"],
-            buckets["ids"], nprobe, k, self.metric, use_pallas, interpret,
+            buckets["ids"], buckets["chains"], nprobe, k, self._pool.cap,
+            self.metric, use_pallas, interpret,
         )
 
     def _range(self, q, buckets, nprobe, fetch, radius):
         return _ivf_flat_range_jit(
             q, self.coarse, buckets["rows"], buckets["sqn"],
-            buckets["ids"], nprobe, fetch, radius, self.metric,
+            buckets["ids"], buckets["chains"], nprobe, fetch,
+            self._pool.cap, radius, self.metric,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Stored rows for ids (exact up to ``store_dtype`` rounding)."""
-        if self._flat_rows is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty")
-        return jnp.take(
-            self._flat_rows, jnp.asarray(ids, jnp.int32), axis=0
+        return self._pool.gather_rows(
+            "rows", jnp.asarray(ids, jnp.int32)
         ).astype(jnp.float32)
 
     def save(self, path: str) -> str:
-        rows = (
-            np.asarray(self._flat_rows) if self._flat_rows is not None
-            else np.zeros((0, self.dim), np.float32)
-        )
+        """Checkpoint (row-flat format, compatible across layouts —
+        gathering the pool into id order peaks at 2× the row storage)."""
+        if self._pool is not None and self._pool.n_rows:
+            rows = np.asarray(self._pool.to_flat(["rows"])["rows"])
+        else:
+            rows = np.zeros((0, self.dim), np.float32)
         if self.store_dtype == "bfloat16" and rows.shape[0]:
             rows = rows.view(np.uint16)  # npz has no bf16: raw bits
         return _to_npz(
@@ -1128,8 +1218,14 @@ class IVFFlatIndex(_IVFScanBase):
             rows = arrays["rows"]
             if config["store_dtype"] == "bfloat16":
                 rows = rows.view(jnp.bfloat16.dtype)
-            idx._flat_rows = jnp.asarray(rows)
-            idx._flat_lists = jnp.asarray(arrays["lists"])
+            rows = jnp.asarray(rows)
+            rows_f32 = rows.astype(jnp.float32)
+            lists = jnp.asarray(arrays["lists"])
+            idx._pool_append(lists, {
+                "rows": rows,
+                "sqn": jnp.sum(rows_f32 * rows_f32, axis=-1),
+            })
+            idx._flat_lists = lists
         return idx
 
     def __repr__(self) -> str:
@@ -1156,9 +1252,11 @@ class IVFSQIndex(_IVFScanBase):
         metric: str = "l2",
         by_residual: bool = True,
         max_list_size: Optional[int] = None,
+        chunk_rows: int = 256,
     ):
         super().__init__(
-            coarse_centroids, metric=metric, max_list_size=max_list_size
+            coarse_centroids, metric=metric, max_list_size=max_list_size,
+            chunk_rows=chunk_rows,
         )
         if not isinstance(sq, PerDimScalarQuantizer):
             raise InvalidParameter(
@@ -1168,8 +1266,12 @@ class IVFSQIndex(_IVFScanBase):
             raise DimensionMismatch(expected=self.dim, found=sq.dim)
         self.sq = sq
         self.by_residual = bool(by_residual)
-        self._flat_codes: Optional[jnp.ndarray] = None  # [n, d] u8 (device)
-        self._flat_sqn: Optional[jnp.ndarray] = None  # [n] f32
+
+    def _payload_specs(self) -> dict:
+        return {
+            "codes": ((self.dim,), jnp.uint8),
+            "sqn": ((), jnp.float32),
+        }
 
     @classmethod
     def train(
@@ -1216,23 +1318,10 @@ class IVFSQIndex(_IVFScanBase):
         )
         codes = self.sq.quantize(enc_in.astype(jnp.float32))
         y = self.sq.dequantize(codes)
-        sqn = jnp.sum(y * y, axis=-1)
-        self._flat_codes = (
-            codes if self._flat_codes is None
-            else jnp.concatenate([self._flat_codes, codes])
-        )
-        self._flat_sqn = (
-            sqn if self._flat_sqn is None
-            else jnp.concatenate([self._flat_sqn, sqn])
-        )
+        self._pool_append(lists_j, {
+            "codes": codes, "sqn": jnp.sum(y * y, axis=-1),
+        })
         self._append_lists(lists_j)
-
-    def _compact_payload(self, mask) -> None:
-        from vq_tpu.search import _compact_rows
-
-        self._flat_codes, self._flat_sqn = _compact_rows(
-            mask, self._flat_codes, self._flat_sqn
-        )
 
     _merge_attrs = ("by_residual",)
 
@@ -1249,37 +1338,27 @@ class IVFSQIndex(_IVFScanBase):
             raise InvalidData("cannot merge: SQ levels differ")
         return super().merge_from(other)
 
-    def _merge_payload(self, other: "IVFSQIndex") -> None:
-        from vq_tpu.search import _concat_rows
-
-        self._flat_codes = _concat_rows(self._flat_codes, other._flat_codes)
-        self._flat_sqn = _concat_rows(self._flat_sqn, other._flat_sqn)
-        other._flat_codes = other._flat_sqn = None
-
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
         # Reconstruct from codes + the CURRENT (pre-rebalance) centroid —
         # adds at most the quantization error already present.
         return self.reconstruct(rows_idx)
 
-    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
         enc_in = (
             x - jnp.asarray(coarse_new, jnp.float32)[jnp.asarray(new_lists)]
             if self.by_residual else x
         )
         codes = self.sq.quantize(enc_in.astype(jnp.float32))
         y = self.sq.dequantize(codes)
-        pos = jnp.asarray(rows_idx, jnp.int32)
-        self._flat_codes = self._flat_codes.at[pos].set(codes)
-        self._flat_sqn = self._flat_sqn.at[pos].set(jnp.sum(y * y, axis=-1))
+        return {"codes": codes, "sqn": jnp.sum(y * y, axis=-1)}
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
-            packed, ids = _pack_buckets(
-                self._flat_lists, self.nlist, self.max_list_size,
-                {"codes": self._flat_codes, "sqn": self._flat_sqn},
-            )
             self._buckets = {
-                "codes": packed["codes"], "sqn": packed["sqn"], "ids": ids,
+                "codes": self._pool.data["codes"],
+                "sqn": self._pool.data["sqn"],
+                "ids": self._pool.slot_ids,
+                "chains": self._pool.chains_search(),
             }
         return self._buckets
 
@@ -1287,22 +1366,24 @@ class IVFSQIndex(_IVFScanBase):
         return _ivf_sq_search_jit(
             q, self.coarse, self.sq.mins, self.sq.steps,
             buckets["codes"], buckets["sqn"], buckets["ids"],
-            nprobe, k, self.metric, self.by_residual, use_pallas, interpret,
+            buckets["chains"], nprobe, k, self._pool.cap, self.metric,
+            self.by_residual, use_pallas, interpret,
         )
 
     def _range(self, q, buckets, nprobe, fetch, radius):
         return _ivf_sq_range_jit(
             q, self.coarse, self.sq.mins, self.sq.steps,
             buckets["codes"], buckets["sqn"], buckets["ids"],
-            nprobe, fetch, radius, self.metric, self.by_residual,
+            buckets["chains"], nprobe, fetch, self._pool.cap, radius,
+            self.metric, self.by_residual,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded rows for stored ids (residual decode + centroid)."""
-        if self._flat_codes is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty")
         ids = jnp.asarray(ids, jnp.int32)
-        y = self.sq.dequantize(jnp.take(self._flat_codes, ids, axis=0))
+        y = self.sq.dequantize(self._pool.gather_rows("codes", ids))
         if self.by_residual:
             y = y + jnp.take(
                 self.coarse, jnp.take(self._flat_lists, ids), axis=0
@@ -1323,15 +1404,16 @@ class IVFSQIndex(_IVFScanBase):
                 "coarse": np.asarray(self.coarse),
                 "mins": np.asarray(self.sq.mins),
                 "maxs": np.asarray(self.sq.maxs),
-                "codes": (
-                    np.asarray(self._flat_codes)
-                    if self._flat_codes is not None
-                    else np.zeros((0, self.dim), np.uint8)
-                ),
-                "sqn": (
-                    np.asarray(self._flat_sqn)
-                    if self._flat_sqn is not None
-                    else np.zeros((0,), np.float32)
+                **(
+                    {
+                        k: np.asarray(v)
+                        for k, v in self._pool.to_flat().items()
+                    }
+                    if self._pool is not None and self._pool.n_rows
+                    else {
+                        "codes": np.zeros((0, self.dim), np.uint8),
+                        "sqn": np.zeros((0,), np.float32),
+                    }
                 ),
                 "lists": (
                     np.asarray(self._flat_lists)
@@ -1358,9 +1440,12 @@ class IVFSQIndex(_IVFScanBase):
             max_list_size=config.get("max_list_size"),
         )
         if arrays["codes"].shape[0]:
-            idx._flat_codes = jnp.asarray(arrays["codes"])
-            idx._flat_sqn = jnp.asarray(arrays["sqn"])
-            idx._flat_lists = jnp.asarray(arrays["lists"])
+            lists = jnp.asarray(arrays["lists"])
+            idx._pool_append(lists, {
+                "codes": jnp.asarray(arrays["codes"]),
+                "sqn": jnp.asarray(arrays["sqn"]),
+            })
+            idx._flat_lists = lists
         return idx
 
     def __repr__(self) -> str:
@@ -1396,11 +1481,13 @@ class IVFRQIndex(_IVFScanBase):
         by_residual: bool = True,
         beam: int = 1,
         max_list_size: Optional[int] = None,
+        chunk_rows: int = 256,
     ):
         from vq_tpu.models.rq import ResidualQuantizer
 
         super().__init__(
-            coarse_centroids, metric=metric, max_list_size=max_list_size
+            coarse_centroids, metric=metric, max_list_size=max_list_size,
+            chunk_rows=chunk_rows,
         )
         if not isinstance(rq, ResidualQuantizer):
             raise InvalidParameter(
@@ -1413,9 +1500,16 @@ class IVFRQIndex(_IVFScanBase):
         self.rq = rq
         self.by_residual = bool(by_residual)
         self.beam = int(beam)
-        self._flat_codes: Optional[jnp.ndarray] = None  # [n, S] (device)
-        self._flat_sqn: Optional[jnp.ndarray] = None  # [n] f32 ||ŷ||²
-        self._flat_cross: Optional[jnp.ndarray] = None  # [n] f32 c·ŷ
+
+    def _payload_specs(self) -> dict:
+        code_dt = (
+            jnp.uint8 if self.rq.num_centroids <= 256 else jnp.int32
+        )
+        return {
+            "codes": ((self.rq.num_stages,), code_dt),
+            "sqn": ((), jnp.float32),
+            "cross": ((), jnp.float32),
+        }
 
     @classmethod
     def train(
@@ -1480,86 +1574,59 @@ class IVFRQIndex(_IVFScanBase):
         x = x.astype(jnp.float32)
         lists_j, _ = assign(x, self.coarse)
         codes, sqn, cross = self._encode_rows(x, lists_j, self.coarse)
-        if self._flat_codes is None:
-            self._flat_codes, self._flat_sqn, self._flat_cross = (
-                codes, sqn, cross
-            )
-        else:
-            self._flat_codes = jnp.concatenate([self._flat_codes, codes])
-            self._flat_sqn = jnp.concatenate([self._flat_sqn, sqn])
-            self._flat_cross = jnp.concatenate([self._flat_cross, cross])
-        self._append_lists(lists_j)
-
-    def _compact_payload(self, mask) -> None:
-        from vq_tpu.search import _compact_rows
-
-        self._flat_codes, self._flat_sqn, self._flat_cross = _compact_rows(
-            mask, self._flat_codes, self._flat_sqn, self._flat_cross
+        self._pool_append(
+            lists_j, {"codes": codes, "sqn": sqn, "cross": cross}
         )
+        self._append_lists(lists_j)
 
     _merge_attrs = ("by_residual",)
 
     def _merge_arrays(self, other: "IVFRQIndex"):
         return (("RQ codebooks", self.rq._cbs, other.rq._cbs),)
 
-    def _merge_payload(self, other: "IVFRQIndex") -> None:
-        from vq_tpu.search import _concat_rows
-
-        self._flat_codes = _concat_rows(self._flat_codes, other._flat_codes)
-        self._flat_sqn = _concat_rows(self._flat_sqn, other._flat_sqn)
-        self._flat_cross = _concat_rows(
-            self._flat_cross, other._flat_cross
-        )
-        other._flat_codes = other._flat_sqn = other._flat_cross = None
-
     def _member_vectors(self, rows_idx: np.ndarray) -> jnp.ndarray:
         # Reconstruct from codes + the CURRENT (pre-rebalance) centroid.
         return self.reconstruct(rows_idx)
 
-    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new) -> None:
+    def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
         codes, sqn, cross = self._encode_rows(
             jnp.asarray(x, jnp.float32), jnp.asarray(new_lists), coarse_new
         )
-        pos = jnp.asarray(rows_idx, jnp.int32)
-        self._flat_codes = self._flat_codes.at[pos].set(codes)
-        self._flat_sqn = self._flat_sqn.at[pos].set(sqn)
-        self._flat_cross = self._flat_cross.at[pos].set(cross)
+        return {"codes": codes, "sqn": sqn, "cross": cross}
 
     def _build_buckets(self) -> dict:
         if self._buckets is None:
-            packed, ids = _pack_buckets(
-                self._flat_lists, self.nlist, self.max_list_size,
-                {
-                    "codes": self._flat_codes,
-                    "sqn": self._flat_sqn,
-                    "cross": self._flat_cross,
-                },
-            )
-            self._buckets = {**packed, "ids": ids}
+            self._buckets = {
+                "codes": self._pool.data["codes"],
+                "sqn": self._pool.data["sqn"],
+                "cross": self._pool.data["cross"],
+                "ids": self._pool.slot_ids,
+                "chains": self._pool.chains_search(),
+            }
         return self._buckets
 
     def _scan(self, q, buckets, nprobe, k, use_pallas=False, interpret=False):
         return _ivf_rq_search_jit(
             q, self.coarse, self.rq.codebooks,
             buckets["codes"], buckets["sqn"], buckets["cross"],
-            buckets["ids"], nprobe, k, self.metric, self.by_residual,
-            use_pallas, interpret,
+            buckets["ids"], buckets["chains"], nprobe, k, self._pool.cap,
+            self.metric, self.by_residual, use_pallas, interpret,
         )
 
     def _range(self, q, buckets, nprobe, fetch, radius):
         return _ivf_rq_range_jit(
             q, self.coarse, self.rq.codebooks,
             buckets["codes"], buckets["sqn"], buckets["cross"],
-            buckets["ids"], nprobe, fetch, radius, self.metric,
-            self.by_residual,
+            buckets["ids"], buckets["chains"], nprobe, fetch,
+            self._pool.cap, radius, self.metric, self.by_residual,
         )
 
     def reconstruct(self, ids) -> jnp.ndarray:
         """Decoded rows for stored ids (additive decode + centroid)."""
-        if self._flat_codes is None:
+        if self._pool is None or self._pool.n_rows == 0:
             raise EmptyInput("index is empty")
         ids = jnp.asarray(ids, jnp.int32)
-        y = self.rq.decode(jnp.take(self._flat_codes, ids, axis=0))
+        y = self.rq.decode(self._pool.gather_rows("codes", ids))
         if self.by_residual:
             y = y + jnp.take(
                 self.coarse, jnp.take(self._flat_lists, ids), axis=0
@@ -1580,20 +1647,17 @@ class IVFRQIndex(_IVFScanBase):
             {
                 "coarse": np.asarray(self.coarse),
                 "codebooks": np.asarray(self.rq.codebooks),
-                "codes": (
-                    np.asarray(self._flat_codes)
-                    if self._flat_codes is not None
-                    else np.zeros((0, S), np.uint8)
-                ),
-                "sqn": (
-                    np.asarray(self._flat_sqn)
-                    if self._flat_sqn is not None
-                    else np.zeros((0,), np.float32)
-                ),
-                "cross": (
-                    np.asarray(self._flat_cross)
-                    if self._flat_cross is not None
-                    else np.zeros((0,), np.float32)
+                **(
+                    {
+                        k: np.asarray(v)
+                        for k, v in self._pool.to_flat().items()
+                    }
+                    if self._pool is not None and self._pool.n_rows
+                    else {
+                        "codes": np.zeros((0, S), np.uint8),
+                        "sqn": np.zeros((0,), np.float32),
+                        "cross": np.zeros((0,), np.float32),
+                    }
                 ),
                 "lists": (
                     np.asarray(self._flat_lists)
@@ -1621,10 +1685,13 @@ class IVFRQIndex(_IVFScanBase):
             max_list_size=config.get("max_list_size"),
         )
         if arrays["codes"].shape[0]:
-            idx._flat_codes = jnp.asarray(arrays["codes"])
-            idx._flat_sqn = jnp.asarray(arrays["sqn"])
-            idx._flat_cross = jnp.asarray(arrays["cross"])
-            idx._flat_lists = jnp.asarray(arrays["lists"])
+            lists = jnp.asarray(arrays["lists"])
+            idx._pool_append(lists, {
+                "codes": jnp.asarray(arrays["codes"]),
+                "sqn": jnp.asarray(arrays["sqn"]),
+                "cross": jnp.asarray(arrays["cross"]),
+            })
+            idx._flat_lists = lists
         return idx
 
     def __repr__(self) -> str:

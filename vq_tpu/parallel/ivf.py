@@ -1,10 +1,11 @@
 """Multi-device IVF-PQ search — inverted lists sharded across the mesh.
 
 Serving a corpus too large for one chip's HBM means sharding the bucket
-structure itself. The TPU-native layout: shard the ``nlist`` axis of
-``bucket_codes [nlist, cap, m]`` / ``bucket_ids [nlist, cap]`` over the
-mesh's data axis; the coarse centroids, codebooks, and queries replicate
-(all KB-scale). Per query:
+structure itself. The TPU-native layout: each shard owns a contiguous
+range of lists — its lists' chunks (vq_tpu.ivf_pool) gather into a
+per-shard block of the code pool, sharded over the mesh's data axis; the
+coarse centroids, codebooks, and queries replicate (all KB-scale). Per
+query:
 
 1. **Coarse scan + probe selection** — replicated: every device computes
    the same ``[Q, nprobe]`` probe set (one small matmul, no collective).
@@ -30,6 +31,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vq_tpu.errors import DimensionMismatch
+from vq_tpu.ivf_pool import take_list_ids, take_list_payload
+from vq_tpu.parallel.ivf_scan import _shard_lists
 from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 __all__ = [
@@ -37,36 +40,27 @@ __all__ = [
 ]
 
 
-def shard_buckets(bucket_codes, bucket_ids, mesh: Optional[Mesh] = None):
-    """Place padded-dense buckets list-sharded on the mesh's data axis.
-
-    Pads ``nlist`` up to a multiple of the axis size (pad lists are empty:
-    ids −1). Returns ``(bucket_codes, bucket_ids, mesh)``.
-    """
+def shard_buckets(index, mesh: Optional[Mesh] = None):
+    """Place an index's chunk-pool storage list-sharded on the mesh's
+    data axis (shard s owns lists ``[s·L, (s+1)·L)``; its lists' chunks
+    gather into a per-shard pool block with block-local chains). Returns
+    ``(slot_ids, codes, chains, cap, mesh)`` — the first three sharded
+    along axis 0. Cached on the index per (mesh, pool build)."""
     if mesh is None:
         mesh = make_mesh()
-    ndev = mesh.shape[DATA_AXIS]
-    codes = jnp.asarray(bucket_codes)
-    ids = jnp.asarray(bucket_ids)
-    nlist = codes.shape[0]
-    pad = (-nlist) % ndev
-    if pad:
-        codes = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
-        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
-    spec = NamedSharding(mesh, P(DATA_AXIS))
-    return (
-        jax.device_put(codes, spec),
-        jax.device_put(ids, spec),
-        mesh,
-    )
+    (ids, codes, chains), cap = _shard_lists(mesh, index, ("codes",))
+    return ids, codes, chains, cap, mesh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "mesh", "metric", "by_residual"),
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "cap", "mesh", "metric", "by_residual"
+    ),
 )
 def _sharded_ivf_search_jit(
-    q, coarse, cb, bucket_codes, bucket_ids, nprobe: int, k: int, mesh: Mesh,
-    metric: str = "l2", by_residual: bool = True,
+    q, coarse, cb, slot_ids, pool_codes, chains, nprobe: int, k: int,
+    cap: int, mesh: Mesh, metric: str = "l2", by_residual: bool = True,
 ):
     """Internally smaller-is-better, like the single-device jit: dot tables
     are negated (plus a replicated ``q.c_probe`` offset for residual-coded
@@ -74,7 +68,7 @@ def _sharded_ivf_search_jit(
     Q, d = q.shape
     m, kk, s = cb.shape
     nlist = coarse.shape[0]
-    nlist_pad = bucket_ids.shape[0]
+    nlist_pad = chains.shape[0]
     ndev = mesh.shape[DATA_AXIS]
     shard_lists = nlist_pad // ndev
 
@@ -119,15 +113,18 @@ def _sharded_ivf_search_jit(
         tables = rr[..., None] + cbcb[None, None] - 2.0 * rc  # [Q,np,m,kk]
         offset = jnp.zeros((Q, nprobe), jnp.float32)
 
-    def local(codes_shard, ids_shard, probe, tables, offset):
-        # codes_shard: [shard_lists, cap, m]; list l is global id
-        # base + l where base = axis_index * shard_lists.
+    def local(ids_shard, codes_shard, chains_shard, probe, tables, offset):
+        # chains_shard: [shard_lists, maxc_s] block-local chunk ids into
+        # codes_shard [M, CH, m]; list l is global id base + l where
+        # base = axis_index * shard_lists.
         base = jax.lax.axis_index(DATA_AXIS) * shard_lists
         local_probe = probe - base  # [Q, np]; out-of-shard -> clamp + mask
         in_shard = (local_probe >= 0) & (local_probe < shard_lists)
         lp = jnp.clip(local_probe, 0, shard_lists - 1)
-        codes = jnp.take(codes_shard, lp, axis=0)  # [Q, np, cap, m]
-        ids = jnp.take(ids_shard, lp, axis=0)  # [Q, np, cap]
+        codes = take_list_payload(
+            codes_shard, chains_shard, lp
+        )  # [Q, np, ce, m]
+        ids = take_list_ids(ids_shard, chains_shard, lp, cap)  # [Q, np, ce]
         dist = jnp.broadcast_to(
             offset[:, :, None], codes.shape[:3]
         ).astype(jnp.float32)
@@ -151,10 +148,12 @@ def _sharded_ivf_search_jit(
     ids, dist = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        in_specs=(
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()
+        ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(bucket_codes, bucket_ids, probe, tables, offset)
+    )(slot_ids, pool_codes, chains, probe, tables, offset)
     ids = jnp.where(jnp.isinf(dist), -1, ids)
     return ids, dist
 
@@ -199,25 +198,26 @@ def sharded_ivf_search_core(
     :meth:`vq_tpu.serving.BatchPipeline.from_core` to chain many query
     batches into one sharded dispatch; the bucket arrays come back
     mesh-placed."""
-    bucket_codes, bucket_ids = index._build_buckets()
-    bucket_codes, bucket_ids, mesh = shard_buckets(
-        bucket_codes, bucket_ids, mesh
-    )
+    from vq_tpu.errors import EmptyInput
+
+    if index._flat_lists is None:
+        raise EmptyInput("index is empty — add() vectors first")
+    slot_ids, pool_codes, chains, cap, mesh = shard_buckets(index, mesh)
     k = int(k)
     nprobe = min(int(nprobe), index.nlist)
-    pool = nprobe * int(bucket_ids.shape[1])
-    kk = min(k, pool)
+    ce = int(chains.shape[1]) * int(slot_ids.shape[1])
+    kk = min(k, nprobe * ce)
     metric = getattr(index, "metric", "l2")
     by_residual = index.by_residual
     coarse, cbs = index.coarse, index.pq.codebooks
 
-    def fn(q, coarse, cbs, bcodes, bids):
+    def fn(q, coarse, cbs, bids, bcodes, bchains):
         ids, dist = _sharded_ivf_search_jit(
-            q, coarse, cbs, bcodes, bids, nprobe, kk, mesh,
+            q, coarse, cbs, bids, bcodes, bchains, nprobe, kk, cap, mesh,
             metric=metric, by_residual=by_residual,
         )
         if metric == "dot":
             dist = -dist  # back to descending scores; pads become -inf
         return ids, dist
 
-    return fn, (coarse, cbs, bucket_codes, bucket_ids)
+    return fn, (coarse, cbs, slot_ids, pool_codes, chains)

@@ -1,12 +1,14 @@
 """Multi-device IVF-Flat/SQ/RQ/Binary search — lists sharded on the mesh.
 
 The same serving layout as :func:`vq_tpu.parallel.ivf.sharded_ivf_search`
-(IVF-PQ), generalized to the whole IVF coding ladder: bucket arrays are
-sharded along the ``nlist`` axis, the coarse centroids / quantizer
-parameters / queries replicate, and each device scans only the probed
-lists that live in its shard (out-of-shard probe slots masked to +inf)
-before one ``[Q, k]`` ``all_gather`` + re-top-k merge. Communication is
-O(devices · Q · k), independent of corpus size.
+(IVF-PQ), generalized to the whole IVF coding ladder: each shard owns a
+contiguous range of lists — its lists' CHUNKS (vq_tpu.ivf_pool) gather
+into a per-shard block of the pool, chains relabel to block-local chunk
+ids, and the blocks shard along the mesh's data axis while the coarse
+centroids / quantizer parameters / queries replicate. Each device scans
+only the probed lists that live in its shard (out-of-shard probe slots
+masked to +inf) before one ``[Q, k]`` ``all_gather`` + re-top-k merge.
+Communication is O(devices · Q · k), independent of corpus size.
 
 The per-probe-rank distance math is literally the single-device code:
 :mod:`vq_tpu.ivf_flat` exposes its scan bodies as ``body(pg, pl)``
@@ -42,31 +44,71 @@ from vq_tpu.parallel.mesh import DATA_AXIS, make_mesh
 __all__ = ["sharded_ivf_scan_search", "sharded_scan_search_core"]
 
 
-def _shard_lists(mesh: Mesh, index, ids, *payloads):
-    """Pad ``nlist`` to a multiple of the data-axis size and place every
-    bucket array list-sharded. Pad lists are empty (ids −1). The sharded
-    placement is cached on the index per (mesh, bucket build) — serving
-    loops must not re-broadcast the whole bucket structure every batch."""
+def _shard_lists(mesh: Mesh, index, payload_names):
+    """Gather each shard's lists' chunks into a contiguous per-shard
+    pool block and place everything list-sharded: shard ``s`` owns lists
+    ``[s·L, (s+1)·L)`` (``nlist`` padded to a multiple of the data-axis
+    size; pad lists are empty), its block holds exactly those lists'
+    chunks (padded to the largest shard's count with −1-id chunks), and
+    the chains relabel to BLOCK-LOCAL chunk ids so the scan bodies work
+    unchanged inside ``shard_map``. Returns ``[ids, *payloads, chains]``
+    all sharded along axis 0, plus the static searched cap. Cached on
+    the index per (mesh, pool build) — serving loops must not
+    re-broadcast the structure every batch."""
+    import numpy as np
+
+    pool = index._pool
     cache = getattr(index, "_shard_cache", None)
     if (
         cache is not None
         and cache[0] is mesh
-        and cache[1] is ids  # _build_buckets caches; identity = same build
+        and cache[1] is pool.slot_ids  # identity = same build
     ):
         return cache[2]
     ndev = mesh.shape[DATA_AXIS]
-    nlist = jnp.asarray(ids).shape[0]
-    pad = (-nlist) % ndev
-    out = []
-    for pos, arr in enumerate((ids, *payloads)):
-        arr = jnp.asarray(arr)
-        if pad:
-            widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-            arr = jnp.pad(
-                arr, widths, constant_values=-1 if pos == 0 else 0
-            )
-        out.append(jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS))))
-    index._shard_cache = (mesh, ids, out)
+    nlist = pool.nlist
+    nlist_pad = -(-nlist // ndev) * ndev
+    L = nlist_pad // ndev
+    maxc_s = max(1, -(-pool.cap // pool.ch))
+    chains_h = pool._chains_h[:, : pool._chains_h.shape[1]]
+    shard_chunks = []  # per shard: list of global chunk ids
+    for sdev in range(ndev):
+        lo, hi = sdev * L, min((sdev + 1) * L, nlist)
+        chunks = []
+        for l in range(lo, hi):
+            for c in chains_h[l][:maxc_s]:
+                if c < 0:
+                    break
+                chunks.append(int(c))
+        shard_chunks.append(chunks)
+    M = max(1, max(len(c) for c in shard_chunks))
+    perm = np.full((ndev, M), -1, np.int64)
+    chains_local = np.full((nlist_pad, maxc_s), -1, np.int32)
+    for sdev, chunks in enumerate(shard_chunks):
+        perm[sdev, : len(chunks)] = chunks
+        pos_of = {c: j for j, c in enumerate(chunks)}
+        lo, hi = sdev * L, min((sdev + 1) * L, nlist)
+        for l in range(lo, hi):
+            for j, c in enumerate(chains_h[l][:maxc_s]):
+                if c < 0:
+                    break
+                chains_local[l, j] = pos_of[int(c)]
+    perm_flat = jnp.asarray(perm.reshape(-1))
+    alive = (perm_flat >= 0)[:, None]
+    safe = jnp.maximum(perm_flat, 0)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    out = [
+        jax.device_put(
+            jnp.where(alive, jnp.take(pool.slot_ids, safe, axis=0), -1), sh
+        )
+    ]
+    for name in payload_names:
+        out.append(
+            jax.device_put(jnp.take(pool.data[name], safe, axis=0), sh)
+        )
+    out.append(jax.device_put(jnp.asarray(chains_local), sh))
+    out = (out, pool.cap)
+    index._shard_cache = (mesh, pool.slot_ids, out)
     return out
 
 
@@ -112,49 +154,59 @@ def _run(local, mesh, nrep, nbuckets, probe, rep, buckets):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "mesh")
+    jax.jit, static_argnames=("nprobe", "k", "cap", "metric", "mesh")
 )
-def _sharded_flat_jit(q, coarse, rows, sqn, ids, nprobe, k, metric, mesh):
+def _sharded_flat_jit(
+    q, coarse, ids, rows, sqn, chains, nprobe, k, cap, metric, mesh
+):
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, metric)
     qn2 = jnp.sum(q * q, axis=-1)
-    def factory(q_, qn2_, r, s, i):
-        return _flat_scan_body(q_, qn2_, metric, r, s, i)
+
+    def factory(q_, qn2_, i, r, s, ch_):
+        return _flat_scan_body(q_, qn2_, metric, r, s, i, ch_, cap)
 
     local = _local_scan(
-        factory, 2, Q, nprobe, k, ids.shape[0] // mesh.shape[DATA_AXIS]
+        factory, 2, Q, nprobe, k, chains.shape[0] // mesh.shape[DATA_AXIS]
     )
-    return _run(local, mesh, 2, 3, probe, (q, qn2), (rows, sqn, ids))
+    return _run(
+        local, mesh, 2, 4, probe, (q, qn2), (ids, rows, sqn, chains)
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual", "mesh")
+    jax.jit,
+    static_argnames=("nprobe", "k", "cap", "metric", "by_residual", "mesh"),
 )
 def _sharded_sq_jit(
-    q, coarse, lo, step, codes, sqn, ids, nprobe, k, metric, by_residual, mesh
+    q, coarse, lo, step, ids, codes, sqn, chains,
+    nprobe, k, cap, metric, by_residual, mesh,
 ):
     Q = q.shape[0]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
 
-    def factory(q_, qc_, coarse_, lo_, step_, c, s, i):
+    def factory(q_, qc_, coarse_, lo_, step_, i, c, s, ch_):
         return _sq_scan_body(
-            q_, qc_, coarse_, lo_, step_, metric, by_residual, c, s, i
+            q_, qc_, coarse_, lo_, step_, metric, by_residual,
+            c, s, i, ch_, cap,
         )
 
     local = _local_scan(
-        factory, 5, Q, nprobe, k, ids.shape[0] // mesh.shape[DATA_AXIS]
+        factory, 5, Q, nprobe, k, chains.shape[0] // mesh.shape[DATA_AXIS]
     )
     return _run(
-        local, mesh, 5, 3, probe, (q, qc, coarse, lo, step), (codes, sqn, ids)
+        local, mesh, 5, 4, probe, (q, qc, coarse, lo, step),
+        (ids, codes, sqn, chains),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "by_residual", "mesh")
+    jax.jit,
+    static_argnames=("nprobe", "k", "cap", "metric", "by_residual", "mesh"),
 )
 def _sharded_rq_jit(
-    q, coarse, codebooks, codes, sqn, cross, ids,
-    nprobe, k, metric, by_residual, mesh,
+    q, coarse, codebooks, ids, codes, sqn, cross, chains,
+    nprobe, k, cap, metric, by_residual, mesh,
 ):
     Q = q.shape[0]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
@@ -166,34 +218,37 @@ def _sharded_rq_jit(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    def factory(q_, qn2_, qc_, cc_, tab_, c, s, x, i):
+    def factory(q_, qn2_, qc_, cc_, tab_, i, c, s, x, ch_):
         return _rq_scan_body(
-            q_, qn2_, qc_, cc_, tab_, metric, by_residual, c, s, x, i
+            q_, qn2_, qc_, cc_, tab_, metric, by_residual,
+            c, s, x, i, ch_, cap,
         )
 
     local = _local_scan(
-        factory, 5, Q, nprobe, k, ids.shape[0] // mesh.shape[DATA_AXIS]
+        factory, 5, Q, nprobe, k, chains.shape[0] // mesh.shape[DATA_AXIS]
     )
     return _run(
-        local, mesh, 5, 4, probe,
-        (q, qn2, qc, cc, tables), (codes, sqn, cross, ids),
+        local, mesh, 5, 5, probe,
+        (q, qn2, qc, cc, tables), (ids, codes, sqn, cross, chains),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "mesh")
+    jax.jit, static_argnames=("nprobe", "k", "cap", "mesh")
 )
-def _sharded_binary_jit(q, qp, coarse, codes, ids, nprobe, k, mesh):
+def _sharded_binary_jit(
+    q, qp, coarse, ids, codes, chains, nprobe, k, cap, mesh
+):
     Q = q.shape[0]
     probe, _ = _coarse_probe(q, coarse, nprobe, "l2")
 
-    def factory(qp_, c, i):
-        return _binary_scan_body(qp_, c, i)
+    def factory(qp_, i, c, ch_):
+        return _binary_scan_body(qp_, c, i, ch_, cap)
 
     local = _local_scan(
-        factory, 1, Q, nprobe, k, ids.shape[0] // mesh.shape[DATA_AXIS]
+        factory, 1, Q, nprobe, k, chains.shape[0] // mesh.shape[DATA_AXIS]
     )
-    return _run(local, mesh, 1, 2, probe, (qp,), (codes, ids))
+    return _run(local, mesh, 1, 3, probe, (qp,), (ids, codes, chains))
 
 
 def sharded_ivf_scan_search(
@@ -252,59 +307,54 @@ def sharded_scan_search_core(
         raise EmptyInput("index is empty — add() vectors first")
     if mesh is None:
         mesh = make_mesh()
-    buckets = index._build_buckets()
     k = int(k)
     nprobe = min(int(nprobe), index.nlist)
-    pool = nprobe * int(buckets["ids"].shape[1])
-    kk = min(k, pool)
     metric = index.metric
     coarse = index.coarse
 
     if isinstance(index, IVFFlatIndex):
-        sharded = _shard_lists(
-            mesh, index, buckets["ids"], buckets["rows"], buckets["sqn"]
-        )
+        sharded, cap = _shard_lists(mesh, index, ("rows", "sqn"))
+        kk = min(k, nprobe * int(sharded[-1].shape[1]) * index._pool.ch)
 
-        def scan(q, ids, rows, sqn):
+        def scan(q, ids, rows, sqn, chains):
             return _sharded_flat_jit(
-                q, coarse, rows, sqn, ids, nprobe, kk, metric, mesh
+                q, coarse, ids, rows, sqn, chains,
+                nprobe, kk, cap, metric, mesh,
             )
 
     elif isinstance(index, IVFSQIndex):
-        sharded = _shard_lists(
-            mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"]
-        )
+        sharded, cap = _shard_lists(mesh, index, ("codes", "sqn"))
+        kk = min(k, nprobe * int(sharded[-1].shape[1]) * index._pool.ch)
         lo, step, by_res = index.sq.mins, index.sq.steps, index.by_residual
 
-        def scan(q, ids, codes, sqn):
+        def scan(q, ids, codes, sqn, chains):
             return _sharded_sq_jit(
-                q, coarse, lo, step, codes, sqn, ids,
-                nprobe, kk, metric, by_res, mesh,
+                q, coarse, lo, step, ids, codes, sqn, chains,
+                nprobe, kk, cap, metric, by_res, mesh,
             )
 
     elif isinstance(index, IVFRQIndex):
-        sharded = _shard_lists(
-            mesh, index, buckets["ids"], buckets["codes"], buckets["sqn"],
-            buckets["cross"],
+        sharded, cap = _shard_lists(
+            mesh, index, ("codes", "sqn", "cross")
         )
+        kk = min(k, nprobe * int(sharded[-1].shape[1]) * index._pool.ch)
         cbs, by_res = index.rq.codebooks, index.by_residual
 
-        def scan(q, ids, codes, sqn, cross):
+        def scan(q, ids, codes, sqn, cross, chains):
             return _sharded_rq_jit(
-                q, coarse, cbs, codes, sqn, cross, ids,
-                nprobe, kk, metric, by_res, mesh,
+                q, coarse, cbs, ids, codes, sqn, cross, chains,
+                nprobe, kk, cap, metric, by_res, mesh,
             )
 
     else:  # IVFBinaryIndex — guarded above
-        sharded = _shard_lists(
-            mesh, index, buckets["ids"], buckets["codes"]
-        )
+        sharded, cap = _shard_lists(mesh, index, ("codes",))
+        kk = min(k, nprobe * int(sharded[-1].shape[1]) * index._pool.ch)
         bq = index.bq
 
-        def scan(q, ids, codes):
+        def scan(q, ids, codes, chains):
             qp = bq.quantize_packed(q)
             return _sharded_binary_jit(
-                q, qp, coarse, codes, ids, nprobe, kk, mesh
+                q, qp, coarse, ids, codes, chains, nprobe, kk, cap, mesh
             )
 
     def fn(q, *arrs):
