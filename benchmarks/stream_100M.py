@@ -13,11 +13,21 @@ reference.
 
 Checkpoint/kill/resume at scale (the round-3 verdict's ask): the running
 ``(centroids [m,k,s], counts [m,k], cursor)`` state checkpoints to one
-npz after every superblock (~1.6 MB — the only thing that ever crosses
-the tunnel); ``--kill-after S`` aborts the process mid-run after S
-superblocks, and ``--resume`` continues from the cursor with the same
-per-block key schedule, so a resumed run consumes exactly the blocks the
-uninterrupted run would have.
+npz (~1.6 MB — the only thing that ever crosses the tunnel);
+``--kill-after S`` aborts the process mid-run after S superblocks, and
+``--resume`` continues from the cursor with the same per-block key
+schedule, so a resumed run consumes exactly the blocks the uninterrupted
+run would have (a checkpoint may lag the kill by up to ``--ckpt-every``
+superblocks — the resumed run deterministically recomputes them).
+
+Checkpointing is OFF the training critical path (the round-4 verdict:
+the serialized after-every-superblock device->host pull + np.savez spent
+>50% of wall clock in tunnel transfer): superblock i+1 is dispatched
+asynchronously BEFORE superblock i's state is pulled — the update is
+functional, the old device arrays are immutable — and only every
+``--ckpt-every``-th state is saved at all. The artifact records both the
+end-to-end sustained rate and the per-superblock device rates so the
+overlap efficiency is auditable.
 
 Final quality: the streamed codebooks' PQ inertia on a held-out 1M-row
 eval sample vs codebooks trained by FULL 10-iteration Lloyd
@@ -156,6 +166,8 @@ def main(argv=None) -> int:
     p.add_argument("--block-rows", type=int, default=131_072)
     p.add_argument("--blocks-per-superblock", type=int, default=48)
     p.add_argument("--n-eval", type=int, default=1_000_000)
+    p.add_argument("--ckpt-every", type=int, default=4,
+                   help="checkpoint every Nth superblock (plus the last)")
     p.add_argument("--kill-after", type=int, default=0,
                    help="abort (exit 42) after this many superblocks — "
                    "simulates a mid-run failure for the resume test")
@@ -227,25 +239,38 @@ def main(argv=None) -> int:
 
     superblock = build_step(centers, m, k, sub, args.block_rows)
     sb = args.blocks_per_superblock
+    ckpt_every = max(1, int(args.ckpt_every))
+
+    def save_ckpt(state):
+        cents_p, counts_p, cursor_p = state
+        np.savez(args.checkpoint, centroids=np.asarray(cents_p),
+                 counts=np.asarray(counts_p), cursor=cursor_p)
 
     t_start = time.perf_counter()
     rows_done = 0
     n_super = 0
+    sb_times = []
+    prev_state = None  # (cents, counts, cursor) of the LAST superblock
+    t_prev = time.perf_counter()
     while not args.eval_only and cursor < n_blocks:
         ids = jnp.arange(
             cursor, min(cursor + sb, n_blocks), dtype=jnp.int32
         )
-        t0 = time.perf_counter()
+        # Dispatch (async) FIRST, then do host work (checkpoint pull +
+        # savez of the previous, already-complete state) while the
+        # device runs — the functional update never mutates prev arrays.
         cents, counts, inert = superblock(cents, counts, ids)
-        inert_f = float(inert)  # forces completion (data-dependent)
-        dt = time.perf_counter() - t0
+        if prev_state is not None and n_super % ckpt_every == 0:
+            save_ckpt(prev_state)
         cursor += int(ids.shape[0])
         rows_done += int(ids.shape[0]) * args.block_rows
         n_super += 1
-        # Checkpoint: the full resumable state is ~1.6 MB.
-        c_host, ct_host = np.asarray(cents), np.asarray(counts)
-        np.savez(args.checkpoint, centroids=c_host, counts=ct_host,
-                 cursor=cursor)
+        inert_f = float(inert)  # forces completion (data-dependent)
+        t_now = time.perf_counter()
+        dt = t_now - t_prev
+        t_prev = t_now
+        sb_times.append(dt)
+        prev_state = (cents, counts, cursor)
         vps = int(ids.shape[0]) * args.block_rows / dt
         print(
             f"superblock {n_super}: blocks {cursor}/{n_blocks}, "
@@ -254,6 +279,7 @@ def main(argv=None) -> int:
             flush=True,
         )
         if args.kill_after and n_super >= args.kill_after:
+            save_ckpt(prev_state)  # flush so --resume has this state
             emit(
                 phase="killed",
                 blocks_done=cursor,
@@ -263,7 +289,15 @@ def main(argv=None) -> int:
             os._exit(42)  # hard abort: no cleanup, like a real failure
 
     wall = time.perf_counter() - t_start
+    if not args.eval_only and prev_state is not None:
+        save_ckpt(prev_state)  # final state, synchronous
     if not args.eval_only:
+        sb_rows = sb * args.block_rows
+        # Steady-state per-superblock device rate: the first superblock
+        # carries the compile; the median of the rest is the device
+        # truth the sustained end-to-end number is judged against.
+        steady = sorted(sb_times[1:]) or sb_times
+        med = steady[len(steady) // 2]
         emit(
             phase="train",
             config="pq16x256_stream",
@@ -275,6 +309,18 @@ def main(argv=None) -> int:
             rows_this_run=rows_done,
             wall_s=round(wall, 2),
             sustained_vectors_per_sec=round(rows_done / wall, 1),
+            superblock_device_rows_per_sec=round(sb_rows / med, 1),
+            superblock_s_p10=round(
+                steady[max(0, len(steady) // 10)], 3
+            ),
+            superblock_s_median=round(med, 3),
+            superblock_s_p90=round(
+                steady[min(len(steady) - 1, 9 * len(steady) // 10)], 3
+            ),
+            sustained_over_device=round(
+                (rows_done / wall) / (sb_rows / med), 3
+            ),
+            ckpt_every=ckpt_every,
             resumed=bool(args.resume),
             hbm_peak_bytes=hbm_peak_bytes(),
             checkpoint_bytes=os.path.getsize(args.checkpoint),
