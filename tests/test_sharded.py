@@ -854,3 +854,67 @@ class TestShardedStreaming:
                 jnp.zeros((2, 4, 4)), jnp.zeros((2, 4)),
                 jnp.zeros((130, 8)), mesh=mesh,
             )
+
+
+class TestOverlapSplit:
+    """Perf-backlog #5: the two-half psum/compute overlap split must not
+    change results — counts exactly (whole numbers in f32), centroid
+    accumulators to f32 reduction-order tolerance."""
+
+    def test_minibatch_overlap_matches_serial_psum(self):
+        import jax.numpy as jnp
+
+        from vq_tpu.parallel import make_mesh
+        from vq_tpu.parallel.stream import sharded_pq_minibatch_update
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(17)
+        m, k, s = 4, 16, 8
+        cents = jnp.asarray(rng.normal(0, 1, (m, k, s)), jnp.float32)
+        counts = jnp.asarray(
+            rng.integers(0, 50, (m, k)).astype(np.float32)
+        )
+        batch = jnp.asarray(rng.normal(0, 1, (256, m * s)), jnp.float32)
+        c_ov, n_ov, i_ov = sharded_pq_minibatch_update(
+            cents, counts, batch, mesh=mesh, overlap=True
+        )
+        c_sq, n_sq, i_sq = sharded_pq_minibatch_update(
+            cents, counts, batch, mesh=mesh, overlap=False
+        )
+        np.testing.assert_array_equal(np.asarray(n_ov), np.asarray(n_sq))
+        np.testing.assert_allclose(
+            np.asarray(c_ov), np.asarray(c_sq), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(i_ov), np.asarray(i_sq), rtol=1e-5
+        )
+
+    def test_lloyd_accumulate_overlap_matches_serial_psum(self):
+        import jax.numpy as jnp
+
+        from vq_tpu.parallel import make_mesh
+        from vq_tpu.parallel.kmeans import _make_sharded_step
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(18)
+        m, k, s = 2, 8, 4
+        n = 512
+        xs = jnp.asarray(
+            rng.normal(0, 1, (n, m, s)), jnp.float32
+        )
+        cb = jnp.asarray(rng.normal(0, 1, (m, k, s)), jnp.float32)
+        outs = {}
+        for ov in (True, False):
+            # block_rows small enough that each local shard really
+            # splits in two non-empty halves.
+            step = _make_sharded_step(mesh, block_rows=8, overlap=ov)
+            outs[ov] = step(xs, cb)
+        s_ov, c_ov, i_ov = outs[True]
+        s_sq, c_sq, i_sq = outs[False]
+        np.testing.assert_array_equal(np.asarray(c_ov), np.asarray(c_sq))
+        np.testing.assert_allclose(
+            np.asarray(s_ov), np.asarray(s_sq), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(i_ov), float(i_sq), rtol=1e-5
+        )

@@ -56,7 +56,8 @@ def _local_stats(cents, xs):
 
 
 def sharded_pq_minibatch_update(
-    centroids, counts, batch, mesh: Optional[Mesh] = None
+    centroids, counts, batch, mesh: Optional[Mesh] = None,
+    overlap: bool = True,
 ):
     """One streaming mini-batch step with ``batch`` sharded over the mesh.
 
@@ -69,6 +70,16 @@ def sharded_pq_minibatch_update(
     only difference). Chain it over generated/loaded block shards
     (:func:`vq_tpu.parallel.sharded_from_callback`) for corpora that
     never exist on one host.
+
+    ``overlap`` (default on — the north star's collective/compute
+    overlap requirement, same split as the sharded Lloyd accumulate in
+    :mod:`vq_tpu.parallel.kmeans`): the local shard is swept in two
+    halves and the first half's accumulator ``psum`` is issued before
+    the second half's distance matmuls, which have no data dependence on
+    it — XLA's latency-hiding scheduler can run the codebook-sized
+    all-reduce under the second half's compute. Counts are exactly equal
+    either way (whole numbers below 2^24); centroid sums differ only in
+    f32 summation order.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -97,10 +108,24 @@ def sharded_pq_minibatch_update(
     )
     def step(cents, cts, xb_local):
         xs = xb_local.reshape(-1, m, s).transpose(1, 0, 2)  # [m, bl, s]
-        mass, bsum, inert = jax.vmap(_local_stats)(cents, xs)
-        mass = jax.lax.psum(mass, DATA_AXIS)  # [m, k]
-        bsum = jax.lax.psum(bsum, DATA_AXIS)  # [m, k, s]
-        inert = jax.lax.psum(inert, DATA_AXIS)  # [m]
+        bl = xs.shape[1]
+        half = bl // 2
+        if overlap and 0 < half < bl:
+            m1, b1, i1 = jax.vmap(_local_stats)(cents, xs[:, :half])
+            # First half's all-reduce issues here; the second half's
+            # matmuls don't depend on it, so the scheduler overlaps.
+            m1 = jax.lax.psum(m1, DATA_AXIS)
+            b1 = jax.lax.psum(b1, DATA_AXIS)
+            i1 = jax.lax.psum(i1, DATA_AXIS)
+            m2, b2, i2 = jax.vmap(_local_stats)(cents, xs[:, half:])
+            mass = m1 + jax.lax.psum(m2, DATA_AXIS)  # [m, k]
+            bsum = b1 + jax.lax.psum(b2, DATA_AXIS)  # [m, k, s]
+            inert = i1 + jax.lax.psum(i2, DATA_AXIS)  # [m]
+        else:
+            mass, bsum, inert = jax.vmap(_local_stats)(cents, xs)
+            mass = jax.lax.psum(mass, DATA_AXIS)  # [m, k]
+            bsum = jax.lax.psum(bsum, DATA_AXIS)  # [m, k, s]
+            inert = jax.lax.psum(inert, DATA_AXIS)  # [m]
         new_counts = cts + mass
         safe_mass = jnp.maximum(mass, 1.0)
         batch_mean = bsum / safe_mass[..., None]
