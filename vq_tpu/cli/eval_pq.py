@@ -104,7 +104,7 @@ def main(argv=None) -> None:
                 extra=extra,
             )
         )
-    emit(results, args.output)
+    emit(results, args.output, args.output_append)
 
 
 if __name__ == "__main__":

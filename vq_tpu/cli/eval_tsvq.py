@@ -94,7 +94,7 @@ def main(argv=None) -> None:
                 },
             )
         )
-    emit(results, args.output)
+    emit(results, args.output, args.output_append)
 
 
 if __name__ == "__main__":
