@@ -111,6 +111,10 @@ def main(argv=None) -> int:
     p.add_argument("--t", type=int, default=8)
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--interpret", action="store_true")
+    p.add_argument("--decompose", action="store_true",
+                   help="stage decomposition of the XLA bf16 fast path "
+                   "(VERDICT r4 #4): matmul-only vs +argmin vs full "
+                   "encode, across tile sizes")
     p.add_argument("--output", type=str, default="-")
     args = p.parse_args(argv)
 
@@ -200,6 +204,82 @@ def main(argv=None) -> int:
         codes = mpacked_encode(xh + jnp.bfloat16(1e-3) * t.astype(jnp.bfloat16),
                                Wh, ccd, args.block, "default")
         return jnp.sum(codes[:8, :])
+
+    if args.decompose:
+        # --- Stage decomposition of the XLA m-packed bf16 fast path ---
+        # (the shipped pq_encode(precision="default")): locate the gap
+        # between its ~6.25 ms and the ~1.0-1.3 ms single-pass bf16
+        # matmul bound. Consumers are NON-linear (sum(s*s)) so XLA
+        # cannot rewrite the matmul away (round-4 measurement traps).
+        from vq_tpu.models.pq import _pq_encode_mpacked_jit
+
+        xh = x.astype(jnp.bfloat16)
+        Wh = Wd.astype(jnp.bfloat16)
+
+        for tile in (512, 1024, 4096, 16384):
+            n_tiles = N // tile
+
+            @functools.partial(jax.jit, static_argnames=())
+            def mm_only(t, xh, Wh, _tile=tile, _nt=n_tiles):
+                tiles = (xh + t.astype(jnp.bfloat16) * jnp.bfloat16(0)
+                         ).reshape(_nt, _tile, DIM)
+
+                def one(tl):
+                    sc = jax.lax.dot_general(
+                        tl, Wh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return jnp.sum(sc * sc)
+
+                return jnp.sum(jax.lax.map(one, tiles))
+
+            @functools.partial(jax.jit, static_argnames=())
+            def mm_argmin(t, xh, Wh, ccd, _tile=tile, _nt=n_tiles):
+                tiles = (xh + t.astype(jnp.bfloat16) * jnp.bfloat16(0)
+                         ).reshape(_nt, _tile, DIM)
+
+                def one(tl):
+                    sc = jax.lax.dot_general(
+                        tl, Wh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + ccd[0][None, :]
+                    return jnp.sum(jnp.argmin(
+                        sc.reshape(_tile, M, K), axis=-1
+                    ).astype(jnp.int32)[:8])
+
+                return jnp.sum(jax.lax.map(one, tiles))
+
+            emit(op="decompose_matmul_only", tile=tile,
+                 ms=round(chain_ms(mm_only, (xh, Wh)), 3))
+            emit(op="decompose_matmul_argmin", tile=tile,
+                 ms=round(chain_ms(mm_argmin, (xh, Wh, ccd)), 3))
+
+        # Full shipped fast path (includes the f32->bf16 input cast)
+        # at its default tile and the best tile from above.
+        for tile in (512, 1024, 4096, 16384):
+            def enc_full(t, x, cb, _tile=tile):
+                codes = _pq_encode_mpacked_jit(
+                    x + 1e-6 * jnp.float32(t), cb,
+                    jax.lax.Precision.DEFAULT, tile=_tile,
+                )
+                return jnp.sum(codes[:8, :])
+
+            emit(op="decompose_full_fast_encode", tile=tile,
+                 ms=round(chain_ms(enc_full, (x, cb)), 3))
+
+        # bf16-RESIDENT input (no cast): isolates the cast cost.
+        def enc_full_res(t, xh, cb):
+            codes = _pq_encode_mpacked_jit(
+                xh + t.astype(jnp.bfloat16) * jnp.bfloat16(0), cb,
+                jax.lax.Precision.DEFAULT, tile=4096,
+            )
+            return jnp.sum(codes[:8, :])
+
+        emit(op="decompose_full_bf16_resident", tile=4096,
+             ms=round(chain_ms(enc_full_res, (xh, cb)), 3))
+        return 0
 
     emit(op="encode_shipped_fused", ms=round(chain_ms(enc_ship, (x, cb)), 3))
     emit(op="encode_mpacked_highest",

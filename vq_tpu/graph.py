@@ -653,24 +653,43 @@ class GraphIndex:
             store_dtype="bfloat16",
         )
         idx.add(x)
+        # One dispatch for the whole candidate sweep: scan the search
+        # core over query batches inside a single jit (the serving
+        # BatchPipeline pattern). The round-4 per-batch host loop was
+        # ~123 eager search calls x the ~29 ms tunnel RPC — the bulk of
+        # the 1M build's 147-167 s wall time was dispatch, not device.
         qb = 8192
-        out_i, out_d = [], []
-        for start in range(0, n, qb):
-            stop = min(start + qb, n)
-            q = x[start:stop]
-            if stop - start < qb:
-                q = jnp.pad(q, ((0, qb - (stop - start)), (0, 0)))
-            ids, vals = idx.search(q, k=R0 + 1, nprobe=8)
-            ids = ids[: stop - start]
-            vals = vals[: stop - start]
-            rows_ids = jnp.arange(start, stop, dtype=jnp.int32)[:, None]
-            self_m = ids == rows_ids
-            # Drop the self match, shift left one slot.
-            keep = jnp.where(self_m, jnp.inf, vals)
+        fn, arrays = idx._search_core(R0 + 1, nprobe=8)
+        n_pad = -(-n // qb) * qb
+        d_ = x.shape[1]
+
+        @functools.partial(jax.jit, static_argnames=())
+        def all_batches(xp, *arrs):
+            def step(_, q):
+                ids, vals = fn(q, *arrs)
+                return None, (ids, vals)
+
+            _, (ids, vals) = jax.lax.scan(
+                step, None, xp.reshape(n_pad // qb, qb, d_)
+            )
+            return ids.reshape(n_pad, -1), vals.reshape(n_pad, -1)
+
+        ids, vals = all_batches(
+            jnp.pad(x, ((0, n_pad - n), (0, 0))), *arrays
+        )
+
+        @jax.jit
+        def drop_self(ids, vals):
+            rows_ids = jnp.arange(ids.shape[0], dtype=jnp.int32)[:, None]
+            keep = jnp.where(ids == rows_ids, jnp.inf, vals)
             order = jnp.argsort(keep, axis=1)[:, :R0]
-            out_i.append(jnp.take_along_axis(ids, order, axis=1))
-            out_d.append(jnp.take_along_axis(keep, order, axis=1))
-        return jnp.concatenate(out_i), jnp.concatenate(out_d)
+            return (
+                jnp.take_along_axis(ids, order, axis=1),
+                jnp.take_along_axis(keep, order, axis=1),
+            )
+
+        out_i, out_d = drop_self(ids[:n], vals[:n])
+        return out_i, out_d
 
     # -- queries ------------------------------------------------------------
     @property
