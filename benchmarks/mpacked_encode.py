@@ -217,7 +217,9 @@ def main(argv=None) -> int:
         Wh = Wd.astype(jnp.bfloat16)
 
         for tile in (512, 1024, 4096, 16384):
-            n_tiles = N // tile
+            n_pad = -(-N // tile) * tile
+            n_tiles = n_pad // tile
+            xh_p = jnp.pad(xh, ((0, n_pad - N), (0, 0)))
 
             @functools.partial(jax.jit, static_argnames=())
             def mm_only(t, xh, Wh, _tile=tile, _nt=n_tiles):
@@ -232,7 +234,7 @@ def main(argv=None) -> int:
                     )
                     return jnp.sum(sc * sc)
 
-                return jnp.sum(jax.lax.map(one, tiles))
+                return jnp.sum(jax.lax.map(one, tiles)).astype(jnp.int32)
 
             @functools.partial(jax.jit, static_argnames=())
             def mm_argmin(t, xh, Wh, ccd, _tile=tile, _nt=n_tiles):
@@ -252,32 +254,52 @@ def main(argv=None) -> int:
                 return jnp.sum(jax.lax.map(one, tiles))
 
             emit(op="decompose_matmul_only", tile=tile,
-                 ms=round(chain_ms(mm_only, (xh, Wh)), 3))
+                 ms=round(chain_ms(mm_only, (xh_p, Wh)), 3))
             emit(op="decompose_matmul_argmin", tile=tile,
-                 ms=round(chain_ms(mm_argmin, (xh, Wh, ccd)), 3))
+                 ms=round(chain_ms(mm_argmin, (xh_p, Wh, ccd)), 3))
 
-        # Full shipped fast path (includes the f32->bf16 input cast)
-        # at its default tile and the best tile from above.
-        for tile in (512, 1024, 4096, 16384):
+        # Full shipped fast path (includes the per-tile f32->bf16 cast)
+        # across tiles. Consumer is the FULL code sum — a sliced
+        # consumer would let XLA skip the remainder tile. `impl` tags
+        # the round-5 rework (scan + 2D-sliced int1 epilogue + in-body
+        # cast); older rows at the same op name measured the
+        # lax.map + 3D-reshape argmin form.
+        for tile in (4096, 8192, 16384):
             def enc_full(t, x, cb, _tile=tile):
                 codes = _pq_encode_mpacked_jit(
                     x + 1e-6 * jnp.float32(t), cb,
                     jax.lax.Precision.DEFAULT, tile=_tile,
                 )
-                return jnp.sum(codes[:8, :])
+                return jnp.sum(codes)
 
             emit(op="decompose_full_fast_encode", tile=tile,
+                 impl="scan_sliced_int1",
                  ms=round(chain_ms(enc_full, (x, cb)), 3))
 
-        # bf16-RESIDENT input (no cast): isolates the cast cost.
+        # HIGH (bf16x3) regression row at the new default tile — the
+        # round-5 restructure (map->scan, bulk+remainder) must not
+        # regress the exact-argmin modes.
+        def enc_high(t, x, cb):
+            codes = _pq_encode_mpacked_jit(
+                x + 1e-6 * jnp.float32(t), cb,
+                jax.lax.Precision.HIGH,
+            )
+            return jnp.sum(codes)
+
+        emit(op="decompose_full_high", tile=8192,
+             impl="scan_sliced_int1",
+             ms=round(chain_ms(enc_high, (x, cb)), 3))
+
+        # bf16-RESIDENT input (cast is a no-op): isolates the f32 read.
         def enc_full_res(t, xh, cb):
             codes = _pq_encode_mpacked_jit(
-                xh + t.astype(jnp.bfloat16) * jnp.bfloat16(0), cb,
-                jax.lax.Precision.DEFAULT, tile=4096,
+                xh + t.astype(jnp.bfloat16) * jnp.bfloat16(1e-3), cb,
+                jax.lax.Precision.DEFAULT,
             )
-            return jnp.sum(codes[:8, :])
+            return jnp.sum(codes)
 
-        emit(op="decompose_full_bf16_resident", tile=4096,
+        emit(op="decompose_full_bf16_resident", tile=8192,
+             impl="scan_sliced_int1",
              ms=round(chain_ms(enc_full_res, (xh, cb)), 3))
         return 0
 

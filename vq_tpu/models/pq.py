@@ -408,7 +408,7 @@ def pq_train(
 
 @functools.partial(jax.jit, static_argnames=("precision", "tile"))
 def _pq_encode_mpacked_jit(
-    x: jnp.ndarray, cb: jnp.ndarray, precision, tile: int = 4096
+    x: jnp.ndarray, cb: jnp.ndarray, precision, tile: int = 8192
 ) -> jnp.ndarray:
     """m-packed encode: ONE dense ``[tile, d] x [d, m*k]`` block-diagonal
     matmul per tile + per-subspace argmin (lowest-index ties).
@@ -420,12 +420,13 @@ def _pq_encode_mpacked_jit(
     contraction cannot reach (Mosaic's lower-precision paths measured
     4x SLOWER in-kernel; benchmarks/mpacked_encode.py). Measured at
     1M x 128 8x256 scan-chained device time vs the shipped HIGHEST
-    kernel's 17.1 ms: DEFAULT (1-pass bf16) 6.25 ms with 98.42% code
-    match, HIGH (bf16x3) 13.2 ms with 99.995% — near-tie argmin flips
-    only, no measurable MSE/recall change (docs/performance.md quality
-    table). At HIGHEST this layout is a wash (equal MAC count — both
-    sit at the dense f32 roofline with 8x structural waste), so exact
-    encodes keep the Pallas kernel.
+    kernel's 17.1 ms: DEFAULT (1-pass bf16, sliced int1 epilogue,
+    round-5 rework) 4.0 ms with ~98.4% code match, HIGH (bf16x3)
+    13.2 ms with 99.995% — near-tie argmin flips only, no measurable
+    MSE/recall change (docs/performance.md quality table). At HIGHEST
+    this layout is a wash (equal MAC count — both sit at the dense f32
+    roofline with 8x structural waste), so exact encodes keep the
+    Pallas kernel.
     """
     n, d = x.shape
     m, k, s = cb.shape
@@ -436,24 +437,81 @@ def _pq_encode_mpacked_jit(
             -2.0 * cb[i].T
         )
     ccb = jnp.sum(cb * cb, axis=-1).reshape(-1)  # [m*k]
-    if precision == jax.lax.Precision.DEFAULT:
-        x = x.astype(jnp.bfloat16)
+    fast = precision == jax.lax.Precision.DEFAULT
+    if fast:
         W = W.astype(jnp.bfloat16)
         precision = None  # single-pass native bf16
     tile = min(tile, _round_up_rows(n))
-    pad = (-n) % tile
-    tiles = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, tile, d)
+    idx_bits = max((k - 1).bit_length(), 1)
 
     def one(tl):
+        if fast:
+            # Cast per-tile INSIDE the scanned body: it fuses into the
+            # matmul's VMEM read, so no [n, d] bf16 copy of the corpus
+            # is ever materialized (the round-5 isolation priced that
+            # prep pass at ~1.25 ms of the 1M x 128 encode's 5.9).
+            tl = tl.astype(jnp.bfloat16)
         scores = jax.lax.dot_general(
             tl, W, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) + ccb[None, :]
+        if fast:
+            # Packed single-reduce argmin ("int1") over 2D COLUMN SLICES:
+            # the index rides the orderable key's low bits, so ONE i32
+            # min replaces XLA's variadic argmin reduce, and keeping the
+            # epilogue 2D (per-subspace slice of the [tile, m*k] scores,
+            # never a 3D reshape) lets it fuse with the dot instead of
+            # spilling the scores block to HBM — the round-5
+            # decomposition priced the 3D-reshape epilogue at +3.0 ms
+            # and the sliced int1 form at +1.3 over the matmul alone.
+            # Dropping idx_bits mantissa bits from the comparison adds
+            # ~5e-4 near-tie flips, 30x below this mode's own ~1.6e-2
+            # flip rate vs exact (docs/performance.md quality table).
+            from vq_tpu.ops.pallas_kernels import _orderable_key
+
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
+            lo = jnp.int32((1 << idx_bits) - 1)
+            outs = []
+            for i in range(m):
+                key = _orderable_key(scores[:, i * k:(i + 1) * k])
+                packed = jax.lax.bitwise_and(key, ~lo) | col
+                outs.append(
+                    jax.lax.bitwise_and(jnp.min(packed, axis=-1), lo)
+                )
+            return jnp.stack(outs, axis=-1)
         return jnp.argmin(
             scores.reshape(tile, m, k), axis=-1
         ).astype(jnp.int32)
 
-    return jax.lax.map(one, tiles).reshape(-1, m)[:n]
+    # Plain scan (unroll=1): at tile 8192 the 123-step loop's ~10 us/step
+    # scheduling overhead is already amortized; unroll=2/4 measured
+    # SLOWER here (4.04 -> 4.45 / 5.91 ms — register/VMEM pressure).
+    def step(c, tl):
+        return c, one(tl)
+
+    # Bulk tiles scan over CONTIGUOUS SLICES of x (reshape of a prefix
+    # slice is a layout no-op) — padding the whole corpus to a tile
+    # multiple would copy all n rows just to add a few. Prefer a nearby
+    # tile that divides n exactly: the remainder path's codes
+    # concatenate costs ~0.7 ms at 1M x 128 (layout-inflated [n, m]
+    # copy, round-5 ablation), so e.g. n=1M runs at tile 8000, zero
+    # remainder. Only truly indivisible n pay the remainder tile.
+    if n > tile:
+        for t in range(tile, tile // 2, -8):
+            if n % t == 0:
+                tile = t
+                break
+    n_bulk = (n // tile) * tile
+    parts = []
+    if n_bulk:
+        _, bulk = jax.lax.scan(
+            step, jnp.int32(0), x[:n_bulk].reshape(-1, tile, d)
+        )
+        parts.append(bulk.reshape(n_bulk, m))
+    if n_bulk < n:
+        rem = jnp.pad(x[n_bulk:], ((0, tile - (n - n_bulk)), (0, 0)))
+        parts.append(one(rem)[: n - n_bulk])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def _round_up_rows(n: int) -> int:
