@@ -491,12 +491,16 @@ def _pq_encode_mpacked_jit(
 
     # Bulk tiles scan over CONTIGUOUS SLICES of x (reshape of a prefix
     # slice is a layout no-op) — padding the whole corpus to a tile
-    # multiple would copy all n rows just to add a few. Prefer a nearby
-    # tile that divides n exactly: the remainder path's codes
-    # concatenate costs ~0.7 ms at 1M x 128 (layout-inflated [n, m]
-    # copy, round-5 ablation), so e.g. n=1M runs at tile 8000, zero
-    # remainder. Only truly indivisible n pay the remainder tile.
-    if n > tile:
+    # multiple would copy all n rows just to add a few. Fast mode
+    # prefers a nearby tile that divides n exactly: the remainder
+    # path's codes concatenate costs ~0.7 ms at 1M x 128
+    # (layout-inflated [n, m] copy, round-5 ablation), so e.g. n=1M
+    # runs at tile 8000, zero remainder. The exact modes keep the
+    # requested power-of-two tile — their 3D-reshape argmin hits
+    # pathological codegen at odd tiles (81 ms vs 13.2 at 1M HIGH,
+    # round-5 artifact; the 2D-sliced exact argmin measured 17.9, so
+    # 3D + remainder concat stays the exact-mode optimum).
+    if fast and n > tile:
         for t in range(tile, tile // 2, -8):
             if n % t == 0:
                 tile = t
