@@ -16,7 +16,9 @@ is added, so recall needs no second corpus copy either. The exact flat
 engine is measured only at sizes where a second full copy fits
 (<= 8.4M); larger rows carry ivf-only timings.
 
-All rates are RPC-subtracted scan-chained device times (T=8).
+All rates are RPC-subtracted scan-chained device times (T=64: the
+chunk-contiguous pool probe runs ~1 ms/batch, below RPC jitter at
+shorter chains).
 One JSON row per (n, engine).
 
 Usage: python benchmarks/ivf_scale.py [--sizes 8388608 16777216 33554432]
@@ -40,7 +42,7 @@ import jax.numpy as jnp
 from benchmarks._artifact import Rows
 
 ART = Rows(os.environ.get("IVF_SCALE_JSONL"))
-D, Q, TOPK, NPROBE, T = 128, 128, 10, 8, 8
+D, Q, TOPK, NPROBE, T = 128, 128, 10, 8, 64
 CHUNK = 262_144
 RPC = 0.0293
 
@@ -50,7 +52,9 @@ def chain_ms(fn, qb, *ops):
     def chain(qs, *o):
         def step(_, q):
             out = fn(q, *o)
-            return None, jnp.sum(jnp.float32(jnp.ravel(out)[:8]))
+            # FULL consumer: a sliced one let XLA skip most of the
+            # pool-backed probe (round-5: ivf_ms read 0.0 with [:8]).
+            return None, jnp.sum(jnp.float32(jnp.ravel(out)))
 
         _, s = jax.lax.scan(step, None, qs)
         return jnp.sum(s)
