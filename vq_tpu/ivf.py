@@ -639,23 +639,34 @@ class IVFPQIndex:
             return {"split": 0, "retired": 0, "new_nlist": self.nlist}
         new_nlist = out["coarse_new"].shape[0]
         if out["rows"] is not None:
-            # Chunk-wise move (O(affected)): re-encode the movers against
-            # their new centroids, free the emptied lists' chunks,
-            # relabel surviving chains, scatter the movers back.
-            rows, x = out["rows"], out["x"]
+            # Chunk-wise move (O(affected)) in ROW BLOCKS: per block,
+            # reconstruct the movers (PRE-mutation pool state) and
+            # re-encode them against their new centroids; then free the
+            # emptied lists' chunks, relabel surviving chains, and
+            # scatter the code blocks back. Blocks bound the transient
+            # f32 member matrix (the one-shot form OOM'd at 16M rows).
+            from vq_tpu.ivf_flat import _REBALANCE_BLOCK_ROWS
+
+            rows_np, nl_np = out["rows"], out["new_lists"]
             coarse_new = jnp.asarray(out["coarse_new"], jnp.float32)
-            enc_in = (
-                x - coarse_new[out["lists"][rows]]
-                if self.by_residual else x
-            )
-            new_codes = self.pq.encode(enc_in)
-            pool.free_lists(np.unique(lists_np[rows]))
+            blocks = []
+            for s in range(0, rows_np.size, _REBALANCE_BLOCK_ROWS):
+                rb_np = rows_np[s:s + _REBALANCE_BLOCK_ROWS]
+                nlb = jnp.asarray(
+                    nl_np[s:s + _REBALANCE_BLOCK_ROWS], jnp.int32
+                )
+                xb = member_vectors(rb_np)
+                enc_in = (
+                    xb - coarse_new[nlb] if self.by_residual else xb
+                )
+                blocks.append(
+                    (jnp.asarray(rb_np, jnp.int32), nlb,
+                     self.pq.encode(enc_in))
+                )
+            pool.free_lists(np.unique(lists_np[rows_np]))
             pool.relabel_lists(out["remap_old"], new_nlist)
-            pool.append(
-                jnp.asarray(out["new_lists"], jnp.int32),
-                {"codes": new_codes},
-                row_ids=jnp.asarray(rows, jnp.int32),
-            )
+            for rb, nlb, codes_b in blocks:
+                pool.append(nlb, {"codes": codes_b}, row_ids=rb)
         else:
             pool.relabel_lists(out["remap_old"], new_nlist)
         self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)

@@ -193,6 +193,8 @@ class IVFBinaryIndex(_IVFScanBase):
             "corpus", jnp.asarray(rows_idx, jnp.int32)
         )
 
+    _reencode_needs_x = False
+
     def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
         return None  # packed bits don't depend on their list assignment
 

@@ -583,6 +583,12 @@ def _pack_buckets_jit(lists: jnp.ndarray, payloads: tuple, nlist: int, cap: int)
     return tuple(out), ids[:-1].reshape(nlist, cap)
 
 
+# Affected-member rows processed per device round during rebalance:
+# bounds the transient f32 member block (~1 GB at d=128) so rebalancing
+# never doubles the resident corpus (the one-shot form OOM'd at 16M).
+_REBALANCE_BLOCK_ROWS = 2_097_152
+
+
 def _rebalance_pass(
     lists_np: np.ndarray,
     coarse_np: np.ndarray,
@@ -603,8 +609,10 @@ def _rebalance_pass(
     ``member_vectors(sorted_rows) -> [len, d] f32`` must read
     PRE-mutation state. Returns ``None`` when nothing needs doing, else
     a dict with the new host-side ``coarse_new``/``lists`` plus the
-    affected ``rows`` (sorted unique), their vectors ``x``, and their
-    ``new_lists`` for the caller's re-encode step.
+    affected ``rows`` (sorted unique) and their ``new_lists`` for the
+    caller's re-encode step (done block-wise — see
+    ``_REBALANCE_BLOCK_ROWS``; no full affected-member matrix is ever
+    materialized).
 
     Splits draw part centroids from a bounded member subsample so each
     distinct part count compiles exactly one lloyd program (remote TPU
@@ -665,12 +673,23 @@ def _rebalance_pass(
     coarse_new = coarse_full[keep_full]
     lists = remap[lists]
 
-    rows = x = new_lists = None
+    rows = new_lists = None
     if affected:
         rows = np.unique(np.concatenate(affected))
-        x = member_vectors(rows)  # PRE-mutation state
-        nl, _ = assign(x, jnp.asarray(coarse_new, jnp.float32))
-        new_lists = np.asarray(nl)
+        # Reassign in ROW BLOCKS: the one-shot form materialized every
+        # affected row as a single f32 array next to the resident pool
+        # (round-5 16M-row OOM: ~10M affected rows = 5 GB f32 + 4.3 GB
+        # pool). Blocks bound the transient to ~1 GB; callers re-fetch
+        # members block-wise for their own re-encode passes.
+        cdev = jnp.asarray(coarse_new, jnp.float32)
+        parts = []
+        for s in range(0, rows.size, _REBALANCE_BLOCK_ROWS):
+            xb = member_vectors(rows[s:s + _REBALANCE_BLOCK_ROWS])
+            nlb, _ = assign(xb, cdev)
+            parts.append(np.asarray(nlb))
+        new_lists = (
+            np.concatenate(parts) if len(parts) > 1 else parts[0]
+        )
         lists[rows] = new_lists
     return {
         "split": int(split_ids.size),
@@ -678,7 +697,6 @@ def _rebalance_pass(
         "coarse_new": coarse_new,
         "lists": lists,
         "rows": rows,
-        "x": x,
         "new_lists": new_lists,
         # old list id -> new id (-1 = retired); the chunk pool relabels
         # its chains with this instead of repacking the whole corpus.
@@ -692,6 +710,10 @@ class _IVFScanBase:
     stats, and the coarse-probe search driver. Subclasses declare their
     per-row payloads (:meth:`_payload_specs`) and how a probed bucket is
     scored."""
+
+    # Whether _reencode_rows consumes the member vectors; raw-row
+    # variants skip the per-block f32 gather during rebalance.
+    _reencode_needs_x = True
 
     def __init__(
         self, coarse_centroids, *, metric, max_list_size,
@@ -908,23 +930,37 @@ class _IVFScanBase:
         pool = self._pool
         new_nlist = out["coarse_new"].shape[0]
         if out["rows"] is not None:
-            # Chunk-wise storage move, O(affected): gather the movers'
-            # payloads (re-encoded where the coding depends on the list,
-            # else straight from the pool), free the emptied lists'
-            # chunks, relabel surviving chains, scatter the movers back.
-            rows = jnp.asarray(out["rows"], jnp.int32)
-            payloads = self._reencode_rows(
-                out["rows"], out["x"], out["new_lists"], out["coarse_new"]
-            ) or {}
-            for name in pool.specs:
-                if name not in payloads:
-                    payloads[name] = pool.gather_rows(name, rows)
-            pool.free_lists(np.unique(lists_np[out["rows"]]))
+            # Chunk-wise storage move, O(affected), in ROW BLOCKS (the
+            # one-shot gather of every mover OOM'd at 16M): per block,
+            # gather the movers' payloads from PRE-mutation pool state
+            # (re-encoded where the coding depends on the list, else
+            # straight from the pool); then free the emptied lists'
+            # chunks, relabel surviving chains, and scatter the blocks
+            # back. Payload blocks stay device-resident between the two
+            # phases — bf16/u8 codes, not f32 members.
+            rows_np, nl_np = out["rows"], out["new_lists"]
+            blk = _REBALANCE_BLOCK_ROWS
+            blocks = []
+            for s in range(0, rows_np.size, blk):
+                rb_np = rows_np[s:s + blk]
+                rb = jnp.asarray(rb_np, jnp.int32)
+                xb = (
+                    self._member_vectors(rb_np)
+                    if self._reencode_needs_x else None
+                )
+                pb = self._reencode_rows(
+                    rb_np, xb, nl_np[s:s + blk], out["coarse_new"]
+                ) or {}
+                for name in pool.specs:
+                    if name not in pb:
+                        pb[name] = pool.gather_rows(name, rb)
+                blocks.append(
+                    (rb, jnp.asarray(nl_np[s:s + blk], jnp.int32), pb)
+                )
+            pool.free_lists(np.unique(lists_np[rows_np]))
             pool.relabel_lists(out["remap_old"], new_nlist)
-            pool.append(
-                jnp.asarray(out["new_lists"], jnp.int32), payloads,
-                row_ids=rows,
-            )
+            for rb, nlb, pb in blocks:
+                pool.append(nlb, pb, row_ids=rb)
         else:
             pool.relabel_lists(out["remap_old"], new_nlist)
         self.coarse = jnp.asarray(out["coarse_new"], jnp.float32)
@@ -1137,6 +1173,8 @@ class IVFFlatIndex(_IVFScanBase):
         return self._pool.gather_rows(
             "rows", jnp.asarray(rows_idx, jnp.int32)
         ).astype(jnp.float32)
+
+    _reencode_needs_x = False
 
     def _reencode_rows(self, rows_idx, x, new_lists, coarse_new):
         return None  # raw rows don't depend on their list assignment
