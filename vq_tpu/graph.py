@@ -658,7 +658,16 @@ class GraphIndex:
         # BatchPipeline pattern). The round-4 per-batch host loop was
         # ~123 eager search calls x the ~29 ms tunnel RPC — the bulk of
         # the 1M build's 147-167 s wall time was dispatch, not device.
-        qb = 8192
+        # Query-batch size capped so the fused probe's scalar-prefetch
+        # operand (one chunk id per query x probe x chain position)
+        # fits the ~1 MB SMEM budget — 8192 queries overflowed it on
+        # chunk-pool chains (round 5) and would silently demote the
+        # sweep to the XLA scan.
+        from vq_tpu.ivf_flat import _PROBE_PREFETCH_BUDGET_BYTES
+
+        maxc = idx._pool.chains_search().shape[1]
+        qb = min(8192, max(256, _PROBE_PREFETCH_BUDGET_BYTES
+                           // (8 * maxc * 4) // 256 * 256))
         fn, arrays = idx._search_core(R0 + 1, nprobe=8)
         n_pad = -(-n // qb) * qb
         d_ = x.shape[1]

@@ -121,7 +121,9 @@ def _ivf_probe_dists(
 
     ch = slot_ids.shape[1]
     ids = take_list_ids(slot_ids, chains_s, probe, cap)  # [Q, np, ce]
-    if use_pallas:
+    from vq_tpu.ivf_flat import _prefetch_fits
+
+    if use_pallas and _prefetch_fits(Q, nprobe, chains_s):
         # Fused probe kernel: scalar-prefetched CHUNK ids DMA each probed
         # chain's codes straight into VMEM; no [Q, np, ce, m] HBM gather
         # and no take_along_axis lane gathers (round-1's 20x slowdown).

@@ -249,6 +249,18 @@ def _rq_scan_body(
     return body
 
 
+# The fused probe kernels scalar-prefetch one CHUNK id per (query,
+# probe, chain position); that operand lives in SMEM (~1 MB on this
+# part) and Mosaic refuses past it ("prefetched SMEM operand" compile
+# error — seen at the graph build's 8192-query candidate sweep). Past
+# the budget the searches fall back to their XLA scans.
+_PROBE_PREFETCH_BUDGET_BYTES = 786_432
+
+
+def _prefetch_fits(Q: int, nprobe: int, chains_s) -> bool:
+    return Q * nprobe * chains_s.shape[1] * 4 <= _PROBE_PREFETCH_BUDGET_BYTES
+
+
 def _probe_chains(chains_s, probe):
     """Chain entries of the probed lists, flattened for the fused
     kernels: the pool is addressed as an ``[n_chunks, CH, …]`` bucket
@@ -282,7 +294,7 @@ def _ivf_flat_search_jit(
     probe, _ = _coarse_probe(q, coarse, nprobe, metric)
     qn2 = jnp.sum(q * q, axis=-1)  # [Q]
 
-    if use_pallas:
+    if use_pallas and _prefetch_fits(Q, nprobe, chains_s):
         # Fused probe: scalar-prefetched CHUNK ids DMA each probed
         # chain's chunks straight into VMEM at stored width — no
         # [Q, np, cap, d] HBM gather. The kernel is the padded-bucket
@@ -351,7 +363,7 @@ def _ivf_sq_search_jit(
     ch = slot_ids.shape[1]
     probe, qc = _coarse_probe(q, coarse, nprobe, metric)
 
-    if use_pallas:
+    if use_pallas and _prefetch_fits(Q, nprobe, chains_s):
         # Fused probe over u8 codes (quarter the DMA bytes of f32 rows);
         # the affine offsets (qr·lo, norms) assemble outside on [Q, ce]
         # shapes. The left vectors carry the residual shift per
@@ -454,7 +466,7 @@ def _ivf_rq_search_jit(
     qn2 = jnp.sum(q * q, axis=-1)  # [Q]
     cc = jnp.sum(coarse * coarse, axis=-1)  # [nlist]
 
-    if use_pallas:
+    if use_pallas and _prefetch_fits(Q, nprobe, chains_s):
         # The tables are probe-INDEPENDENT (raw-query dots; the stored
         # c_list·ŷ cross-terms carry the residual shift), so the fused
         # ADC probe kernel applies directly — tables just replicate per
