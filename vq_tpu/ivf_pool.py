@@ -66,6 +66,15 @@ def _round8(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _gather_rows_jit(data, pos, ids):
+    # Jitted so the [chunks, CH, *tail] -> [chunks*CH, *tail] reshape
+    # stays layout metadata. The EAGER form copied the whole pool
+    # through PJRT (8.6 GB at 32M rows) and OOM'd a 4k-row gather.
+    flat = data.reshape((-1,) + data.shape[2:])
+    return jnp.take(flat, jnp.take(pos, ids), axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ch", "nlist"),
@@ -377,9 +386,7 @@ class ChunkPool:
     def gather_rows(self, name: str, ids) -> jnp.ndarray:
         """Payload rows for global ids (any order)."""
         ids = jnp.asarray(ids, jnp.int32)
-        tail = self.specs[name][0]
-        flat = self.data[name].reshape((-1,) + tail)
-        return jnp.take(flat, jnp.take(self.pos, ids), axis=0)
+        return _gather_rows_jit(self.data[name], self.pos, ids)
 
     def to_flat(self, names=None) -> Dict[str, jnp.ndarray]:
         """Payloads in id order ``[n, *tail]`` (peaks at pool + copy —
