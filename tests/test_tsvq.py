@@ -305,3 +305,35 @@ def test_wide_level_traversal_uneven_tree(rng):
         x, t.centroids, t.left, t.right, Metric.SQUARED_EUCLIDEAN, t.depth
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bfs_layout_first_touched_under_jit(rng):
+    """Regression (round 5): a tree whose bfs_layout cache is first
+    populated while TRACING a user jit must not cache tracers — staged
+    jnp ops inside the trace leaked out of scope and poisoned every
+    later eager call (UnexpectedTracerError in the chained deep-TSVQ
+    bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vq_tpu.models.tsvq import _find_leaves, tsvq_build_batched
+    from vq_tpu.ops.distance import Metric
+
+    x = rng.random((2000, 16), dtype=np.float32)
+    tree = tsvq_build_batched(jnp.asarray(x), 9)  # > 128 nodes
+    assert tree._bfs_cache is None  # cache really is cold
+
+    @jax.jit
+    def enc(xb):
+        return _find_leaves(tree, xb, Metric.EUCLIDEAN,
+                            force_levels=True)
+
+    inside = np.asarray(enc(jnp.asarray(x[:64])))
+    # Cache must now hold concrete arrays, and eager calls must agree.
+    for arr in tree._bfs_cache[:4]:
+        assert not isinstance(arr, jax.core.Tracer)
+    eager = np.asarray(
+        _find_leaves(tree, jnp.asarray(x[:64]), Metric.EUCLIDEAN,
+                     force_levels=True)
+    )
+    np.testing.assert_array_equal(inside, eager)

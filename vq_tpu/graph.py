@@ -535,7 +535,28 @@ class GraphIndex:
         R0 = max(min(R0, n - 1), 1)
         R = min(degree, R0)
 
+        # GRAPH_BUILD_PHASES=1: per-phase wall prints with forced
+        # completion (data-dependent readback — block_until_ready lies
+        # through the tunnel). Diagnostic only; off by default.
+        import os as _os
+        import time as _time
+
+        _phases = _os.environ.get("GRAPH_BUILD_PHASES") == "1"
+
+        def _tick(label, probe=None):
+            if not _phases:
+                return
+            if probe is not None:
+                float(jnp.sum(jnp.float32(jnp.ravel(probe)[:8])))
+            t = _time.perf_counter()
+            print(f"  build phase [{label}]: {t - _tick.t0:.1f} s",
+                  flush=True)
+            _tick.t0 = t
+
+        _tick.t0 = _time.perf_counter()
+
         cand_ids, cand_d = cls._candidates(x, R0, exact_threshold, seed)
+        _tick("candidates (ivf train+add+sweep)", cand_ids)
 
         # Random long-range candidates (small-world shortcuts — see
         # _augment_candidates_chunk). Seeded, a quarter of the k-NN count.
@@ -570,8 +591,10 @@ class GraphIndex:
         fwd = _prune_all_jit(
             x, cand_ids, cand_d, rand_all, a2, R_near, R_far, C
         )
+        _tick("prune", fwd)
         rev = _reverse_edges(fwd, n, R)
         graph = jnp.concatenate([fwd, rev], axis=1)  # [n, 2R]
+        _tick("reverse+concat", graph)
 
         # Entry points: the medoid plus a few seeded random rows — with
         # the shortcut edges one connected entry suffices, the extras are
@@ -648,11 +671,25 @@ class GraphIndex:
             )[:ns],
             axis=0,
         )
+        import os as _os
+        import time as _time
+
+        _phases = _os.environ.get("GRAPH_BUILD_PHASES") == "1"
+        _t0 = _time.perf_counter()
+
         idx = IVFFlatIndex.train(
             sample, nlist, max_iters=8, seed=seed,
             store_dtype="bfloat16",
         )
+        if _phases:
+            float(jnp.sum(idx.coarse[:1]))
+            print(f"  build phase [ivf train]: "
+                  f"{_time.perf_counter() - _t0:.1f} s", flush=True)
+            _t0 = _time.perf_counter()
         idx.add(x)
+        if _phases:
+            print(f"  build phase [ivf add]: "
+                  f"{_time.perf_counter() - _t0:.1f} s", flush=True)
         # One dispatch for the whole candidate sweep: scan the search
         # core over query batches inside a single jit (the serving
         # BatchPipeline pattern). The round-4 per-batch host loop was

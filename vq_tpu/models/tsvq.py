@@ -94,13 +94,18 @@ class TSVQTree:
                 )
                 return out.astype(np.int32)
 
-            self._bfs_cache = (
-                jnp.take(self.centroids, jnp.asarray(perm), axis=0),
-                jnp.asarray(remap(left)),
-                jnp.asarray(remap(right)),
-                jnp.asarray(perm),
-                tuple(int(s) for s in starts),
-            )
+            # ensure_compile_time_eval: the first call may happen while
+            # TRACING a user jit (encode under jax.jit); without it the
+            # staged jnp ops would cache tracers that leak out of the
+            # trace (seen: benchmarks/tsvq_deep.py's chained encode).
+            with jax.ensure_compile_time_eval():
+                self._bfs_cache = (
+                    jnp.take(self.centroids, jnp.asarray(perm), axis=0),
+                    jnp.asarray(remap(left)),
+                    jnp.asarray(remap(right)),
+                    jnp.asarray(perm),
+                    tuple(int(s) for s in starts),
+                )
         return self._bfs_cache
 
     @property
