@@ -156,13 +156,19 @@ def main(argv=None) -> int:
 
         cap0 = idx._pool.cap
         t0 = time.perf_counter()
-        if cap0 > 5000:
-            # Capacity-aware splitting: oversized lists inflate every
-            # probe; splits add centroids instead of inflating cap.
-            info = idx.rebalance(target_max=4096)
+        # Capacity-aware splitting: oversized lists inflate every
+        # probe; splits add centroids instead of inflating cap. Target
+        # the SKEW TAIL (1.5x the mean list), not the mean itself —
+        # rebalancing to the mean marks ~60% of all rows as movers,
+        # whose payload copies must coexist with the resident pool
+        # (OOM at 32M); the tail target moves only the skewed few.
+        target = max(4096, int(1.5 * n / nlist))
+        if cap0 > max(5000, target):
+            info = idx.rebalance(target_max=target)
             print(
-                f"rebalance: {info['split']} splits (cap {cap0} -> "
-                f"{idx._pool.cap}, nlist {nlist} -> {idx.nlist})",
+                f"rebalance(target_max={target}): {info['split']} "
+                f"splits (cap {cap0} -> {idx._pool.cap}, "
+                f"nlist {nlist} -> {idx.nlist})",
                 flush=True,
             )
         rebalance_s = time.perf_counter() - t0

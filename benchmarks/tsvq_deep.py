@@ -110,12 +110,30 @@ def main(argv=None) -> int:
             Metric.EUCLIDEAN, tree.depth,
         ))
         match = float((fast == gather).mean())
-        print(f"depth {depth}: {ms} ms/1M, gather-parity {match}",
-              flush=True)
+        # On TPU the two traversals use different float formulations
+        # (matmul scores vs rowwise distances), so rows at near-tie
+        # descent decisions may land on different leaves. Check every
+        # mismatch really is a tie: the two chosen leaves' distances
+        # must agree to float noise (a routing bug would land on a
+        # FARTHER leaf).
+        mm = np.nonzero(fast != gather)[0]
+        max_rel_gap = 0.0
+        if mm.size:
+            cs = np.asarray(tree.centroids)
+            xs = np.asarray(sample[mm])
+            d_fast = np.sum((xs - cs[fast[mm]]) ** 2, axis=1)
+            d_gather = np.sum((xs - cs[gather[mm]]) ** 2, axis=1)
+            denom = np.maximum(np.sum(xs * xs, axis=1), 1e-9)
+            max_rel_gap = float(
+                np.max(np.abs(d_fast - d_gather) / denom)
+            )
+        print(f"depth {depth}: {ms} ms/1M, gather-parity {match}, "
+              f"mismatch max rel dist gap {max_rel_gap:.2e}", flush=True)
         art.emit(bench="tsvq_deep", depth=depth,
                  num_nodes=int(tree.num_nodes), n=args.n, dim=args.dim,
                  build_s=round(build_s, 2), encode_ms_device=ms,
-                 gather_parity=match)
+                 gather_parity=match,
+                 mismatch_max_rel_dist_gap=max_rel_gap)
     return 0
 
 
