@@ -66,21 +66,32 @@ def build_step(centers, m, k, sub, block_rows):
 
     d = m * sub
 
-    def step(carry, block_idx):
+    def step(carry, iv):
         cents, counts, inert = carry
+        block_idx, valid = iv
         key = jax.random.fold_in(jax.random.PRNGKey(66), block_idx)
         kw, kn = jax.random.split(key)
         which = jax.random.randint(kw, (block_rows,), 0, CLUSTERS)
         x = jnp.take(centers, which, axis=0) + NOISE * jax.random.normal(
             kn, (block_rows, d), jnp.float32
         )
-        cents, counts, bi = pq_minibatch_update(cents, counts, x)
-        return (cents, counts, inert + jnp.sum(bi)), None
+        cents2, counts2, bi = pq_minibatch_update(cents, counts, x)
+        # Zero-weight tail blocks pass state through UNTOUCHED (bit-
+        # identical to not running them): the final superblock keeps
+        # the full static shape, so it reuses the compiled program —
+        # the odd-length tail previously triggered a second ~12 s
+        # remote compile mid-run.
+        cents, counts, inert = jax.lax.cond(
+            valid,
+            lambda: (cents2, counts2, inert + jnp.sum(bi)),
+            lambda: (cents, counts, inert),
+        )
+        return (cents, counts, inert), None
 
     @jax.jit
-    def superblock(cents, counts, block_ids):
+    def superblock(cents, counts, block_ids, valid):
         (cents, counts, inert), _ = jax.lax.scan(
-            step, (cents, counts, jnp.float32(0.0)), block_ids
+            step, (cents, counts, jnp.float32(0.0)), (block_ids, valid)
         )
         return cents, counts, inert
 
@@ -268,18 +279,24 @@ def main(argv=None) -> int:
     sb_times = []
     prev_state = None  # (cents, counts, cursor) of the LAST superblock
     t_prev = time.perf_counter()
+    sb_valid_blocks = []
     while not args.eval_only and cursor < n_blocks:
-        ids = jnp.arange(
-            cursor, min(cursor + sb, n_blocks), dtype=jnp.int32
-        )
+        # FULL-SHAPE superblock every time: tail ids clamp into range
+        # and carry valid=False (state passes through bit-identically),
+        # so one compiled program serves the whole run.
+        ids = jnp.arange(cursor, cursor + sb, dtype=jnp.int32)
+        valid = ids < n_blocks
+        ids = jnp.minimum(ids, n_blocks - 1)
+        n_valid = int(min(sb, n_blocks - cursor))
         # Dispatch (async) FIRST, then do host work (checkpoint pull +
         # savez of the previous, already-complete state) while the
         # device runs — the functional update never mutates prev arrays.
-        cents, counts, inert = superblock(cents, counts, ids)
+        cents, counts, inert = superblock(cents, counts, ids, valid)
         if prev_state is not None and n_super % ckpt_every == 0:
             save_ckpt_async(prev_state)
-        cursor += int(ids.shape[0])
-        rows_done += int(ids.shape[0]) * args.block_rows
+        cursor += n_valid
+        rows_done += n_valid * args.block_rows
+        sb_valid_blocks.append(n_valid)
         n_super += 1
         inert_f = float(inert)  # forces completion (data-dependent)
         t_now = time.perf_counter()
@@ -287,7 +304,7 @@ def main(argv=None) -> int:
         t_prev = t_now
         sb_times.append(dt)
         prev_state = (cents, counts, cursor)
-        vps = int(ids.shape[0]) * args.block_rows / dt
+        vps = n_valid * args.block_rows / dt
         print(
             f"superblock {n_super}: blocks {cursor}/{n_blocks}, "
             f"{dt:.1f}s ({vps/1e6:.2f}M rows/s), "
@@ -352,6 +369,22 @@ def main(argv=None) -> int:
             sustained_over_device=round(
                 (rows_done / train_wall) / (sb_rows / med), 3
             ),
+            # Steady-state window: everything after the first superblock
+            # (which carries the one-time ~7-8 s remote jit compile of a
+            # fresh process). Residual checkpoint/host stalls, if any,
+            # show up as steady_over_device < 1.
+            warmup_compile_s=round(
+                max(sb_times[0] - med, 0.0), 2
+            ) if sb_times else 0.0,
+            steady_wall_s=round(sum(sb_times[1:]), 2),
+            steady_rows_per_sec=round(
+                sum(sb_valid_blocks[1:]) * args.block_rows
+                / max(sum(sb_times[1:]), 1e-9), 1
+            ) if len(sb_times) > 1 else None,
+            steady_over_device=round(
+                (sum(sb_valid_blocks[1:]) * args.block_rows
+                 / max(sum(sb_times[1:]), 1e-9)) / (sb_rows / med), 3
+            ) if len(sb_times) > 1 else None,
             ckpt_every=ckpt_every,
             resumed=bool(args.resume),
             hbm_peak_bytes=hbm_peak_bytes(),
